@@ -1,0 +1,73 @@
+"""Checkpoint save/restore for params + optimizer state + step.
+
+The reference only checkpoints final model artifacts (``trainer.save_model()``
++ ``preprocessor.save()``, ``MatchZoo_Tool/train_controller.py:497-498``) and
+reconstructs architecture from tensor shapes at load time
+(``evaluate_models.py:162-186``). Here we checkpoint the full train state
+(params, optimizer state, step) with orbax so runs are resumable mid-training,
+plus a small JSON sidecar for config provenance.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_pytree_of_numpy(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None) -> str:
+    """Save a pytree checkpoint. Uses orbax when available, else a .npz flat dump."""
+    os.makedirs(path, exist_ok=True)
+    try:
+        import orbax.checkpoint as ocp
+
+        ckpt_dir = os.path.join(os.path.abspath(path), "state")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(ckpt_dir, _to_pytree_of_numpy(state), force=True)
+        ckptr.wait_until_finished()
+    except Exception:
+        flat, treedef = jax.tree.flatten(state)
+        np.savez(
+            os.path.join(path, "state.npz"),
+            *[np.asarray(x) for x in flat],
+        )
+        with open(os.path.join(path, "treedef.txt"), "w") as f:
+            f.write(str(treedef))
+    if metadata is not None:
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(metadata, f, indent=2, default=str)
+    return path
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    """Restore a pytree checkpoint saved by :func:`save_checkpoint`.
+
+    ``target`` provides the pytree structure (and shapes for orbax).
+    """
+    state_dir = os.path.join(os.path.abspath(path), "state")
+    if os.path.isdir(state_dir):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), target
+        )
+        return ckptr.restore(state_dir, abstract)
+    npz = np.load(os.path.join(path, "state.npz"))
+    flat, treedef = jax.tree.flatten(target)
+    restored = [npz[f"arr_{i}"] for i in range(len(flat))]
+    return jax.tree.unflatten(treedef, restored)
+
+
+def load_metadata(path: str) -> Optional[Dict]:
+    meta_path = os.path.join(path, "metadata.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        return json.load(f)

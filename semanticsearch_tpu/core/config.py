@@ -1,0 +1,202 @@
+"""Typed configuration tree + named-config registry.
+
+Replaces the reference's four overlapping config mechanisms (argparse wizards,
+``input()`` prompts, hardcoded dicts, and env vars — see
+``data_process/simple_chunk_controller.py:1443-1555`` / ``:196-250`` and
+``MatchZoo_Tool/train_controller.py:46-188`` in the reference) with one
+dataclass tree and a registry of named presets that mirrors the reference's
+``RUN_CONFIGURATIONS`` idea.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+def _replace_from_dict(obj, overrides: Dict[str, Any]):
+    """Recursively apply a nested dict of overrides onto a dataclass tree."""
+    updates = {}
+    for key, val in overrides.items():
+        if not hasattr(obj, key):
+            raise KeyError(f"{type(obj).__name__} has no config field {key!r}")
+        cur = getattr(obj, key)
+        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+            updates[key] = _replace_from_dict(cur, val)
+        else:
+            updates[key] = val
+    return dataclasses.replace(obj, **updates)
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Sentence-encoder model config (reference: sentence-transformers models
+    selected in ``Tool/Sentence_Embedding.py:75`` and the model presets in
+    ``data_process/simple_chunk_controller.py:1557-1572``)."""
+
+    vocab_size: int = 30522
+    hidden_dim: int = 384
+    num_layers: int = 6
+    num_heads: int = 12
+    mlp_dim: int = 1536
+    max_len: int = 256
+    dropout_rate: float = 0.0
+    dtype: str = "bfloat16"
+    pooling: str = "mean"  # mean | cls
+    normalize: bool = True  # L2-normalize sentence embeddings
+
+
+@dataclass(frozen=True)
+class ChunkingConfig:
+    """Chunking method config (reference: splitter kwargs
+    ``Method/Semantic_Splitter_Optimized.py:371-479`` and grouping kwargs
+    ``Method/Semantic_Grouping_Optimized.py:14-60``)."""
+
+    method: str = "splitter"  # splitter | grouping | char
+    # shared
+    auto_params: bool = True
+    collect_metadata: bool = False
+    # splitter params
+    min_boundary_spacing: int = 2
+    min_first_boundary_index: int = 3
+    smooth_adj_window: int = 3
+    valley_tau: float = 0.12
+    hybrid_mode: str = "union_weighted"  # union_weighted | union | intersection
+    vote_thr: float = 0.75
+    c99_stopping: str = "gain"  # gain | profile
+    c99_min_gain: float = 0.01
+    c99_knee_c: float = 1.2
+    c99_use_local_rank: bool = False
+    c99_mask_size: int = 11
+    soft_cap: Optional[int] = None
+    soft_cap_delta: int = 2
+    # grouping params
+    engine: str = "spectral"  # spectral | modularity (host-side)
+    knn_k: Optional[int] = None
+    edge_floor: float = 0.25
+    spectral_kmax: Optional[int] = None
+    rmt_keep_eigs: int = 3
+    sigmoid_tau_group: float = 0.15
+    cap_soft: Optional[int] = None
+    small_group_min: int = 2
+    tau_merge: float = 0.38
+    reassign_delta: float = 0.02
+    # char splitter params
+    char_chunk_size: int = 1000
+    char_overlap: int = 100
+    # sentence bucketing for static shapes on TPU
+    max_sentences: int = 512
+
+
+@dataclass(frozen=True)
+class RankingConfig:
+    """Hybrid cosine+BM25+RRF ranking config (reference:
+    ``Tool/rank_chunks_optimized.py:201-257`` and ``RANKING_DEFAULTS``
+    ``data_process/simple_chunk_controller.py:196-205``)."""
+
+    upper_percentile: float = 80.0
+    lower_percentile: float = 20.0
+    rrf_k: int = 60
+    bm25_k1: float = 1.5
+    bm25_b: float = 0.75
+    bm25_epsilon: float = 0.25
+    min_group_size: int = 2
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Sharded retrieval-index config (TPU-native; no reference analog —
+    the reference reranks per-query pandas groups)."""
+
+    embed_dim: int = 384
+    shard_axis: str = "data"
+    top_k: int = 10
+    query_batch: int = 128
+    block_rows: int = 1024  # corpus rows per kernel block
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Reranker training config (reference: ``MODEL_CONFIGS``
+    ``MatchZoo_Tool/train_controller.py:46-188``)."""
+
+    model: str = "knrm"
+    epochs: int = 10
+    batch_size: int = 32
+    learning_rate: float = 1.0  # adadelta-style default in the reference
+    optimizer: str = "adadelta"  # adadelta | adam
+    loss: str = "hinge"  # hinge | rank_xent
+    num_dup: int = 1
+    num_neg: int = 1
+    fixed_length_left: int = 16
+    fixed_length_right: int = 128
+    filter_low_freq: int = 5
+    embedding_dim: int = 100
+    vocab_size: int = 30000
+    seed: int = 42
+    clip_norm: Optional[float] = None
+    eval_metrics: tuple = ("ndcg@3", "ndcg@5", "map")
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level config tree."""
+
+    name: str = "default"
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    chunking: ChunkingConfig = field(default_factory=ChunkingConfig)
+    ranking: RankingConfig = field(default_factory=RankingConfig)
+    index: IndexConfig = field(default_factory=IndexConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    seed: int = 42
+
+    def override(self, **nested: Any) -> "Config":
+        return _replace_from_dict(self, nested)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+# --- Named-config registry (mirrors RUN_CONFIGURATIONS,
+#     simple_chunk_controller.py:1443-1555) -----------------------------------
+NAMED_CONFIGS: Dict[str, Config] = {}
+
+
+def register_config(name: str, cfg: Config) -> Config:
+    NAMED_CONFIGS[name] = dataclasses.replace(cfg, name=name)
+    return NAMED_CONFIGS[name]
+
+
+def get_named_config(name: str) -> Config:
+    if name not in NAMED_CONFIGS:
+        raise KeyError(
+            f"Unknown config {name!r}; available: {sorted(NAMED_CONFIGS)}"
+        )
+    return NAMED_CONFIGS[name]
+
+
+_base = Config()
+# The seven named run configurations of the reference controller, re-expressed.
+register_config("semantic_splitter", _base.override(chunking={"method": "splitter"}))
+register_config(
+    "semantic_splitter_intersection",
+    _base.override(chunking={"method": "splitter", "hybrid_mode": "intersection", "auto_params": False}),
+)
+register_config(
+    "semantic_splitter_union",
+    _base.override(chunking={"method": "splitter", "hybrid_mode": "union", "auto_params": False}),
+)
+register_config(
+    "semantic_grouping", _base.override(chunking={"method": "grouping", "engine": "spectral"})
+)
+register_config(
+    "semantic_grouping_modularity",
+    _base.override(chunking={"method": "grouping", "engine": "modularity"}),
+)
+register_config(
+    "text_splitter_char",
+    _base.override(chunking={"method": "char", "char_chunk_size": 1000, "char_overlap": 100}),
+)
+register_config("default", _base)

@@ -1,0 +1,33 @@
+"""Test harness: force an 8-virtual-device CPU platform before JAX initializes.
+
+This is the standard JAX substitute for a real multi-chip slice (SURVEY.md §4):
+all sharding/mesh tests run against 8 virtual CPU devices, and the driver
+separately dry-run-compiles the multi-chip path via __graft_entry__.py.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from semanticsearch_tpu.core.mesh import local_mesh
+
+    return local_mesh()
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
