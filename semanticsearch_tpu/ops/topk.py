@@ -1,0 +1,203 @@
+"""Fused cosine-scoring + top-k selection over a corpus embedding matrix.
+
+This is the TPU-native replacement for the reference's exact per-query scoring
+(``Tool/rank_chunks_optimized.py:216-235``: sklearn ``cosine_similarity`` over
+the whole chunk matrix followed by ``np.argsort``). Instead of materializing a
+full ``(num_queries, corpus)`` score matrix in HBM and sorting it, a Pallas
+kernel streams corpus blocks HBM->VMEM, computes the score tile on the MXU, and
+maintains a running per-query top-k in VMEM scratch — the only HBM output is
+``(num_queries, k)`` values + indices. For a 10M-chunk corpus this reduces the
+score-memory footprint from O(Q*N) to O(Q*K).
+
+Layout contract: embeddings are row-major ``(N, D)`` with D a multiple of 128
+(pad if needed); queries are ``(Q, D)``. Both should be L2-normalized for
+cosine semantics (dot == cosine), matching the reference's normalize-then-dot
+(``Method/Semantic_Splitter_Optimized.py:140-152``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _select_topk_rows(vals, idxs, k_pad: int):
+    """K-pass iterative selection: returns (B, k_pad) top values + indices.
+
+    vals: (B, W) scores; idxs: (B, W) int32 global indices. Runs on the VPU —
+    k passes of max/min reductions, no sort. Ties break to the lowest index.
+    """
+    out_vals = []
+    out_idxs = []
+    big = jnp.int32(2**31 - 1)
+    for _ in range(k_pad):
+        m = jnp.max(vals, axis=1, keepdims=True)
+        is_max = vals >= m
+        cand = jnp.where(is_max, idxs, big)
+        sel = jnp.min(cand, axis=1, keepdims=True)
+        out_vals.append(m)
+        out_idxs.append(sel)
+        vals = jnp.where(idxs == sel, NEG_INF, vals)
+    return (
+        jnp.concatenate(out_vals, axis=1),
+        jnp.concatenate(out_idxs, axis=1),
+    )
+
+
+def _topk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *, k_pad: int,
+                 block_n: int, n_total: int):
+    """Grid: (q_blocks, c_blocks). c is the minor (fastest) grid axis, so the
+    running top-k accumulates across corpus blocks for one query block."""
+    cb = pl.program_id(1)
+    n_cb = pl.num_programs(1)
+
+    @pl.when(cb == 0)
+    def _init():
+        acc_v[:] = jnp.full_like(acc_v, NEG_INF)
+        acc_i[:] = jnp.zeros_like(acc_i)
+
+    # Score tile on the MXU: (BQ, D) @ (D, BN) -> f32
+    scores = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    base = cb * block_n
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+    # Mask padding rows of the corpus (beyond n_total)
+    scores = jnp.where(col < n_total, scores, NEG_INF)
+
+    # Merge the running top-k with this tile, reselect top-k.
+    vals = jnp.concatenate([acc_v[:], scores], axis=1)
+    idxs = jnp.concatenate([acc_i[:], col], axis=1)
+    new_v, new_i = _select_topk_rows(vals, idxs, k_pad)
+    acc_v[:] = new_v
+    acc_i[:] = new_i
+
+    @pl.when(cb == n_cb - 1)
+    def _emit():
+        ov_ref[:] = acc_v[:]
+        oi_ref[:] = acc_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_q", "block_n", "interpret"))
+def topk_scores_pallas(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int = 10,
+    block_q: int = 128,
+    block_n: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k inner-product search: returns (values, indices), each (Q, k).
+
+    queries: (Q, D) — padded internally to block_q rows.
+    corpus:  (N, D) — streamed in blocks of block_n rows.
+    """
+    q, d = queries.shape
+    n = corpus.shape[0]
+    k_pad = _round_up(k, _LANE)
+    q_pad = _round_up(max(q, 8), block_q)
+    n_pad = _round_up(n, block_n)
+    if q_pad != q:
+        queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
+    if n_pad != n:
+        corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
+
+    grid = (q_pad // block_q, n_pad // block_n)
+    out_v, out_i = pl.pallas_call(
+        functools.partial(
+            _topk_kernel, k_pad=k_pad, block_n=block_n, n_total=n
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, k_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, k_pad), jnp.float32),
+            pltpu.VMEM((block_q, k_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n_pad * d,
+            bytes_accessed=q_pad * d * 4 + n_pad * d * 4 + q_pad * k_pad * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, corpus)
+    return out_v[:q, :k], out_i[:q, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n"))
+def topk_scores_ref(
+    queries: jax.Array, corpus: jax.Array, k: int = 10, block_n: int = 4096
+) -> Tuple[jax.Array, jax.Array]:
+    """Reference implementation: scan over corpus blocks with lax.top_k merge.
+
+    Used for correctness tests and as the CPU fallback. Never materializes the
+    full score matrix either, but relies on XLA's top_k instead of the fused
+    in-kernel selection.
+    """
+    q, d = queries.shape
+    n = corpus.shape[0]
+    n_pad = _round_up(n, block_n)
+    if n_pad != n:
+        corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
+    blocks = corpus.reshape(n_pad // block_n, block_n, d)
+
+    def step(carry, blk_and_off):
+        best_v, best_i = carry
+        blk, off = blk_and_off
+        scores = jnp.einsum(
+            "qd,nd->qn", queries, blk, preferred_element_type=jnp.float32
+        )
+        col = jnp.arange(block_n, dtype=jnp.int32)[None, :] + off
+        scores = jnp.where(col < n, scores, NEG_INF)
+        vals = jnp.concatenate([best_v, scores], axis=1)
+        idxs = jnp.concatenate([best_i, jnp.broadcast_to(col, scores.shape)], axis=1)
+        v, sel = jax.lax.top_k(vals, k)
+        i = jnp.take_along_axis(idxs, sel, axis=1)
+        return (v, i), None
+
+    init = (
+        jnp.full((q, k), NEG_INF, jnp.float32),
+        jnp.zeros((q, k), jnp.int32),
+    )
+    offsets = jnp.arange(n_pad // block_n, dtype=jnp.int32) * block_n
+    (vals, idx), _ = jax.lax.scan(step, init, (blocks, offsets))
+    return vals, idx
+
+
+def topk_scores(
+    queries: jax.Array, corpus: jax.Array, k: int = 10, **kw
+) -> Tuple[jax.Array, jax.Array]:
+    """Dispatch: Pallas kernel on TPU, XLA reference elsewhere."""
+    if jax.default_backend() == "tpu":
+        return topk_scores_pallas(queries, corpus, k=k, **kw)
+    return topk_scores_ref(queries, corpus, k=k)

@@ -1,0 +1,55 @@
+"""Fused top-k kernel vs brute-force numpy (recall parity per BASELINE.md)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semanticsearch_tpu.ops.topk import (
+    topk_scores_pallas,
+    topk_scores_ref,
+    topk_scores,
+)
+
+
+def _brute_force(q, c, k):
+    scores = q @ c.T
+    idx = np.argsort(-scores, axis=1)[:, :k]
+    vals = np.take_along_axis(scores, idx, axis=1)
+    return vals, idx
+
+
+@pytest.mark.parametrize("q,n,d,k", [(4, 100, 128, 5), (3, 513, 128, 10)])
+def test_topk_ref_matches_bruteforce(rng, q, n, d, k):
+    Q = rng.standard_normal((q, d)).astype(np.float32)
+    C = rng.standard_normal((n, d)).astype(np.float32)
+    vals, idx = topk_scores_ref(jnp.asarray(Q), jnp.asarray(C), k=k, block_n=256)
+    bv, bi = _brute_force(Q, C, k)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), bi)
+
+
+def test_topk_pallas_interpret_matches_bruteforce(rng):
+    q, n, d, k = 4, 300, 128, 10
+    Q = rng.standard_normal((q, d)).astype(np.float32)
+    C = rng.standard_normal((n, d)).astype(np.float32)
+    vals, idx = topk_scores_pallas(
+        jnp.asarray(Q), jnp.asarray(C), k=k, block_q=8, block_n=128,
+        interpret=True,
+    )
+    bv, bi = _brute_force(Q, C, k)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx), bi)
+
+
+def test_topk_dispatch_runs_on_cpu(rng):
+    Q = rng.standard_normal((2, 128)).astype(np.float32)
+    C = rng.standard_normal((50, 128)).astype(np.float32)
+    vals, idx = topk_scores(jnp.asarray(Q), jnp.asarray(C), k=3)
+    assert vals.shape == (2, 3) and idx.shape == (2, 3)
+
+
+def test_topk_handles_k_larger_than_tie_groups(rng):
+    # Duplicate rows in the corpus -> tied scores; indices must be unique.
+    C = np.repeat(rng.standard_normal((5, 128)).astype(np.float32), 4, axis=0)
+    Q = C[:1]
+    _, idx = topk_scores_ref(jnp.asarray(Q), jnp.asarray(C), k=8, block_n=8)
+    assert len(set(np.asarray(idx)[0].tolist())) == 8
