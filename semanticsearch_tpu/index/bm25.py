@@ -1,0 +1,129 @@
+"""Vectorized BM25 (Okapi) lexical scoring.
+
+In-repo replacement for the ``rank_bm25.BM25Okapi`` dependency the reference
+scores with (``Tool/rank_chunks_optimized.py:219-222``): same scoring formula,
+same epsilon semantics (negative IDFs are floored to ``epsilon * avg_idf``),
+same whitespace/lowercase tokenization at the call site. Tokenization and the
+sparse term statistics are host-side work (string processing has no TPU
+analog); scoring is a vectorized bag-of-words dot product.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+def tokenize(text: str) -> List[str]:
+    """Reference tokenization: lowercase + whitespace split
+    (``rank_chunks_optimized.py:219,221``)."""
+    return text.lower().split()
+
+
+class BM25Okapi:
+    """BM25 Okapi over a fixed document collection.
+
+    Parameters match rank_bm25's defaults (k1=1.5, b=0.75) and the reference's
+    epsilon=0.25 call (``rank_chunks_optimized.py:220``).
+    """
+
+    def __init__(
+        self,
+        corpus_tokens: Sequence[Sequence[str]],
+        k1: float = 1.5,
+        b: float = 0.75,
+        epsilon: float = 0.25,
+    ) -> None:
+        self.k1 = float(k1)
+        self.b = float(b)
+        self.epsilon = float(epsilon)
+        self.n_docs = len(corpus_tokens)
+        self.doc_len = np.array([len(d) for d in corpus_tokens], dtype=np.float32)
+        self.avgdl = float(self.doc_len.mean()) if self.n_docs else 0.0
+
+        # Vocabulary + per-doc term frequencies in CSR-ish arrays.
+        self.vocab: Dict[str, int] = {}
+        indptr = [0]
+        indices: List[int] = []
+        data: List[int] = []
+        df_counter: Dict[int, int] = {}
+        for doc in corpus_tokens:
+            tf: Dict[int, int] = {}
+            for tok in doc:
+                tid = self.vocab.setdefault(tok, len(self.vocab))
+                tf[tid] = tf.get(tid, 0) + 1
+            for tid, cnt in tf.items():
+                indices.append(tid)
+                data.append(cnt)
+                df_counter[tid] = df_counter.get(tid, 0) + 1
+            indptr.append(len(indices))
+        self._indptr = np.array(indptr, dtype=np.int64)
+        self._indices = np.array(indices, dtype=np.int64)
+        self._data = np.array(data, dtype=np.float32)
+
+        # IDF with rank_bm25's epsilon floor: idf = ln((N - df + 0.5)/(df + 0.5));
+        # terms with negative idf get epsilon * average_idf.
+        n_vocab = len(self.vocab)
+        df = np.zeros(n_vocab, dtype=np.float32)
+        for tid, cnt in df_counter.items():
+            df[tid] = cnt
+        idf = np.log(self.n_docs - df + 0.5) - np.log(df + 0.5)
+        avg_idf = float(idf.mean()) if n_vocab else 0.0
+        idf = np.where(idf < 0, self.epsilon * avg_idf, idf)
+        self.idf = idf.astype(np.float32)
+
+    def get_scores(self, query_tokens: Sequence[str]) -> np.ndarray:
+        """BM25 score of the query against every document: (n_docs,) f32."""
+        scores = np.zeros(self.n_docs, dtype=np.float32)
+        if not self.n_docs:
+            return scores
+        qids = [self.vocab[t] for t in query_tokens if t in self.vocab]
+        if not qids:
+            return scores
+        qset = np.array(sorted(set(qids)), dtype=np.int64)
+        norm = self.k1 * (1.0 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9))
+        for d in range(self.n_docs):
+            s, e = self._indptr[d], self._indptr[d + 1]
+            ids = self._indices[s:e]
+            tfs = self._data[s:e]
+            hit = np.isin(ids, qset)
+            if not hit.any():
+                continue
+            f = tfs[hit]
+            w = self.idf[ids[hit]]
+            scores[d] = float(
+                np.sum(w * f * (self.k1 + 1.0) / (f + norm[d]))
+            )
+        return scores
+
+    def get_scores_batch(self, queries_tokens: Sequence[Sequence[str]]) -> np.ndarray:
+        """Score a batch of queries: (n_queries, n_docs) f32, dense-vectorized.
+
+        Builds the query term-weight matrix once and scores all documents with
+        one sparse pass — the batch analog the reference lacks (it re-runs
+        BM25Okapi per query group).
+        """
+        nq = len(queries_tokens)
+        out = np.zeros((nq, self.n_docs), dtype=np.float32)
+        if not self.n_docs or not nq:
+            return out
+        norm = self.k1 * (1.0 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9))
+        # query term -> list of query rows containing it
+        term_to_rows: Dict[int, List[int]] = {}
+        for qi, toks in enumerate(queries_tokens):
+            for t in set(toks):
+                tid = self.vocab.get(t)
+                if tid is not None:
+                    term_to_rows.setdefault(tid, []).append(qi)
+        for d in range(self.n_docs):
+            s, e = self._indptr[d], self._indptr[d + 1]
+            for ids_pos in range(s, e):
+                tid = int(self._indices[ids_pos])
+                rows = term_to_rows.get(tid)
+                if not rows:
+                    continue
+                f = float(self._data[ids_pos])
+                contrib = self.idf[tid] * f * (self.k1 + 1.0) / (f + norm[d])
+                for qi in rows:
+                    out[qi, d] += contrib
+        return out

@@ -1,0 +1,96 @@
+"""Sharded exact-cosine retrieval engine (the BASELINE.md north star).
+
+There is no analog in the reference — it rescores per-query pandas groups.
+This engine holds a corpus embedding matrix HBM-resident and row-sharded over
+the mesh's ``data`` axis, and answers query batches with the fused Pallas
+matmul+top-k kernel per shard plus an ICI all-gather merge
+(``parallel/sharding.py``). Single-device meshes skip the collective.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..core.config import IndexConfig
+from ..core.mesh import local_mesh
+from ..ops.topk import topk_scores, topk_scores_pallas, topk_scores_ref
+from ..parallel.sharding import pad_to_shards, shard_corpus, sharded_topk
+
+
+@dataclass
+class SearchResult:
+    scores: np.ndarray   # (Q, k) f32
+    indices: np.ndarray  # (Q, k) int32 global corpus row ids
+
+
+class EmbeddingIndex:
+    """Exact top-k index over L2-normalized embeddings.
+
+    Usage:
+        idx = EmbeddingIndex.build(embeddings, mesh=mesh, cfg=IndexConfig())
+        result = idx.search(query_embeddings, k=10)
+    """
+
+    def __init__(
+        self,
+        corpus: jax.Array,
+        valid_n: int,
+        mesh: Optional[Mesh],
+        cfg: IndexConfig,
+    ) -> None:
+        self._corpus = corpus
+        self._valid_n = valid_n
+        self._mesh = mesh
+        self.cfg = cfg
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: np.ndarray,
+        mesh: Optional[Mesh] = None,
+        cfg: IndexConfig = IndexConfig(),
+        normalize: bool = True,
+    ) -> "EmbeddingIndex":
+        emb = jnp.asarray(embeddings)
+        if normalize:
+            norm = jnp.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / jnp.maximum(norm, 1e-9)
+        emb = emb.astype(jnp.dtype(cfg.dtype))
+        if mesh is None:
+            mesh = local_mesh()
+        n_shards = mesh.shape["data"]
+        if n_shards > 1:
+            emb, valid_n = pad_to_shards(emb, mesh)
+            emb = shard_corpus(emb, mesh)
+        else:
+            valid_n = emb.shape[0]
+            emb = jax.device_put(emb)
+        return cls(emb, valid_n, mesh, cfg)
+
+    @property
+    def size(self) -> int:
+        return self._valid_n
+
+    def search(self, queries: np.ndarray, k: Optional[int] = None) -> SearchResult:
+        k = k or self.cfg.top_k
+        q = jnp.asarray(queries).astype(self._corpus.dtype)
+        n_shards = self._mesh.shape["data"] if self._mesh is not None else 1
+        use_pallas = jax.default_backend() == "tpu"
+        if n_shards > 1:
+            vals, idx = sharded_topk(
+                q, self._corpus, self._mesh, k=k,
+                valid_n=self._valid_n, use_pallas=use_pallas,
+            )
+        elif use_pallas:
+            vals, idx = topk_scores_pallas(
+                q, self._corpus, k=k,
+                block_q=self.cfg.query_batch, block_n=self.cfg.block_rows,
+            )
+        else:
+            vals, idx = topk_scores_ref(q, self._corpus, k=k)
+        return SearchResult(np.asarray(vals), np.asarray(idx))

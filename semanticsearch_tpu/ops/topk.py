@@ -32,16 +32,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _select_topk_rows(vals, idxs, k_pad: int):
-    """K-pass iterative selection: returns (B, k_pad) top values + indices.
+def _select_topk_rows(vals, idxs, k: int, out_width: int):
+    """K-pass iterative selection: returns (B, out_width) top values + indices.
 
     vals: (B, W) scores; idxs: (B, W) int32 global indices. Runs on the VPU —
-    k passes of max/min reductions, no sort. Ties break to the lowest index.
+    exactly k passes of max/min reductions (no sort); the output is padded to
+    the lane-aligned ``out_width`` with NEG_INF / 0. Ties break to the lowest
+    index.
     """
+    b = vals.shape[0]
     out_vals = []
     out_idxs = []
     big = jnp.int32(2**31 - 1)
-    for _ in range(k_pad):
+    for _ in range(k):
         m = jnp.max(vals, axis=1, keepdims=True)
         is_max = vals >= m
         cand = jnp.where(is_max, idxs, big)
@@ -49,14 +52,18 @@ def _select_topk_rows(vals, idxs, k_pad: int):
         out_vals.append(m)
         out_idxs.append(sel)
         vals = jnp.where(idxs == sel, NEG_INF, vals)
+    pad = out_width - k
+    if pad:
+        out_vals.append(jnp.full((b, pad), NEG_INF, vals.dtype))
+        out_idxs.append(jnp.zeros((b, pad), jnp.int32))
     return (
         jnp.concatenate(out_vals, axis=1),
         jnp.concatenate(out_idxs, axis=1),
     )
 
 
-def _topk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *, k_pad: int,
-                 block_n: int, n_total: int):
+def _topk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *, k: int,
+                 k_pad: int, block_n: int, n_total: int):
     """Grid: (q_blocks, c_blocks). c is the minor (fastest) grid axis, so the
     running top-k accumulates across corpus blocks for one query block."""
     cb = pl.program_id(1)
@@ -81,7 +88,7 @@ def _topk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *, k_pad: int,
     # Merge the running top-k with this tile, reselect top-k.
     vals = jnp.concatenate([acc_v[:], scores], axis=1)
     idxs = jnp.concatenate([acc_i[:], col], axis=1)
-    new_v, new_i = _select_topk_rows(vals, idxs, k_pad)
+    new_v, new_i = _select_topk_rows(vals, idxs, k, k_pad)
     acc_v[:] = new_v
     acc_i[:] = new_i
 
@@ -118,7 +125,7 @@ def topk_scores_pallas(
     grid = (q_pad // block_q, n_pad // block_n)
     out_v, out_i = pl.pallas_call(
         functools.partial(
-            _topk_kernel, k_pad=k_pad, block_n=block_n, n_total=n
+            _topk_kernel, k=k, k_pad=k_pad, block_n=block_n, n_total=n
         ),
         grid=grid,
         in_specs=[

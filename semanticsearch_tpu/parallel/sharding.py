@@ -1,0 +1,90 @@
+"""Sharded exact top-k retrieval over an ICI device mesh.
+
+The reference has no corpus sharding — it re-embeds and scores per-query pandas
+groups in host process pools (``Tool/rank_chunks_optimized.py:539-601``). Here
+the corpus embedding matrix lives HBM-resident, row-sharded over the ``data``
+axis of the mesh. A query batch is replicated; each device runs the fused
+matmul+top-k kernel on its local shard; per-shard candidates (score, global id)
+are all-gathered over ICI and re-selected. Communication is O(devices * Q * k),
+never the corpus.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.topk import topk_scores_pallas, topk_scores_ref
+
+
+def shard_corpus(emb: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place a (N, D) embedding matrix row-sharded over the data axis.
+
+    N must be divisible by the data-axis size; pad with zero rows first if
+    needed (zero rows score 0 and lose to any real candidate for k < N).
+    """
+    return jax.device_put(emb, NamedSharding(mesh, P("data", None)))
+
+
+def pad_to_shards(emb: jax.Array, mesh: Mesh) -> Tuple[jax.Array, int]:
+    n_shards = mesh.shape["data"]
+    n = emb.shape[0]
+    pad = (-n) % n_shards
+    if pad:
+        emb = jnp.pad(emb, ((0, pad), (0, 0)))
+    return emb, n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "k", "valid_n", "use_pallas")
+)
+def sharded_topk(
+    queries: jax.Array,
+    corpus_sharded: jax.Array,
+    mesh: Mesh,
+    k: int = 10,
+    valid_n: int = -1,
+    use_pallas: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a row-sharded corpus. Returns (values, global indices).
+
+    queries:        (Q, D), replicated.
+    corpus_sharded: (N, D) with N divisible by the data-axis size, sharded
+                    with PartitionSpec("data", None).
+    valid_n:        true corpus size if the corpus was padded (-1: no padding).
+    """
+    n_total = corpus_sharded.shape[0]
+    shard_rows = n_total // mesh.shape["data"]
+
+    def local_search(q, c_local):
+        # c_local: (shard_rows, D) — this device's corpus rows.
+        my_shard = jax.lax.axis_index("data")
+        base = my_shard * shard_rows
+        if use_pallas:
+            vals, idx = topk_scores_pallas(q, c_local, k=k)
+        else:
+            vals, idx = topk_scores_ref(q, c_local, k=k)
+        gidx = idx + base
+        if valid_n >= 0:
+            vals = jnp.where(gidx < valid_n, vals, -jnp.inf)
+        # Gather all shards' candidates: (n_shards, Q, k) -> (Q, n_shards*k)
+        all_vals = jax.lax.all_gather(vals, "data")
+        all_idx = jax.lax.all_gather(gidx, "data")
+        q_n = q.shape[0]
+        all_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(q_n, -1)
+        all_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(q_n, -1)
+        best_v, sel = jax.lax.top_k(all_vals, k)
+        best_i = jnp.take_along_axis(all_idx, sel, axis=1)
+        return best_v, best_i
+
+    return shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(), P("data", None)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )(queries, corpus_sharded)

@@ -6,7 +6,7 @@ separately dry-run-compiles the multi-chip path via __graft_entry__.py.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's TPU-tunnel plugin re-registers itself and rewrites
+# jax_platforms at import time, overriding JAX_PLATFORMS; force CPU again
+# post-import so tests always run on the 8-virtual-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # The CI CPU backend defaults to reduced matmul precision; tests compare
 # against f32 numpy references, so pin full precision here.
