@@ -86,5 +86,5 @@ def sharded_topk(
         mesh=mesh,
         in_specs=(P(), P("data", None)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )(queries, corpus_sharded)
