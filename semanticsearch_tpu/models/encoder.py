@@ -1,0 +1,202 @@
+"""Flax transformer sentence encoder — the TPU replacement for
+sentence-transformers (reference: ``Tool/Sentence_Embedding.py:75-150``,
+``Method/semantic_common.py:84-141``).
+
+Design notes (TPU-first):
+- bfloat16 activations / f32 params; all matmuls land on the MXU.
+- Static shapes: inputs are padded to a fixed ``max_len`` per bucket; the
+  wrapper buckets texts by length (64/128/256) to avoid wasting FLOPs on
+  short sentences without introducing dynamic shapes.
+- Mean pooling over the attention mask + L2 normalization, matching the
+  sentence-transformers contract the reference relies on (unit vectors so
+  dot == cosine, ``Semantic_Splitter_Optimized.py:140-152``).
+- Batch-sharded over the mesh ``data`` axis with `jax.jit` + sharding
+  constraints; one process feeds all devices (vs the reference's
+  one-model-per-worker-process, ``simple_chunk_controller.py:462-500``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import EncoderConfig
+from .tokenizer import HashingTokenizer, load_tokenizer
+
+
+class TransformerBlock(nn.Module):
+    hidden_dim: int
+    num_heads: int
+    mlp_dim: int
+    dropout_rate: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        # Pre-LN attention
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        attn_mask = mask[:, None, None, :].astype(bool)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            dropout_rate=self.dropout_rate,
+            deterministic=deterministic,
+        )(h, h, mask=attn_mask)
+        x = x + h
+        # Pre-LN MLP
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype)(h)
+        if self.dropout_rate > 0:
+            h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+        return x + h
+
+
+class SentenceTransformerModel(nn.Module):
+    """Token+position embed -> N transformer blocks -> masked mean pool -> L2."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, ids, mask, deterministic: bool = True):
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        x = nn.Embed(c.vocab_size, c.hidden_dim, dtype=dtype,
+                     name="token_embed")(ids)
+        pos = jnp.arange(ids.shape[1])[None, :]
+        x = x + nn.Embed(c.max_len, c.hidden_dim, dtype=dtype,
+                         name="pos_embed")(pos)
+        x = nn.LayerNorm(dtype=dtype)(x)
+        for i in range(c.num_layers):
+            x = TransformerBlock(
+                hidden_dim=c.hidden_dim,
+                num_heads=c.num_heads,
+                mlp_dim=c.mlp_dim,
+                dropout_rate=c.dropout_rate,
+                dtype=dtype,
+                name=f"layer_{i}",
+            )(x, mask, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=dtype)(x)
+
+        if c.pooling == "cls":
+            pooled = x[:, 0, :]
+        else:
+            m = mask[..., None].astype(x.dtype)
+            pooled = jnp.sum(x * m, axis=1) / jnp.maximum(
+                jnp.sum(m, axis=1), 1.0
+            )
+        pooled = pooled.astype(jnp.float32)
+        if c.normalize:
+            pooled = pooled / jnp.maximum(
+                jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9
+            )
+        return pooled
+
+
+# Module-level encoder cache, mirroring the reference's per-process model
+# singleton (`Tool/Sentence_Embedding.py:32` ``loaded_models``).
+_ENCODER_CACHE: dict = {}
+
+_BUCKETS = (64, 128, 256)
+
+
+class SentenceEncoder:
+    """Batched sentence encoding service on the device mesh.
+
+    encode(texts) pads each text into the smallest length bucket, runs the
+    jitted forward per bucket with batch sharding over the ``data`` axis, and
+    reassembles results in input order.
+    """
+
+    def __init__(
+        self,
+        cfg: EncoderConfig = EncoderConfig(),
+        mesh: Optional[Mesh] = None,
+        seed: int = 0,
+        tokenizer=None,
+        params=None,
+    ) -> None:
+        self.cfg = cfg
+        self.mesh = mesh
+        self.tokenizer = tokenizer or HashingTokenizer(
+            vocab_size=cfg.vocab_size, max_len=cfg.max_len
+        )
+        self.model = SentenceTransformerModel(cfg)
+        if params is None:
+            rng = jax.random.PRNGKey(seed)
+            dummy_ids = jnp.zeros((1, cfg.max_len), jnp.int32)
+            dummy_mask = jnp.ones((1, cfg.max_len), jnp.int32)
+            params = self.model.init(rng, dummy_ids, dummy_mask)["params"]
+        if mesh is not None:
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+        self.params = params
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _forward(params, ids, mask):
+            if self.mesh is not None:
+                ids = jax.lax.with_sharding_constraint(
+                    ids, NamedSharding(self.mesh, P("data", None))
+                )
+                mask = jax.lax.with_sharding_constraint(
+                    mask, NamedSharding(self.mesh, P("data", None))
+                )
+            return self.model.apply({"params": params}, ids, mask)
+
+        self._forward = _forward
+
+    def _bucket_for(self, n_tokens: int) -> int:
+        for b in _BUCKETS:
+            if n_tokens <= b and b <= self.cfg.max_len:
+                return b
+        return self.cfg.max_len
+
+    def encode(
+        self, texts: Sequence[str], batch_size: int = 256
+    ) -> np.ndarray:
+        """Encode texts to (N, hidden_dim) f32 unit vectors, in input order."""
+        if not len(texts):
+            return np.zeros((0, self.cfg.hidden_dim), np.float32)
+        ids_full, mask_full = self.tokenizer.encode_batch(
+            texts, max_len=self.cfg.max_len
+        )
+        lengths = mask_full.sum(axis=1)
+        out = np.zeros((len(texts), self.cfg.hidden_dim), np.float32)
+
+        # Group indices by bucket to keep shapes static per jit cache entry.
+        buckets: dict = {}
+        for i, ln in enumerate(lengths):
+            buckets.setdefault(self._bucket_for(int(ln)), []).append(i)
+
+        n_dev = self.mesh.shape["data"] if self.mesh is not None else 1
+        for L, idxs in buckets.items():
+            for s in range(0, len(idxs), batch_size):
+                sel = idxs[s : s + batch_size]
+                b = len(sel)
+                # pad the batch so it divides the data axis
+                b_pad = -(-b // n_dev) * n_dev
+                ids = np.zeros((b_pad, L), np.int32)
+                mask = np.zeros((b_pad, L), np.int32)
+                ids[:b] = ids_full[sel, :L]
+                mask[:b] = mask_full[sel, :L]
+                emb = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
+                out[sel] = np.asarray(emb[:b])
+        return out
+
+
+def get_encoder(
+    cfg: EncoderConfig = EncoderConfig(),
+    mesh: Optional[Mesh] = None,
+    seed: int = 0,
+) -> SentenceEncoder:
+    """Cached encoder lookup (one instance per config), like the reference's
+    ``loaded_models`` cache."""
+    key = (cfg, id(mesh), seed)
+    if key not in _ENCODER_CACHE:
+        _ENCODER_CACHE[key] = SentenceEncoder(cfg, mesh=mesh, seed=seed)
+    return _ENCODER_CACHE[key]

@@ -1,0 +1,101 @@
+"""Tokenization for the sentence encoder.
+
+The reference delegates tokenization to sentence-transformers' bundled HF
+tokenizers (``Tool/Sentence_Embedding.py:75-150``). This build runs in a
+zero-egress environment, so the default is a deterministic hashing word
+tokenizer: lowercase, split on non-alphanumerics, hash each token into a
+fixed-size id space. It needs no vocabulary file, is stable across runs, and
+gives the encoder a dense, trainable embedding table. A HuggingFace tokenizer
+is used instead when one is available locally (``from_pretrained`` with
+``local_files_only=True``).
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+PAD_ID = 0
+CLS_ID = 1
+UNK_ID = 2
+_N_SPECIAL = 3
+
+
+def _hash_token(token: str, vocab_size: int) -> int:
+    digest = hashlib.md5(token.encode("utf-8")).digest()
+    val = int.from_bytes(digest[:8], "little")
+    return _N_SPECIAL + (val % (vocab_size - _N_SPECIAL))
+
+
+@dataclass
+class HashingTokenizer:
+    """Deterministic hashing tokenizer with static-length padding."""
+
+    vocab_size: int = 30522
+    max_len: int = 256
+    add_cls: bool = True
+
+    def tokenize(self, text: str) -> List[str]:
+        return _TOKEN_RE.findall(text.lower())
+
+    def encode(self, text: str) -> List[int]:
+        ids = [_hash_token(t, self.vocab_size) for t in self.tokenize(text)]
+        if self.add_cls:
+            ids = [CLS_ID] + ids
+        return ids[: self.max_len]
+
+    def encode_batch(
+        self, texts: Sequence[str], max_len: int | None = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (ids, mask), both (B, L) with static L = max_len."""
+        L = max_len or self.max_len
+        ids = np.full((len(texts), L), PAD_ID, dtype=np.int32)
+        mask = np.zeros((len(texts), L), dtype=np.int32)
+        for i, text in enumerate(texts):
+            enc = self.encode(text)[:L]
+            ids[i, : len(enc)] = enc
+            mask[i, : len(enc)] = 1
+        return ids, mask
+
+
+def load_tokenizer(
+    name_or_path: str | None = None,
+    vocab_size: int = 30522,
+    max_len: int = 256,
+):
+    """Prefer a local HF tokenizer when one exists; fall back to hashing."""
+    if name_or_path:
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(name_or_path, local_files_only=True)
+
+            class _HFAdapter:
+                def __init__(self, hf, max_len):
+                    self.hf = hf
+                    self.max_len = max_len
+                    self.vocab_size = hf.vocab_size
+
+                def encode_batch(self, texts, max_len=None):
+                    L = max_len or self.max_len
+                    out = self.hf(
+                        list(texts),
+                        padding="max_length",
+                        truncation=True,
+                        max_length=L,
+                        return_tensors="np",
+                    )
+                    return (
+                        out["input_ids"].astype(np.int32),
+                        out["attention_mask"].astype(np.int32),
+                    )
+
+            return _HFAdapter(tok, max_len)
+        except Exception:
+            pass
+    return HashingTokenizer(vocab_size=vocab_size, max_len=max_len)
