@@ -1,0 +1,214 @@
+"""Chunking tests: segmenter, cleaning, naive splitter, C99/valley splitter,
+grouping — synthetic documents with known topic boundaries."""
+import json
+
+import numpy as np
+import pytest
+
+from semanticsearch_tpu.core.config import ChunkingConfig
+from semanticsearch_tpu.chunking.cleaning import (
+    clean_document,
+    clean_with_guardrail,
+    preclean_text,
+    preprocess_format,
+    validate_cleaned_text,
+)
+from semanticsearch_tpu.chunking.grouping import (
+    chunk_passage_grouping,
+    group_by_similarity,
+    louvain_labels,
+    rmt_filter,
+    sharpen_similarity,
+)
+from semanticsearch_tpu.chunking.naive import chunk_by_chars
+from semanticsearch_tpu.chunking.segmenter import (
+    count_tokens,
+    extract_sentences,
+    split_sentences_regex,
+)
+from semanticsearch_tpu.chunking.splitter import (
+    c99_boundaries,
+    chunk_passage_splitter,
+    median_smooth,
+    split_by_embeddings,
+    valley_boundaries,
+)
+
+
+# ---------------------------------------------------------------- segmenter
+
+def test_segmenter_basic():
+    text = "This is sentence one. And here is sentence two! Third sentence here?"
+    sents = extract_sentences(text)
+    assert len(sents) == 3
+    assert all(s[-1] in ".!?" for s in sents)
+
+
+def test_segmenter_short_filtered_and_long_resplit():
+    text = "Hi. " + "word " * 300 + "; " + "tail " * 10 + "."
+    sents = extract_sentences(text, max_sent_length=500)
+    assert all(len(s) >= 10 for s in sents)
+    assert all(len(s) <= 510 for s in sents)
+
+
+def test_count_tokens():
+    assert count_tokens("Hello, world!") == 4  # hello , world !
+
+
+# ----------------------------------------------------------------- cleaning
+
+def test_preclean_strips_metadata():
+    t = "Language: Spanish Article Type:BFN [Text] Real content here."
+    assert preclean_text(t) == "Real content here."
+
+
+def test_clean_document_protects_acronyms():
+    t = "The ANC. announced plans. Language: Russian Article Type: CSO More text follows."
+    out = clean_document(t)
+    assert "ANC." in out
+    assert "Language:" not in out
+
+
+def test_preprocess_format_speakers():
+    t = "(Gutierrez) The situation is complex."
+    out = preprocess_format(t)
+    assert "Gutierrez said:" in out
+    assert out.count('"') % 2 == 0
+
+
+def test_guardrail_reverts_overcleaning():
+    # A doc that is nearly all bracket metadata would lose >30% -> revert.
+    t = "[Article by Someone Long Name Here] Hi."
+    assert clean_with_guardrail(t) == t
+    ok = "Normal document with plenty of content that survives cleaning fine."
+    assert validate_cleaned_text(ok, clean_document(ok))
+
+
+# ------------------------------------------------------------ naive splitter
+
+def test_chunk_by_chars_partition_and_overlap():
+    text = "abcdefghij" * 10  # 100 chars
+    chunks = chunk_by_chars("d1", text, chunk_size=30, overlap=0, collect_metadata=True)
+    assert "".join(c[1] for c in chunks) == text
+    meta = json.loads(chunks[0][2])
+    assert meta["start_char"] == 0 and meta["end_char"] == 30
+    overlapped = chunk_by_chars("d1", text, chunk_size=30, overlap=10)
+    assert overlapped[1][1][:10] == overlapped[0][1][-10:]
+
+
+# ------------------------------------------------- synthetic embedding docs
+
+def _topic_embeddings(rng, sizes, d=64, noise=0.05):
+    """Blocks of near-identical vectors per topic -> known boundaries."""
+    out = []
+    for s in sizes:
+        center = rng.standard_normal(d)
+        center /= np.linalg.norm(center)
+        block = center[None, :] + noise * rng.standard_normal((s, d))
+        out.append(block)
+    emb = np.concatenate(out, axis=0)
+    return emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+
+def test_c99_finds_planted_boundary(rng):
+    emb = _topic_embeddings(rng, [10, 10])
+    S = emb @ emb.T
+    from semanticsearch_tpu.ops.similarity import rank_matrix_global
+    import jax.numpy as jnp
+
+    R = np.asarray(rank_matrix_global(jnp.asarray(S)))
+    cuts = c99_boundaries(R, min_chunk_size=3)
+    assert len(cuts) >= 1
+    assert min(abs(c - 10) for c in cuts) <= 1
+
+
+def test_valley_finds_planted_boundary(rng):
+    emb = _topic_embeddings(rng, [12, 12])
+    adj = np.sum(emb[:-1] * emb[1:], axis=1)
+    cuts = valley_boundaries(adj, min_boundary_spacing=3, min_first_boundary_index=3)
+    assert any(abs(c - 12) <= 1 for c in cuts)
+
+
+def test_split_by_embeddings_partition_invariant(rng):
+    emb = _topic_embeddings(rng, [15, 15, 15])
+    groups = split_by_embeddings(emb, ChunkingConfig(auto_params=True))
+    flat = [i for g in groups for i in g]
+    assert flat == list(range(45))  # exact partition, in order
+    # contiguity invariant
+    for g in groups:
+        assert g == list(range(g[0], g[-1] + 1))
+
+
+def test_chunk_passage_splitter_contract(rng):
+    sentences = [f"Sentence number {i} talks about things." for i in range(30)]
+    emb = _topic_embeddings(rng, [15, 15])
+    chunks = chunk_passage_splitter("docA", sentences, emb, collect_metadata=True)
+    assert all(cid.startswith("docA_chunk") for cid, _, _ in chunks)
+    meta = json.loads(chunks[0][2])
+    assert "sent_indices" in meta and meta["n"] >= 1
+    joined = " ".join(t for _, t, _ in chunks)
+    assert all(s in joined for s in sentences)
+
+
+def test_median_smooth_identity_small():
+    np.testing.assert_array_equal(median_smooth([1.0, 2.0], 3), [1.0, 2.0])
+    out = median_smooth([1.0, 9.0, 1.0, 1.0, 1.0], 3)
+    assert out[1] == 1.0  # spike removed
+
+
+# ------------------------------------------------------------------ grouping
+
+def test_sharpen_similarity_range():
+    S = np.array([[1.0, 0.8, 0.1], [0.8, 1.0, 0.2], [0.1, 0.2, 1.0]])
+    out = sharpen_similarity(S)
+    assert np.all(out >= 0) and np.all(out <= 1)
+    assert np.all(np.diag(out) == 0)
+
+
+def test_rmt_filter_denoises():
+    rng = np.random.default_rng(1)
+    S = np.eye(20) + 0.01 * rng.standard_normal((20, 20))
+    out = rmt_filter(0.5 * (S + S.T), keep_eigs=3)
+    assert out.shape == (20, 20)
+    assert np.all(out >= 0) and np.all(np.diag(out) == 0)
+
+
+def test_louvain_two_cliques():
+    # Two dense 6-cliques weakly connected -> 2 communities.
+    n = 12
+    A = np.zeros((n, n))
+    A[:6, :6] = 1.0
+    A[6:, 6:] = 1.0
+    np.fill_diagonal(A, 0.0)
+    A[5, 6] = A[6, 5] = 0.1
+    labels = louvain_labels(A, gamma=1.0)
+    assert labels is not None
+    assert len(set(labels[:6])) == 1 and len(set(labels[6:])) == 1
+    assert labels[0] != labels[6]
+
+
+def test_group_by_similarity_covers_all(rng):
+    emb = _topic_embeddings(rng, [8, 8, 8])
+    S = sharpen_similarity(emb @ emb.T)
+    groups = group_by_similarity(S, ChunkingConfig(method="grouping"))
+    all_idx = sorted(i for g in groups for i in g)
+    assert all_idx == list(range(24))
+
+
+def test_chunk_passage_grouping_contract(rng):
+    sentences = [f"Sentence {i} content goes here okay." for i in range(24)]
+    emb = _topic_embeddings(rng, [12, 12])
+    chunks = chunk_passage_grouping("docB", sentences, emb, collect_metadata=True)
+    assert chunks
+    assert all(cid.startswith("docB_") for cid, _, _ in chunks)
+    meta = json.loads(chunks[0][2])
+    assert "sent_indices" in meta
+
+
+def test_grouping_modularity_engine(rng):
+    emb = _topic_embeddings(rng, [10, 10])
+    S = sharpen_similarity(emb @ emb.T)
+    cfg = ChunkingConfig(method="grouping", engine="modularity")
+    groups = group_by_similarity(S, cfg)
+    all_idx = sorted(i for g in groups for i in g)
+    assert all_idx == list(range(20))
