@@ -1,0 +1,17 @@
+from .base import MODEL_REGISTRY, get_model_class, make_model
+from .knrm import KNRM, ConvKNRM
+from .conv2d_models import ArcII, MatchPyramid
+from .recurrent import ESIM, MVLSTM, MatchLSTM
+
+__all__ = [
+    "MODEL_REGISTRY",
+    "get_model_class",
+    "make_model",
+    "KNRM",
+    "ConvKNRM",
+    "ArcII",
+    "MatchPyramid",
+    "ESIM",
+    "MVLSTM",
+    "MatchLSTM",
+]

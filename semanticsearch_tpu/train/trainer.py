@@ -1,0 +1,199 @@
+"""Reranker training loop: optax optimizers, pairwise losses, eval, ckpt.
+
+Rebuilds the reference's ``ModelTrainer`` (``MatchZoo_Tool/train_controller.py:
+261-761``) TPU-first: one jitted train step (pairwise groups in a static-shape
+batch), optax adadelta/adam matching the per-model optimizer choices
+(``:89-93,:109-120``), RankHinge / RankCrossEntropy losses matching MatchZoo's
+(hinge margin 1.0 default; rank-xent over (1+num_neg) groups, ``:132-138``),
+optional grad clipping (Conv-KNRM clip_norm=10, ``:117``), per-epoch IR-metric
+eval (NDCG@3/5 + MAP, ``:556-560``), checkpoint via core.checkpoint.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.checkpoint import save_checkpoint
+from ..core.config import TrainConfig
+from ..core.logging import get_logger
+from ..models.rerankers import make_model
+from .metrics import evaluate_ranking
+from .pairs import PairDataset
+
+logger = get_logger("train")
+
+
+# --------------------------------------------------------------------- losses
+
+def rank_hinge_loss(scores: jnp.ndarray, group_size: int, margin: float = 1.0):
+    """Pairwise hinge over groups: rows are [pos, neg_1..neg_k] repeated.
+
+    MatchZoo's RankHingeLoss with num_neg=k: mean over all (pos, neg) pairs of
+    max(0, margin - (s_pos - s_neg)).
+    """
+    g = scores.reshape(-1, group_size)
+    pos = g[:, :1]
+    neg = g[:, 1:]
+    return jnp.mean(jnp.maximum(0.0, margin - (pos - neg)))
+
+
+def rank_xent_loss(scores: jnp.ndarray, group_size: int):
+    """RankCrossEntropy: softmax over each group, NLL of the positive."""
+    g = scores.reshape(-1, group_size)
+    logp = jax.nn.log_softmax(g, axis=-1)
+    return -jnp.mean(logp[:, 0])
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "adam":
+        tx = optax.adam(cfg.learning_rate if cfg.learning_rate != 1.0 else 1e-3)
+    elif cfg.optimizer == "adadelta":
+        tx = optax.adadelta(cfg.learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.clip_norm), tx)
+    return tx
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+@dataclass
+class TrainResult:
+    params: Any
+    history: List[Dict[str, float]] = field(default_factory=list)
+    best_metrics: Dict[str, float] = field(default_factory=dict)
+
+
+class RerankTrainer:
+    """Train one reranker on a PairDataset; evaluate point-mode with IR metrics."""
+
+    def __init__(
+        self,
+        model_name: str,
+        vocab_size: int,
+        cfg: TrainConfig = TrainConfig(),
+        model_kwargs: Optional[Dict] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.model = make_model(
+            model_name, vocab_size=vocab_size,
+            embed_dim=cfg.embedding_dim, **(model_kwargs or {}),
+        )
+        self.tx = make_optimizer(cfg)
+        self._loss_fn = (
+            rank_xent_loss if cfg.loss == "rank_xent" else rank_hinge_loss
+        )
+
+        @functools.partial(jax.jit, static_argnames=("group_size",))
+        def train_step(params, opt_state, left, right, group_size, rng):
+            def loss(p):
+                scores = self.model.apply(
+                    {"params": p}, left, right, deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                return self._loss_fn(scores, group_size)
+
+            val, grads = jax.value_and_grad(loss)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, val
+
+        @jax.jit
+        def predict_step(params, left, right):
+            return self.model.apply({"params": params}, left, right,
+                                    deterministic=True)
+
+        self._train_step = train_step
+        self._predict_step = predict_step
+
+    def init_params(self, dataset: PairDataset, seed: Optional[int] = None):
+        rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        left = jnp.asarray(dataset.left[:2])
+        right = jnp.asarray(dataset.right[:2])
+        return self.model.init(rng, left, right)["params"]
+
+    def predict(self, params, dataset: PairDataset, batch_size: int = 128
+                ) -> np.ndarray:
+        out = np.zeros(dataset.left.shape[0], np.float32)
+        for batch in dataset.iter_point_batches(batch_size):
+            scores = np.asarray(
+                self._predict_step(params, jnp.asarray(batch["left"]),
+                                   jnp.asarray(batch["right"]))
+            )
+            valid = batch["valid"]
+            out[batch["row_ids"][valid]] = scores[valid]
+        return out
+
+    def evaluate(self, params, dataset: PairDataset,
+                 metrics=None) -> Dict[str, float]:
+        scores = self.predict(params, dataset)
+        return evaluate_ranking(
+            dataset.query_ids, dataset.labels, scores,
+            metrics=metrics or self.cfg.eval_metrics,
+        )
+
+    def fit(
+        self,
+        train_ds: PairDataset,
+        test_ds: Optional[PairDataset] = None,
+        checkpoint_dir: Optional[str] = None,
+    ) -> TrainResult:
+        cfg = self.cfg
+        params = self.init_params(train_ds)
+        opt_state = self.tx.init(params)
+        rng = jax.random.PRNGKey(cfg.seed)
+        history: List[Dict[str, float]] = []
+        best: Dict[str, float] = {}
+        step = 0
+        for epoch in range(cfg.epochs):
+            t0 = time.perf_counter()
+            losses = []
+            for batch in train_ds.iter_pair_batches(
+                batch_size=cfg.batch_size,
+                num_dup=cfg.num_dup,
+                num_neg=cfg.num_neg,
+                seed=cfg.seed,
+                epoch=epoch,
+                resample=True,
+            ):
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss_val = self._train_step(
+                    params, opt_state,
+                    jnp.asarray(batch["left"]), jnp.asarray(batch["right"]),
+                    batch["group_size"], sub,
+                )
+                losses.append(float(loss_val))
+                step += 1
+            row: Dict[str, float] = {
+                "epoch": epoch,
+                "loss": float(np.mean(losses)) if losses else float("nan"),
+                "time_s": time.perf_counter() - t0,
+            }
+            if test_ds is not None:
+                row.update(self.evaluate(params, test_ds))
+                key = cfg.eval_metrics[0] if cfg.eval_metrics else "map"
+                if not best or row.get(key, 0.0) >= best.get(key, -1.0):
+                    best = {m: row[m] for m in cfg.eval_metrics if m in row}
+            history.append(row)
+            logger.info("epoch %d: %s", epoch, row)
+        if checkpoint_dir:
+            save_checkpoint(
+                checkpoint_dir,
+                {"params": params},
+                metadata={"model": type(self.model).__name__,
+                          "config": cfg.__dict__ | {"eval_metrics": list(cfg.eval_metrics)}},
+            )
+        return TrainResult(params=params, history=history, best_metrics=best)

@@ -1,0 +1,180 @@
+"""Metrics correctness, preprocessor, pair sampling, and a learnability smoke
+test per reranker on a tiny synthetic task."""
+import numpy as np
+import pytest
+
+from semanticsearch_tpu.core.config import TrainConfig
+from semanticsearch_tpu.train.metrics import (
+    average_precision,
+    dcg_at_k,
+    evaluate_ranking,
+    ndcg_at_k,
+    precision_at_k,
+    reciprocal_rank,
+)
+from semanticsearch_tpu.train.pairs import PairDataset
+from semanticsearch_tpu.train.trainer import (
+    RerankTrainer,
+    rank_hinge_loss,
+    rank_xent_loss,
+)
+from semanticsearch_tpu.train.vocab import Preprocessor
+
+
+# ----------------------------------------------------------------- metrics
+
+def test_metrics_hand_computed():
+    y_true = [1, 0, 0, 1]
+    y_score = [0.9, 0.8, 0.3, 0.5]  # ranking: d0(1), d1(0), d3(1), d2(0)
+    assert average_precision(y_true, y_score) == pytest.approx((1.0 + 2 / 3) / 2)
+    assert reciprocal_rank(y_true, y_score) == 1.0
+    assert precision_at_k(y_true, y_score, 2) == 0.5
+    # DCG@2 = (2^1-1)/log2(2) + (2^0-1)/log2(3) = 1.0
+    assert dcg_at_k(y_true, y_score, 2) == pytest.approx(1.0)
+    # ideal DCG@2 = 1 + 1/log2(3)
+    assert ndcg_at_k(y_true, y_score, 2) == pytest.approx(
+        1.0 / (1.0 + 1.0 / np.log2(3))
+    )
+
+
+def test_evaluate_ranking_groups_by_query():
+    out = evaluate_ranking(
+        query_ids=["a", "a", "b", "b"],
+        y_true=[1, 0, 0, 1],
+        y_score=[0.9, 0.1, 0.9, 0.1],
+        metrics=("map", "p@1"),
+    )
+    assert out["map"] == pytest.approx((1.0 + 0.5) / 2)
+    assert out["p@1"] == pytest.approx(0.5)
+
+
+# ------------------------------------------------------------- preprocessor
+
+def test_preprocessor_vocab_and_shapes(tmp_path):
+    texts = ["common words appear here"] * 5 + ["rare token xyzzy"]
+    pp = Preprocessor(fixed_length_left=4, fixed_length_right=6,
+                      filter_low_freq=2).fit(texts)
+    assert "common" in pp.vocab and "xyzzy" not in pp.vocab
+    out = pp.transform_pair(["common words"], ["xyzzy appear"])
+    assert out["left"].shape == (1, 4) and out["right"].shape == (1, 6)
+    assert out["right"][0, 0] == 1  # UNK for filtered token
+    p = tmp_path / "pp.json"
+    pp.save(str(p))
+    pp2 = Preprocessor.load(str(p))
+    assert pp2.vocab == pp.vocab
+
+
+# ------------------------------------------------------------ pair sampling
+
+def _toy_dataset(n_queries=6, per_q=6, seed=0):
+    rng = np.random.default_rng(seed)
+    rows_left, rows_right, labels, qids = [], [], [], []
+    for q in range(n_queries):
+        for d in range(per_q):
+            rows_left.append(rng.integers(2, 50, size=4))
+            rows_right.append(rng.integers(2, 50, size=8))
+            labels.append(1.0 if d < 2 else 0.0)
+            qids.append(f"q{q}")
+    return PairDataset(
+        left=np.asarray(rows_left, np.int32),
+        right=np.asarray(rows_right, np.int32),
+        labels=np.asarray(labels, np.float32),
+        query_ids=np.asarray(qids),
+    )
+
+
+def test_pair_batches_structure():
+    ds = _toy_dataset()
+    batches = list(ds.iter_pair_batches(batch_size=4, num_dup=2, num_neg=3))
+    assert batches
+    b = batches[0]
+    assert b["left"].shape[0] == 4 * 4  # batch * (1 + num_neg)
+    labs = b["labels"].reshape(-1, 4)
+    assert (labs[:, 0] > 0).all()       # positive first in every group
+    assert (labs[:, 1:] <= 0).all()
+
+
+def test_pair_resample_changes_negatives():
+    ds = _toy_dataset()
+    b0 = next(ds.iter_pair_batches(4, num_neg=2, seed=1, epoch=0))
+    b1 = next(ds.iter_pair_batches(4, num_neg=2, seed=1, epoch=1))
+    assert not np.array_equal(b0["right"], b1["right"])
+
+
+def test_unpairable_queries_excluded():
+    ds = _toy_dataset()
+    # make one query all-positive -> not pairable
+    ds2 = PairDataset(
+        left=ds.left, right=ds.right,
+        labels=np.ones_like(ds.labels), query_ids=ds.query_ids,
+    )
+    assert ds2.pairable_queries == []
+    assert list(ds2.iter_pair_batches(2)) == []
+
+
+# ----------------------------------------------------------------- losses
+
+def test_losses_directional():
+    import jax.numpy as jnp
+
+    good = jnp.asarray([5.0, -5.0, 4.0, -4.0])  # pos >> neg
+    bad = jnp.asarray([-5.0, 5.0, -4.0, 4.0])
+    assert float(rank_hinge_loss(good, 2)) < float(rank_hinge_loss(bad, 2))
+    assert float(rank_xent_loss(good, 2)) < float(rank_xent_loss(bad, 2))
+
+
+# ------------------------------------------------ learnability per reranker
+
+def _learnable_dataset(pp_len=(4, 8), n_queries=12, seed=0):
+    """Positives share a token with the query; negatives don't."""
+    rng = np.random.default_rng(seed)
+    L, R = pp_len
+    rows_left, rows_right, labels, qids = [], [], [], []
+    for q in range(n_queries):
+        q_tok = 2 + q  # one distinct token per query
+        left = np.full(L, 0, np.int32)
+        left[0] = q_tok
+        for d in range(4):
+            right = rng.integers(30, 60, size=R).astype(np.int32)
+            lab = 1.0 if d < 2 else 0.0
+            if lab:
+                right[: 3] = q_tok  # strong lexical overlap
+            rows_left.append(left)
+            rows_right.append(right)
+            labels.append(lab)
+            qids.append(f"q{q}")
+    return PairDataset(
+        left=np.asarray(rows_left), right=np.asarray(rows_right),
+        labels=np.asarray(labels, np.float32), query_ids=np.asarray(qids),
+    )
+
+
+ALL_MODELS = ["knrm", "conv_knrm", "match_pyramid", "arcii", "esim",
+              "match_lstm", "mvlstm"]
+
+
+@pytest.mark.parametrize("model_name", ALL_MODELS)
+def test_reranker_learns_lexical_overlap(model_name):
+    ds = _learnable_dataset()
+    cfg = TrainConfig(
+        model=model_name, epochs=3, batch_size=4, num_neg=1,
+        optimizer="adam", learning_rate=0.01,
+        loss="rank_xent" if model_name in ("esim", "match_lstm", "mvlstm")
+        else "hinge",
+        embedding_dim=16, eval_metrics=("map", "ndcg@3"),
+    )
+    kwargs = {}
+    if model_name in ("esim", "match_lstm", "mvlstm"):
+        kwargs = {"hidden_size": 16}
+    if model_name == "conv_knrm":
+        kwargs = {"filters": 8}
+    if model_name == "arcii":
+        # tiny 4x8 inputs: shrink the two pooling stages so dims stay >= 1
+        kwargs = {"kernel_2d_count": (8, 8), "pool_2d_size": ((2, 2), (2, 2))}
+    if model_name == "mvlstm":
+        kwargs = {"hidden_size": 16, "top_k": 5}
+    trainer = RerankTrainer(model_name, vocab_size=64, cfg=cfg,
+                            model_kwargs=kwargs)
+    result = trainer.fit(ds, test_ds=ds)
+    final_map = result.history[-1]["map"]
+    assert final_map > 0.75, f"{model_name} failed to learn: MAP={final_map}"
