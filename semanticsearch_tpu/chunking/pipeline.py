@@ -1,0 +1,214 @@
+"""End-to-end chunking pipeline: TSV in -> cleaned -> chunked -> TSV out.
+
+Rebuild of the reference controller (``data_process/simple_chunk_controller.py:
+505-1441``) with the device boundary redrawn for TPU: instead of one
+SentenceTransformer per worker process embedding one document at a time, ALL
+sentences of a row batch are encoded in one large device batch
+(``SentenceEncoder.encode``) and sliced back per document. Everything else —
+cleaning with the revert guardrail, per-method dispatch, whole-document
+fallback chunk, 50k-char truncation, streaming TSV writes, eval summary — is
+host-side and keeps the reference's semantics.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.config import ChunkingConfig, Config
+from ..core.logging import get_logger
+from ..data.tsv import batched, read_tsv, write_tsv
+from ..models.encoder import SentenceEncoder
+from .cleaning import clean_with_guardrail, preclean_text
+from .grouping import chunk_passage_grouping
+from .naive import chunk_by_chars
+from .segmenter import extract_sentences
+from .splitter import chunk_passage_splitter
+
+logger = get_logger("chunking")
+
+BATCH_SIZE = 600           # rows per streaming batch (reference :115)
+MAX_CHUNK_CHARS = 50_000   # chunk truncation cap (reference :1098-1100)
+
+CHUNK_COLUMNS = ["query_id", "document_id", "chunk_text", "label"]
+MAP_COLUMNS = ["query_id", "document_id", "chunk_id", "sent_indices", "meta"]
+
+
+@dataclass
+class ChunkRunStats:
+    rows_in: int = 0
+    docs_chunked: int = 0
+    chunks_out: int = 0
+    fallbacks: int = 0
+    elapsed_s: float = 0.0
+    chunk_word_counts: List[int] = field(default_factory=list)
+
+    def summary(self) -> Dict:
+        words = np.asarray(self.chunk_word_counts or [0], dtype=np.float64)
+        return {
+            "rows_in": self.rows_in,
+            "docs_chunked": self.docs_chunked,
+            "chunks_out": self.chunks_out,
+            "fallbacks": self.fallbacks,
+            "elapsed_s": round(self.elapsed_s, 3),
+            "chunks_per_sec": round(self.chunks_out / self.elapsed_s, 2)
+            if self.elapsed_s else 0.0,
+            "avg_chunks_per_doc": round(
+                self.chunks_out / max(1, self.docs_chunked), 3
+            ),
+            "chunk_words": {
+                "mean": float(words.mean()),
+                "p10": float(np.percentile(words, 10)),
+                "median": float(np.median(words)),
+                "p90": float(np.percentile(words, 90)),
+                "max": float(words.max()),
+            },
+        }
+
+
+class ChunkPipeline:
+    """Chunk a 5-column corpus TSV with the configured method."""
+
+    def __init__(
+        self,
+        cfg: Config = Config(),
+        encoder: Optional[SentenceEncoder] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.encoder = encoder  # lazily built; char method needs none
+
+    def _get_encoder(self) -> SentenceEncoder:
+        if self.encoder is None:
+            self.encoder = SentenceEncoder(self.cfg.encoder)
+        return self.encoder
+
+    # -- per-document chunking given precomputed embeddings ------------------
+    def _chunk_doc(
+        self,
+        doc_id: str,
+        sentences: List[str],
+        embeddings: Optional[np.ndarray],
+        raw_text: str,
+    ) -> List[Tuple[str, str, Optional[str]]]:
+        ccfg = self.cfg.chunking
+        if ccfg.method == "char":
+            return chunk_by_chars(
+                doc_id, raw_text, ccfg.char_chunk_size, ccfg.char_overlap,
+                collect_metadata=ccfg.collect_metadata,
+            )
+        if not sentences or embeddings is None or len(sentences) == 0:
+            return [(f"{doc_id}_fallback", raw_text, None)] if raw_text else []
+        if ccfg.method == "grouping":
+            return chunk_passage_grouping(
+                doc_id, sentences, embeddings, ccfg,
+                collect_metadata=ccfg.collect_metadata, seed=self.cfg.seed,
+            )
+        return chunk_passage_splitter(
+            doc_id, sentences, embeddings, ccfg,
+            collect_metadata=ccfg.collect_metadata,
+        )
+
+    # -- batch processing -----------------------------------------------------
+    def _process_batch(
+        self, rows: List[Dict[str, str]], stats: ChunkRunStats
+    ) -> Iterator[Dict[str, str]]:
+        ccfg = self.cfg.chunking
+        docs: List[Tuple[Dict, str, List[str]]] = []
+        need_embed = ccfg.method in ("splitter", "grouping")
+        for row in rows:
+            stats.rows_in += 1
+            raw = row.get("document", row.get("chunk_text", ""))
+            if not raw:
+                continue
+            text = clean_with_guardrail(raw)
+            text = preclean_text(text)
+            sentences = extract_sentences(text) if need_embed else []
+            if need_embed and len(sentences) > ccfg.max_sentences:
+                sentences = sentences[: ccfg.max_sentences]
+            docs.append((row, text, sentences))
+
+        embeddings_by_doc: List[Optional[np.ndarray]] = [None] * len(docs)
+        if need_embed:
+            # ONE device batch for every sentence in the row batch.
+            all_sents: List[str] = []
+            spans: List[Tuple[int, int]] = []
+            for _, _, sentences in docs:
+                spans.append((len(all_sents), len(all_sents) + len(sentences)))
+                all_sents.extend(sentences)
+            if all_sents:
+                embs = self._get_encoder().encode(all_sents)
+                for i, (s, e) in enumerate(spans):
+                    if e > s:
+                        embeddings_by_doc[i] = embs[s:e]
+
+        for (row, text, sentences), embs in zip(docs, embeddings_by_doc):
+            doc_id = row.get("document_id", row.get("query_id", "doc"))
+            try:
+                chunks = self._chunk_doc(doc_id, sentences, embs, text)
+            except Exception as exc:  # degrade-don't-die (reference :725-726)
+                logger.warning("chunking failed for %s: %s; falling back", doc_id, exc)
+                chunks = [(f"{doc_id}_fallback", text, None)]
+            if not chunks:
+                continue
+            if len(chunks) == 1 and chunks[0][0].endswith("_fallback"):
+                stats.fallbacks += 1
+            stats.docs_chunked += 1
+            for cid, ctext, meta in chunks:
+                ctext = ctext[:MAX_CHUNK_CHARS]
+                stats.chunks_out += 1
+                stats.chunk_word_counts.append(len(ctext.split()))
+                yield {
+                    "query_id": row.get("query_id", ""),
+                    "document_id": doc_id,
+                    "chunk_id": cid,
+                    "chunk_text": ctext,
+                    "label": row.get("label", ""),
+                    "meta": meta or "",
+                }
+
+    def run(
+        self,
+        input_tsv: str,
+        output_dir: str,
+        limit: Optional[int] = None,
+        write_chunk_map: bool = False,
+    ) -> Dict:
+        """Stream the corpus, chunk it, write {name}_chunks.tsv + summary."""
+        os.makedirs(output_dir, exist_ok=True)
+        name = self.cfg.name
+        out_path = os.path.join(output_dir, f"{name}_chunks.tsv")
+        map_path = os.path.join(output_dir, f"{name}_chunk_map.tsv")
+        summary_path = os.path.join(output_dir, f"{name}_summary.json")
+        stats = ChunkRunStats()
+        t0 = time.perf_counter()
+
+        def rows_out() -> Iterator[Dict[str, str]]:
+            map_rows: List[Dict[str, str]] = []
+            for batch in batched(read_tsv(input_tsv, limit=limit), BATCH_SIZE):
+                for out_row in self._process_batch(batch, stats):
+                    if write_chunk_map and out_row["meta"]:
+                        meta = json.loads(out_row["meta"])
+                        map_rows.append({
+                            "query_id": out_row["query_id"],
+                            "document_id": out_row["document_id"],
+                            "chunk_id": out_row["chunk_id"],
+                            "sent_indices": meta.get("sent_indices", ""),
+                            "meta": out_row["meta"],
+                        })
+                    yield out_row
+            if write_chunk_map and map_rows:
+                write_tsv(map_path, map_rows, MAP_COLUMNS)
+
+        write_tsv(out_path, rows_out(), CHUNK_COLUMNS)
+        stats.elapsed_s = time.perf_counter() - t0
+        summary = {"config": name, "method": self.cfg.chunking.method,
+                   **stats.summary()}
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=2)
+        logger.info("chunk run %s: %s", name, summary)
+        summary["output_path"] = out_path
+        return summary

@@ -1,0 +1,251 @@
+"""One CLI with subcommands: integrate / chunk / rank / validate / folds /
+train / evaluate / analyze / search-bench.
+
+Replaces the reference's per-script argparse CLIs and ``input()`` wizards
+(SURVEY.md §5 "config/flag system") with a single entry point plus the
+named-config registry (``--config`` picks a preset; ``--set a.b=c`` overrides
+any field in the typed config tree).
+"""
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import sys
+from typing import Any, Dict, List
+
+from ..core.config import Config, NAMED_CONFIGS, get_named_config
+
+
+def _apply_sets(cfg: Config, sets: List[str]) -> Config:
+    """Apply --set dotted.path=value overrides onto the config tree."""
+    tree: Dict[str, Any] = {}
+    for item in sets or []:
+        path, _, raw = item.partition("=")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        node = tree
+        keys = path.strip().split(".")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = value
+    return cfg.override(**tree) if tree else cfg
+
+
+def _add_config_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", default="default",
+                   help=f"named config: {sorted(NAMED_CONFIGS)}")
+    p.add_argument("--set", action="append", default=[],
+                   help="override config fields, e.g. --set chunking.method=grouping")
+
+
+def cmd_integrate(args) -> int:
+    from ..data.integrate import integrate_corpus
+
+    stats = integrate_corpus(args.qrels, args.topics, args.docs, args.output)
+    print(json.dumps({"written": stats.written, "skipped": stats.skipped}))
+    return 0
+
+
+def cmd_chunk(args) -> int:
+    from ..chunking.pipeline import ChunkPipeline
+
+    cfg = _apply_sets(get_named_config(args.config), args.set)
+    summary = ChunkPipeline(cfg).run(
+        args.input, args.output_dir, limit=args.limit,
+        write_chunk_map=args.chunk_map,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_rank(args) -> int:
+    from ..core.config import RankingConfig
+    from ..data.tsv import read_tsv, write_tsv
+    from ..index.ranker import QueryGroup, rank_and_filter_groups
+    from ..models.encoder import SentenceEncoder
+
+    cfg = _apply_sets(get_named_config(args.config), args.set)
+    rcfg = cfg.ranking
+
+    qmap = {}
+    if args.original:
+        from ..data.mapping import build_query_map
+
+        qmap = build_query_map(args.original)
+
+    groups: Dict[str, QueryGroup] = {}
+    for row in read_tsv(args.input):
+        qid = row.get("query_id", "")
+        qtext = row.get("query_text") or qmap.get(qid, "")
+        if not qtext:
+            continue
+        g = groups.setdefault(qid, QueryGroup(query_id=qid, query_text=qtext))
+        g.chunk_ids.append(row.get("chunk_id", f"{qid}_{len(g.chunk_ids)}"))
+        g.chunk_texts.append(row.get("chunk_text", ""))
+
+    encoder = SentenceEncoder(cfg.encoder)
+    ranked = rank_and_filter_groups(list(groups.values()), encoder.encode, rcfg)
+    full = args.output.replace(".tsv", "") + "_rrf_filtered_full.tsv"
+    write_tsv(
+        full,
+        ({"query_id": r.query_id, "chunk_id": r.chunk_id,
+          "chunk_text": r.chunk_text, "cosine_score": f"{r.cosine_score:.6f}",
+          "bm25_score": f"{r.bm25_score:.6f}",
+          "rrf_score": f"{r.rrf_score:.8f}", "label": str(r.label)}
+         for r in ranked),
+        ["query_id", "chunk_id", "chunk_text", "cosine_score", "bm25_score",
+         "rrf_score", "label"],
+    )
+    # 3-column training file at a DISTINCT path (the reference overwrote its
+    # full output with the 3-col one — known defect 3 in SURVEY.md §7).
+    write_tsv(
+        args.output,
+        ({"query_id": r.query_id, "chunk_text": r.chunk_text,
+          "label": str(r.label)} for r in ranked),
+        ["query_id", "chunk_text", "label"],
+    )
+    print(json.dumps({"ranked_rows": len(ranked), "output": args.output,
+                      "full_output": full}))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from ..data.validate import validate_and_clean
+
+    report = validate_and_clean(args.input, args.output)
+    print(json.dumps(report.to_dict()))
+    return 0
+
+
+def cmd_folds(args) -> int:
+    from ..data.folds import create_cv_folds
+
+    folds = create_cv_folds(args.input, args.output_dir,
+                            num_folds=args.num_folds, seed=args.seed)
+    print(json.dumps({"folds": [{"train": f.train, "test": f.test}
+                                for f in folds]}))
+    return 0
+
+
+def cmd_train(args) -> int:
+    from ..core.config import TrainConfig
+    from ..data.folds import FoldPaths
+    from ..train.evaluate import (
+        CVEvaluator,
+        format_comparison_table,
+        write_comparison_csv,
+    )
+
+    cfg = _apply_sets(get_named_config(args.config), args.set)
+    tcfg = cfg.train
+    folds = [
+        FoldPaths(
+            train=f"{args.folds_dir}/fold_{k}_train.tsv",
+            test=f"{args.folds_dir}/fold_{k}_test.tsv",
+        )
+        for k in range(1, args.num_folds + 1)
+    ]
+    models = args.models.split(",")
+    evaluator = CVEvaluator(folds)
+    cfgs = {
+        m: TrainConfig(**{**tcfg.__dict__, "model": m,
+                          "eval_metrics": tuple(tcfg.eval_metrics)})
+        for m in models
+    }
+    results = evaluator.run_models(models, cfgs=cfgs, output_dir=args.output_dir)
+    print(format_comparison_table(results))
+    if args.csv:
+        write_comparison_csv(results, args.csv)
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    from ..data.analyze import analyze_chunks, analyze_documents, save_report
+
+    if args.kind == "documents":
+        report = analyze_documents(args.input, limit=args.limit)
+    else:
+        report = analyze_chunks(args.input, limit=args.limit)
+    if args.output:
+        save_report(report, args.output)
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_mapping(args) -> int:
+    from ..data.mapping import add_query_text_to_tsv
+
+    out = add_query_text_to_tsv(args.input, args.original, args.output)
+    print(json.dumps({"output": out}))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="semsearch")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("integrate", help="qrels+topics+docs -> 5-col TSV")
+    p.add_argument("--qrels", required=True)
+    p.add_argument("--topics", required=True)
+    p.add_argument("--docs", required=True)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_integrate)
+
+    p = sub.add_parser("chunk", help="chunk a corpus TSV")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output-dir", required=True)
+    p.add_argument("--limit", type=int)
+    p.add_argument("--chunk-map", action="store_true")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_chunk)
+
+    p = sub.add_parser("rank", help="hybrid rank + percentile labels")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--original", help="5-col TSV for query_id->text mapping")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_rank)
+
+    p = sub.add_parser("validate", help="validate/clean a labeled TSV")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output")
+    p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("folds", help="build CV folds")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output-dir", required=True)
+    p.add_argument("--num-folds", type=int, default=5)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_folds)
+
+    p = sub.add_parser("train", help="train+evaluate rerankers over CV folds")
+    p.add_argument("--models", default="knrm")
+    p.add_argument("--folds-dir", required=True)
+    p.add_argument("--num-folds", type=int, default=5)
+    p.add_argument("--output-dir")
+    p.add_argument("--csv")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("analyze", help="corpus/chunk statistics")
+    p.add_argument("kind", choices=["documents", "chunks"])
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output")
+    p.add_argument("--limit", type=int)
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("mapping", help="query_id -> query_text rewrite")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("--original", required=True)
+    p.add_argument("-o", "--output")
+    p.set_defaults(fn=cmd_mapping)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,166 @@
+"""Cross-validation evaluation controller.
+
+Rebuild of ``MatchZoo_Tool/evaluate_models.py``: evaluate each trained model
+per fold on the 18-metric task, aggregate mean±std per metric across folds,
+print comparison tables and write a CSV — without the reference's need to
+infer architectures from checkpoint tensor shapes (``:277-322``): our
+checkpoints carry the model name + config in their JSON metadata.
+"""
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.checkpoint import load_metadata, restore_checkpoint
+from ..core.config import TrainConfig
+from ..core.logging import get_logger
+from ..data.folds import FoldPaths, load_fold_rows
+from .metrics import DEFAULT_METRICS
+from .pairs import PairDataset
+from .trainer import RerankTrainer
+from .vocab import Preprocessor
+
+logger = get_logger("evaluate")
+
+
+def dataset_from_fold(path: str, preprocessor: Preprocessor) -> PairDataset:
+    rows = load_fold_rows(path)
+    enc = preprocessor.transform_pair(rows["query_texts"], rows["chunk_texts"])
+    return PairDataset(
+        left=enc["left"], right=enc["right"],
+        labels=np.asarray(rows["labels"], np.float32),
+        query_ids=np.asarray(rows["query_ids"]),
+    )
+
+
+@dataclass
+class CVResult:
+    model: str
+    per_fold: List[Dict[str, float]]
+
+    def mean_std(self) -> Dict[str, Dict[str, float]]:
+        out: Dict[str, Dict[str, float]] = {}
+        if not self.per_fold:
+            return out
+        for metric in self.per_fold[0]:
+            vals = [f[metric] for f in self.per_fold]
+            out[metric] = {
+                "mean": float(np.mean(vals)),
+                "std": float(np.std(vals)),
+            }
+        return out
+
+
+class CVEvaluator:
+    """Train/evaluate models across CV folds and aggregate."""
+
+    def __init__(
+        self,
+        folds: Sequence[FoldPaths],
+        metrics: Sequence[str] = DEFAULT_METRICS,
+    ) -> None:
+        self.folds = list(folds)
+        self.metrics = tuple(metrics)
+
+    def run_model(
+        self,
+        model_name: str,
+        cfg: Optional[TrainConfig] = None,
+        model_kwargs: Optional[Dict] = None,
+        output_dir: Optional[str] = None,
+    ) -> CVResult:
+        cfg = cfg or TrainConfig(model=model_name)
+        per_fold: List[Dict[str, float]] = []
+        for k, fold in enumerate(self.folds, 1):
+            pp = Preprocessor(
+                fixed_length_left=cfg.fixed_length_left,
+                fixed_length_right=cfg.fixed_length_right,
+                filter_low_freq=cfg.filter_low_freq,
+            )
+            train_rows = load_fold_rows(fold.train)
+            pp.fit(train_rows["query_texts"] + train_rows["chunk_texts"])
+            train_ds = dataset_from_fold(fold.train, pp)
+            test_ds = dataset_from_fold(fold.test, pp)
+            trainer = RerankTrainer(
+                model_name, vocab_size=pp.vocab_size, cfg=cfg,
+                model_kwargs=model_kwargs,
+            )
+            ckpt = (
+                os.path.join(output_dir, model_name, f"fold_{k}")
+                if output_dir else None
+            )
+            result = trainer.fit(train_ds, test_ds=None, checkpoint_dir=ckpt)
+            if ckpt:
+                pp.save(os.path.join(ckpt, "preprocessor.json"))
+            fold_metrics = trainer.evaluate(
+                result.params, test_ds, metrics=self.metrics
+            )
+            logger.info("%s fold %d: %s", model_name, k, fold_metrics)
+            per_fold.append(fold_metrics)
+        return CVResult(model=model_name, per_fold=per_fold)
+
+    def run_models(
+        self,
+        model_names: Sequence[str],
+        cfgs: Optional[Dict[str, TrainConfig]] = None,
+        output_dir: Optional[str] = None,
+    ) -> List[CVResult]:
+        results = []
+        for name in model_names:
+            cfg = (cfgs or {}).get(name)
+            results.append(self.run_model(name, cfg=cfg, output_dir=output_dir))
+        return results
+
+
+def evaluate_saved_model(
+    checkpoint_dir: str,
+    test_fold: str,
+    metrics: Sequence[str] = DEFAULT_METRICS,
+) -> Dict[str, float]:
+    """Load a saved checkpoint + preprocessor and evaluate on one fold
+    (the reference's artifact-reload path, ``evaluate_models.py:122-350``)."""
+    meta = load_metadata(checkpoint_dir) or {}
+    cfg_dict = dict(meta.get("config", {}))
+    cfg_dict["eval_metrics"] = tuple(cfg_dict.get("eval_metrics", ("map",)))
+    cfg = TrainConfig(**cfg_dict) if cfg_dict else TrainConfig()
+    pp = Preprocessor.load(os.path.join(checkpoint_dir, "preprocessor.json"))
+    trainer = RerankTrainer(cfg.model, vocab_size=pp.vocab_size, cfg=cfg)
+    test_ds = dataset_from_fold(test_fold, pp)
+    template = {"params": trainer.init_params(test_ds)}
+    params = restore_checkpoint(checkpoint_dir, template)["params"]
+    return trainer.evaluate(params, test_ds, metrics=metrics)
+
+
+def write_comparison_csv(results: Sequence[CVResult], path: str) -> None:
+    """CV mean±std comparison table (reference ``:545-593,750-754``)."""
+    if not results:
+        return
+    metrics = list(results[0].per_fold[0].keys()) if results[0].per_fold else []
+    with open(path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["model"] + [f"{m}_mean" for m in metrics]
+                        + [f"{m}_std" for m in metrics])
+        for r in results:
+            ms = r.mean_std()
+            writer.writerow(
+                [r.model]
+                + [f"{ms[m]['mean']:.4f}" for m in metrics]
+                + [f"{ms[m]['std']:.4f}" for m in metrics]
+            )
+
+
+def format_comparison_table(results: Sequence[CVResult],
+                            metrics: Sequence[str] = ("map", "ndcg@5")) -> str:
+    lines = ["model".ljust(16) + "".join(m.ljust(18) for m in metrics)]
+    for r in results:
+        ms = r.mean_std()
+        cells = [
+            f"{ms[m]['mean']:.4f}±{ms[m]['std']:.4f}".ljust(18)
+            for m in metrics if m in ms
+        ]
+        lines.append(r.model.ljust(16) + "".join(cells))
+    return "\n".join(lines)
