@@ -44,8 +44,10 @@ def main() -> int:
     parser.add_argument("--rows", type=int, default=10_000_000)
     parser.add_argument("--dim", type=int, default=384)
     parser.add_argument("--k", type=int, default=10)
-    parser.add_argument("--query-batch", type=int, default=512)
-    parser.add_argument("--block-n", type=int, default=131072)
+    parser.add_argument("--query-batch", type=int, default=256)
+    # block_n bounds the VMEM window: block_n * dim * 2B * 2 buffers plus the
+    # (block_q, block_n) f32 score tile must stay under ~128MB VMEM.
+    parser.add_argument("--block-n", type=int, default=8192)
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--recall-sample", type=int, default=64)
     args = parser.parse_args()
@@ -75,7 +77,7 @@ def main() -> int:
         if on_tpu:
             return topk_scores_pallas(
                 q, corpus, k=args.k,
-                block_q=min(args.query_batch, 512), block_n=args.block_n,
+                block_q=min(args.query_batch, 256), block_n=args.block_n,
             )
         return topk_scores_ref(q, corpus, k=args.k)
 

@@ -52,9 +52,10 @@ class BM25Okapi:
             for tok in doc:
                 tid = self.vocab.setdefault(tok, len(self.vocab))
                 tf[tid] = tf.get(tid, 0) + 1
-            for tid, cnt in tf.items():
+            # sorted term ids per doc: required by the native merge-join scorer
+            for tid in sorted(tf):
                 indices.append(tid)
-                data.append(cnt)
+                data.append(tf[tid])
                 df_counter[tid] = df_counter.get(tid, 0) + 1
             indptr.append(len(indices))
         self._indptr = np.array(indptr, dtype=np.int64)
@@ -108,6 +109,27 @@ class BM25Okapi:
         if not self.n_docs or not nq:
             return out
         norm = self.k1 * (1.0 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9))
+
+        # Native merge-join scorer (C++ via ctypes) when available.
+        try:
+            from ..native import bm25_score_batch
+
+            q_ids: List[int] = []
+            q_indptr = [0]
+            for toks in queries_tokens:
+                ids = sorted({self.vocab[t] for t in toks if t in self.vocab})
+                q_ids.extend(ids)
+                q_indptr.append(len(q_ids))
+            native = bm25_score_batch(
+                self._indptr, self._indices, self._data,
+                self.idf.astype(np.float32), norm.astype(np.float32),
+                np.asarray(q_indptr, np.int64), np.asarray(q_ids, np.int64),
+                self.k1,
+            )
+            if native is not None:
+                return native
+        except Exception:
+            pass
         # query term -> list of query rows containing it
         term_to_rows: Dict[int, List[int]] = {}
         for qi, toks in enumerate(queries_tokens):

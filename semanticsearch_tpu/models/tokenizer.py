@@ -11,7 +11,6 @@ is used instead when one is available locally (``from_pretrained`` with
 """
 from __future__ import annotations
 
-import hashlib
 import re
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple
@@ -25,11 +24,18 @@ CLS_ID = 1
 UNK_ID = 2
 _N_SPECIAL = 3
 
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_U64 = (1 << 64) - 1
+
 
 def _hash_token(token: str, vocab_size: int) -> int:
-    digest = hashlib.md5(token.encode("utf-8")).digest()
-    val = int.from_bytes(digest[:8], "little")
-    return _N_SPECIAL + (val % (vocab_size - _N_SPECIAL))
+    """FNV-1a 64-bit — bit-identical to the C++ fast path
+    (native/semsearch_native.cpp)."""
+    h = _FNV_OFFSET
+    for byte in token.encode("utf-8"):
+        h = ((h ^ byte) * _FNV_PRIME) & _U64
+    return _N_SPECIAL + (h % (vocab_size - _N_SPECIAL))
 
 
 @dataclass
@@ -52,8 +58,20 @@ class HashingTokenizer:
     def encode_batch(
         self, texts: Sequence[str], max_len: int | None = None
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (ids, mask), both (B, L) with static L = max_len."""
+        """Returns (ids, mask), both (B, L) with static L = max_len.
+
+        Uses the C++ FNV-1a tokenizer (native/semsearch_native.cpp) when
+        built — bit-identical ids — and this Python path otherwise.
+        """
         L = max_len or self.max_len
+        try:
+            from ..native import hash_tokenize_batch
+
+            native = hash_tokenize_batch(texts, self.vocab_size, L, self.add_cls)
+        except Exception:
+            native = None
+        if native is not None:
+            return native
         ids = np.full((len(texts), L), PAD_ID, dtype=np.int32)
         mask = np.zeros((len(texts), L), dtype=np.int32)
         for i, text in enumerate(texts):

@@ -1,0 +1,132 @@
+"""ctypes loader for the native host-path kernels.
+
+Loads ``libsemsearch_native.so`` (built by the Makefile in this directory;
+``ensure_built()`` invokes make on first use when a compiler is available).
+Every consumer has a pure-Python fallback, so the package works without the
+library — the native path just keeps the host core from bottlenecking the
+TPU on tokenization and BM25 (see semsearch_native.cpp).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libsemsearch_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def ensure_built(quiet: bool = True) -> bool:
+    """Build the shared library if missing. Returns availability."""
+    if os.path.exists(_LIB_PATH):
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR],
+            check=True,
+            capture_output=quiet,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried:
+        return None
+    _tried = True
+    if not ensure_built():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.hash_tokenize_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.bm25_score_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.semsearch_native_abi_version.restype = ctypes.c_int32
+    if lib.semsearch_native_abi_version() != 1:
+        return None
+    _lib = lib
+    return _lib
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def hash_tokenize_batch(
+    texts, vocab_size: int, max_len: int, add_cls: bool
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native FNV-1a tokenizer; None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    blobs = [t.encode("utf-8") for t in texts]
+    offsets = np.zeros(len(blobs) + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    buf = np.frombuffer(b"".join(blobs) + b"\x00", dtype=np.uint8)
+    ids = np.zeros((len(blobs), max_len), np.int32)
+    mask = np.zeros((len(blobs), max_len), np.int32)
+    lib.hash_tokenize_batch(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        _i64p(offsets), len(blobs), vocab_size, max_len, int(add_cls),
+        _i32p(ids), _i32p(mask),
+    )
+    return ids, mask
+
+
+def bm25_score_batch(
+    doc_indptr: np.ndarray,
+    doc_termids: np.ndarray,
+    doc_tf: np.ndarray,
+    idf: np.ndarray,
+    norm: np.ndarray,
+    q_indptr: np.ndarray,
+    q_termids: np.ndarray,
+    k1: float,
+) -> Optional[np.ndarray]:
+    """Native CSR BM25 batch scorer; None if the library is unavailable.
+
+    doc_termids must be sorted within each document's CSR slice, and
+    q_termids sorted within each query's slice (merge-join contract).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_docs = len(doc_indptr) - 1
+    n_queries = len(q_indptr) - 1
+    out = np.zeros((n_queries, n_docs), np.float32)
+    lib.bm25_score_batch(
+        _i64p(doc_indptr), _i64p(doc_termids), _f32p(doc_tf),
+        _f32p(idf), _f32p(norm), n_docs,
+        _i64p(q_indptr), _i64p(q_termids), n_queries,
+        ctypes.c_float(k1), _f32p(out),
+    )
+    return out

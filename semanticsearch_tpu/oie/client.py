@@ -1,0 +1,172 @@
+"""Open Information Extraction enrichment client (optional sidecar).
+
+Rebuild of ``Tool/OIE.py`` / ``Tool/OIE_ubuntu.py``: the reference launches an
+OpenIE5 standalone Java server (8-16GB JVM heap) and converts its extractions
+into ``{subject, relation, object}`` triples over HTTP. There is no TPU analog
+for this workload (SURVEY.md §2), so this module keeps the same triple
+contract as a thin sidecar-service client:
+
+- ``extract_relations_from_paragraph(text, port)`` with per-call timeout and
+  exact-duplicate filtering (reference ``OIE.py:200-260``),
+- server lifecycle helpers gated on a configured jar path
+  (``OPENIE_JAR_PATH`` / ``OPENIE_XMS_GB`` env vars, ``OIE_ubuntu.py:41-50``),
+- TSV batch enrichment adding ``raw_oie_data`` and
+  ``raw_oie_data_plus_chunk_text`` columns (``OIE.py:285-390``),
+- ``format_oie_triples_to_string`` ("s r o." concatenation,
+  ``Method/semantic_common.py:195-208``).
+"""
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import time
+import urllib.request
+from typing import Dict, List, Optional
+
+from ..core.logging import get_logger
+from ..data.tsv import read_tsv, write_tsv
+
+logger = get_logger("oie")
+
+DEFAULT_PORT = 9000
+EXTRACT_TIMEOUT_S = 8.0  # per-paragraph timeout (OIE_ubuntu.py:212-229)
+
+Triple = Dict[str, str]
+
+
+def is_port_open(port: int, host: str = "127.0.0.1") -> bool:
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.settimeout(0.5)
+        return s.connect_ex((host, port)) == 0
+
+
+def start_openie_server(
+    jar_path: Optional[str] = None,
+    port: int = DEFAULT_PORT,
+    xms_gb: Optional[int] = None,
+    wait_s: float = 120.0,
+) -> Optional[subprocess.Popen]:
+    """Launch the OpenIE5 jar if configured; None when unavailable.
+
+    Env contract matches the reference: ``OPENIE_JAR_PATH``, ``OPENIE_XMS_GB``.
+    """
+    jar_path = jar_path or os.environ.get("OPENIE_JAR_PATH")
+    if not jar_path or not os.path.exists(jar_path):
+        return None
+    if is_port_open(port):
+        return None  # already serving
+    xms = int(xms_gb or os.environ.get("OPENIE_XMS_GB", 10))
+    cmd = [
+        "java", f"-Xms{xms}g", f"-Xmx{max(xms, 16)}g",
+        "-jar", jar_path, "--httpPort", str(port),
+    ]
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+    )
+    deadline = time.time() + wait_s
+    while time.time() < deadline:
+        if is_port_open(port):
+            return proc
+        if proc.poll() is not None:
+            return None
+        time.sleep(2.0)
+    proc.terminate()
+    return None
+
+
+def _convert_extraction(blob: Dict) -> Optional[Triple]:
+    """OpenIE5 JSON extraction -> {subject, relation, object}."""
+    ext = blob.get("extraction", blob)
+    try:
+        subject = ext["arg1"]["text"].strip()
+        relation = ext["rel"]["text"].strip()
+        args2 = ext.get("arg2s") or []
+        obj = " ".join(a.get("text", "").strip() for a in args2).strip()
+    except (KeyError, TypeError, AttributeError):
+        return None
+    if not subject or not relation:
+        return None
+    return {"subject": subject, "relation": relation, "object": obj}
+
+
+def extract_relations_from_paragraph(
+    text: str,
+    port: int = DEFAULT_PORT,
+    timeout_s: float = EXTRACT_TIMEOUT_S,
+) -> List[Triple]:
+    """Extract triples for one paragraph; [] on any failure (degrade-don't-die)."""
+    if not text or not text.strip():
+        return []
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/getExtraction",
+            data=text.encode("utf-8"),
+            headers={"Content-Type": "text/plain"},
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            payload = json.loads(resp.read().decode("utf-8"))
+    except Exception as exc:
+        logger.debug("OIE extraction failed: %s", exc)
+        return []
+    triples: List[Triple] = []
+    seen = set()
+    for blob in payload if isinstance(payload, list) else []:
+        triple = _convert_extraction(blob)
+        if triple is None:
+            continue
+        key = (triple["subject"], triple["relation"], triple["object"])
+        if key in seen:  # exact-duplicate filter (OIE.py:251-260)
+            continue
+        seen.add(key)
+        triples.append(triple)
+    return triples
+
+
+def format_oie_triples_to_string(triples: List[Triple]) -> str:
+    """Concatenate triples as "subject relation object." sentences."""
+    parts = []
+    for t in triples:
+        sent = " ".join(x for x in (t["subject"], t["relation"], t["object"]) if x)
+        if sent:
+            parts.append(sent.rstrip(".") + ".")
+    return " ".join(parts)
+
+
+def enrich_chunk_tsv(
+    input_path: str,
+    output_path: str,
+    port: int = DEFAULT_PORT,
+    text_column: str = "chunk_text",
+    json_sidecar: Optional[str] = None,
+) -> int:
+    """Add raw_oie_data + raw_oie_data_plus_chunk_text columns to a chunk TSV."""
+    sidecar: List[Dict] = []
+
+    def rows():
+        for row in read_tsv(input_path):
+            text = row.get(text_column, "")
+            triples = extract_relations_from_paragraph(text, port=port)
+            formatted = format_oie_triples_to_string(triples)
+            out = dict(row)
+            out["raw_oie_data"] = formatted
+            out["raw_oie_data_plus_chunk_text"] = (
+                (formatted + " " + text).strip() if formatted else text
+            )
+            if json_sidecar is not None:
+                sidecar.append({
+                    "chunk_id": row.get("chunk_id", ""),
+                    "triples": triples,
+                })
+            yield out
+
+    first = next(read_tsv(input_path), None)
+    if first is None:
+        return 0
+    columns = list(first.keys()) + ["raw_oie_data", "raw_oie_data_plus_chunk_text"]
+    n = write_tsv(output_path, rows(), columns)
+    if json_sidecar is not None:
+        with open(json_sidecar, "w") as f:
+            json.dump(sidecar, f, ensure_ascii=False, indent=2)
+    return n

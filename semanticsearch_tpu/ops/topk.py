@@ -150,6 +150,10 @@ def topk_scores_pallas(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # The in-kernel merge materializes (block_q, k_pad + block_n) f32
+            # value+index tiles; the default 16MB scoped-VMEM limit is too
+            # small for production block sizes. v5e has 128MB VMEM/core.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * n_pad * d,
