@@ -69,9 +69,16 @@ def main() -> int:
     corpus = _build_corpus(args.rows, args.dim, dtype)
 
     rng = np.random.default_rng(1)
-    q_host = rng.standard_normal((args.query_batch, args.dim)).astype(np.float32)
-    q_host /= np.linalg.norm(q_host, axis=1, keepdims=True)
-    queries = jnp.asarray(q_host, dtype=dtype)
+    # Distinct query batch per iteration: identical repeated executions can be
+    # deduplicated by remote-execution layers and would fake the timing.
+    q_batches = []
+    for _ in range(args.iters):
+        q_host = rng.standard_normal(
+            (args.query_batch, args.dim)
+        ).astype(np.float32)
+        q_host /= np.linalg.norm(q_host, axis=1, keepdims=True)
+        q_batches.append(jnp.asarray(q_host, dtype=dtype))
+    queries = q_batches[0]
 
     def search(q):
         if on_tpu:
@@ -85,11 +92,12 @@ def main() -> int:
     vals, idx = search(queries)
     jax.block_until_ready((vals, idx))
 
-    # Steady-state timing.
+    # Steady-state timing over distinct query batches.
+    outs = []
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        vals, idx = search(queries)
-    jax.block_until_ready((vals, idx))
+    for qb in q_batches:
+        outs.append(search(qb))
+    jax.block_until_ready(outs)
     elapsed = time.perf_counter() - t0
     qps = args.query_batch * args.iters / elapsed
 

@@ -354,6 +354,20 @@ def split_by_embeddings(
     if hybrid_mode == "intersection" and not boundaries:
         boundaries = sorted(c99_set)
 
+    # --- optional DP-optimal refinement over all candidate cuts ---
+    if cfg.use_dp_refine:
+        from .dp_segment import auto_penalty, dp_optimal_segmentation
+
+        cand = sorted(c99_set | valley_set | set(boundaries))
+        if cand:
+            penalty = (
+                cfg.dp_penalty if cfg.dp_penalty is not None
+                else auto_penalty(adj_base)
+            )
+            refined = dp_optimal_segmentation(adj_base, cand, penalty=penalty)
+            if refined:
+                boundaries = refined
+
     # --- soft cap: re-cut overlong segments at local sim minima (:543-595) ---
     cap = cfg.soft_cap
     if cfg.auto_params and cap is None:

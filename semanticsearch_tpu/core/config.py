@@ -71,6 +71,10 @@ class ChunkingConfig:
     c99_mask_size: int = 11
     soft_cap: Optional[int] = None
     soft_cap_delta: int = 2
+    # DP-optimal refinement over the candidate cuts (a WORKING version of the
+    # reference's inert cross-encoder/DP config — SURVEY.md §7 defect 2)
+    use_dp_refine: bool = False
+    dp_penalty: Optional[float] = None  # None = derive from the signal
     # grouping params
     engine: str = "spectral"  # spectral | modularity (host-side)
     knn_k: Optional[int] = None
@@ -198,5 +202,9 @@ register_config(
 register_config(
     "text_splitter_char",
     _base.override(chunking={"method": "char", "char_chunk_size": 1000, "char_overlap": 100}),
+)
+register_config(
+    "semantic_splitter_dp",
+    _base.override(chunking={"method": "splitter", "use_dp_refine": True}),
 )
 register_config("default", _base)
