@@ -1,0 +1,102 @@
+"""Corpus index builder: chunk TSV -> embeddings -> persisted shard layout.
+
+No reference analog (the reference re-embeds chunks per query inside worker
+processes with an md5 cache, ``Tool/rank_chunks_optimized.py:141-199``); this
+is the index-build half of the BASELINE.md north star. Chunks stream from
+TSV, the encoder embeds them in large device batches, embeddings land in a
+float16 memmap on disk (row-aligned with a chunk-id table), and ``load_index``
+restores an HBM-resident ``EmbeddingIndex`` sharded over the mesh.
+
+The on-disk layout is stage-resumable (the reference's TSV-handoff pattern,
+kept deliberately — SURVEY.md §5 checkpoint/resume):
+    {dir}/embeddings.f16.npy   (N, D) float16 memmap
+    {dir}/ids.tsv              chunk_id + query_id/document_id per row
+    {dir}/meta.json            {rows, dim, model_config}
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.config import IndexConfig
+from ..core.logging import get_logger
+from ..data.tsv import batched, read_tsv, write_tsv
+from .engine import EmbeddingIndex
+
+logger = get_logger("index")
+
+EMB_FILE = "embeddings.f16.npy"
+IDS_FILE = "ids.tsv"
+META_FILE = "meta.json"
+
+
+def build_corpus_index(
+    chunks_tsv: str,
+    encoder,
+    output_dir: str,
+    text_column: str = "chunk_text",
+    batch_size: int = 1024,
+    limit: Optional[int] = None,
+) -> Dict:
+    """Embed every chunk and persist the shard layout. Returns meta."""
+    os.makedirs(output_dir, exist_ok=True)
+
+    # Pass 1: count rows (memmap needs a static shape).
+    n_rows = sum(1 for _ in read_tsv(chunks_tsv, limit=limit))
+    if n_rows == 0:
+        raise ValueError(f"no rows in {chunks_tsv}")
+    dim = encoder.cfg.hidden_dim
+
+    emb_path = os.path.join(output_dir, EMB_FILE)
+    mm = np.lib.format.open_memmap(
+        emb_path, mode="w+", dtype=np.float16, shape=(n_rows, dim)
+    )
+
+    def id_rows() -> Iterator[Dict[str, str]]:
+        row_idx = 0
+        for batch in batched(read_tsv(chunks_tsv, limit=limit), batch_size):
+            texts = [r.get(text_column, "") for r in batch]
+            embs = encoder.encode(texts, batch_size=batch_size)
+            mm[row_idx: row_idx + len(batch)] = embs.astype(np.float16)
+            for r in batch:
+                yield {
+                    "row": str(row_idx),
+                    "chunk_id": r.get("chunk_id", str(row_idx)),
+                    "query_id": r.get("query_id", ""),
+                    "document_id": r.get("document_id", ""),
+                }
+                row_idx += 1
+            if row_idx % (batch_size * 16) == 0:
+                logger.info("indexed %d/%d chunks", row_idx, n_rows)
+
+    write_tsv(os.path.join(output_dir, IDS_FILE), id_rows(),
+              ["row", "chunk_id", "query_id", "document_id"])
+    mm.flush()
+    meta = {
+        "rows": n_rows,
+        "dim": dim,
+        "encoder_config": dataclasses.asdict(encoder.cfg),
+    }
+    with open(os.path.join(output_dir, META_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+    logger.info("index built: %d rows x %d dims at %s", n_rows, dim, output_dir)
+    return meta
+
+
+def load_index(
+    index_dir: str,
+    mesh=None,
+    cfg: IndexConfig = IndexConfig(),
+) -> Tuple[EmbeddingIndex, List[str]]:
+    """Restore the HBM-resident sharded index + the chunk-id table."""
+    with open(os.path.join(index_dir, META_FILE)) as f:
+        meta = json.load(f)
+    emb = np.load(os.path.join(index_dir, EMB_FILE), mmap_mode="r")
+    assert emb.shape == (meta["rows"], meta["dim"])
+    chunk_ids = [row["chunk_id"] for row in read_tsv(os.path.join(index_dir, IDS_FILE))]
+    index = EmbeddingIndex.build(np.asarray(emb, np.float32), mesh=mesh, cfg=cfg)
+    return index, chunk_ids
