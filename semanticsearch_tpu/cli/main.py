@@ -112,6 +112,53 @@ def cmd_rank(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    from ..models.encoder import SentenceEncoder
+
+    cfg = _apply_sets(get_named_config(args.config), args.set)
+    from ..index.builder import build_corpus_index
+
+    enc = SentenceEncoder(cfg.encoder)
+    meta = build_corpus_index(args.input, enc, args.output_dir,
+                              batch_size=args.batch_size, limit=args.limit)
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from ..core.mesh import local_mesh
+    from ..index.builder import load_index
+    from ..models.encoder import SentenceEncoder
+
+    cfg = _apply_sets(get_named_config(args.config), args.set)
+    index, chunk_ids = load_index(args.index_dir, mesh=local_mesh(),
+                                  cfg=cfg.index)
+    enc = SentenceEncoder(cfg.encoder)
+    queries = args.query
+    q_emb = enc.encode(queries)
+    res = index.search(q_emb, k=args.k)
+    out = []
+    for qi, query in enumerate(queries):
+        out.append({
+            "query": query,
+            "hits": [
+                {"chunk_id": chunk_ids[int(row)], "score": float(score)}
+                for row, score in zip(res.indices[qi], res.scores[qi])
+            ],
+        })
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_oie(args) -> int:
+    from ..oie.client import enrich_chunk_tsv
+
+    n = enrich_chunk_tsv(args.input, args.output, port=args.port,
+                         json_sidecar=args.sidecar)
+    print(json.dumps({"enriched_rows": n, "output": args.output}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from ..data.validate import validate_and_clean
 
@@ -208,6 +255,28 @@ def main(argv=None) -> int:
     p.add_argument("--original", help="5-col TSV for query_id->text mapping")
     _add_config_args(p)
     p.set_defaults(fn=cmd_rank)
+
+    p = sub.add_parser("index", help="embed chunks into a persisted index")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output-dir", required=True)
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--limit", type=int)
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("search", help="query a persisted index")
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("query", nargs="+")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("oie", help="OpenIE triple enrichment of a chunk TSV")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--port", type=int, default=9000)
+    p.add_argument("--sidecar")
+    p.set_defaults(fn=cmd_oie)
 
     p = sub.add_parser("validate", help="validate/clean a labeled TSV")
     p.add_argument("-i", "--input", required=True)

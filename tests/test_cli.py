@@ -1,0 +1,89 @@
+"""CLI smoke tests through the real subcommand paths on tiny data."""
+import json
+
+import pytest
+
+from semanticsearch_tpu.cli.main import main
+from semanticsearch_tpu.data.tsv import write_tsv
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    rows = [
+        {"query_id": f"q{i % 2}", "query_text": f"query about topic {i % 2}",
+         "document_id": f"d{i}",
+         "document": " ".join(
+             f"Sentence {s} of doc {i} about things and stuff." for s in range(6)
+         ),
+         "label": str(i % 2)}
+        for i in range(4)
+    ]
+    p = tmp_path / "corpus.tsv"
+    write_tsv(str(p), rows,
+              ["query_id", "query_text", "document_id", "document", "label"])
+    return str(p)
+
+
+def test_cli_chunk_char(corpus, tmp_path, capsys):
+    rc = main(["chunk", "-i", corpus, "-o", str(tmp_path / "out"),
+               "--config", "text_splitter_char"])
+    assert rc == 0
+    blob = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert blob["chunks_out"] >= 4
+
+
+def test_cli_validate_and_folds(tmp_path, capsys):
+    p = tmp_path / "labeled.tsv"
+    write_tsv(
+        str(p),
+        [{"query_id": f"q{i % 3}", "chunk_text": f"text {i}", "label": str(i % 2)}
+         for i in range(12)],
+        ["query_id", "chunk_text", "label"],
+    )
+    assert main(["validate", "-i", str(p)]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rows_kept"] == 12
+    assert main(["folds", "-i", str(p), "-o", str(tmp_path / "cv"),
+                 "--num-folds", "3"]) == 0
+    folds = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(folds["folds"]) == 3
+
+
+def test_cli_analyze(corpus, capsys):
+    assert main(["analyze", "documents", "-i", corpus]) == 0
+    blob = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert blob["word_count_stats"]["count"] == 4
+
+
+def test_cli_train_tiny(tmp_path, capsys):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for q in range(6):
+        for d in range(4):
+            lab = 1 if d < 2 else 0
+            words = [f"tok{q}"] * 3 if lab else [f"z{rng.integers(100)}" for _ in range(3)]
+            rows.append({"query_id": f"q{q}",
+                         "query_text": f"tok{q} question",
+                         "chunk_text": " ".join(words) + " filler words here",
+                         "label": str(lab)})
+    p = tmp_path / "labeled.tsv"
+    write_tsv(str(p), rows, ["query_id", "chunk_text", "label"])
+    # folds expect query_text column optional; train uses query_id as left text
+    assert main(["folds", "-i", str(p), "-o", str(tmp_path / "cv"),
+                 "--num-folds", "2"]) == 0
+    capsys.readouterr()
+    rc = main([
+        "train", "--models", "knrm", "--folds-dir", str(tmp_path / "cv"),
+        "--num-folds", "2",
+        "--set", "train.epochs=1",
+        "--set", "train.batch_size=2",
+        "--set", "train.optimizer=adam",
+        "--set", "train.learning_rate=0.01",
+        "--set", "train.embedding_dim=8",
+        "--set", "train.filter_low_freq=1",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "knrm" in out
