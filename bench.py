@@ -13,10 +13,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent compilation cache: first-compile on the remote service is slow
+# (minutes); cached reruns start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_compile_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def _build_corpus(n_rows: int, dim: int, dtype):
@@ -88,26 +94,35 @@ def main() -> int:
             )
         return topk_scores_ref(q, corpus, k=args.k)
 
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def chained_step(q, carry):
+        # one fused dispatch: dependency add + fused top-k kernel
+        qd = q + (carry * 0).astype(q.dtype)
+        v, i = search(qd)
+        return v, i, v[0, 0].astype(jnp.float32)
+
     # Warmup / compile (scalar fetch forces execution through the tunnel).
     vals, idx = search(queries)
     _ = float(vals[0, 0])
 
-    # Steady-state timing over distinct query batches. A scalar fetch per
-    # iteration forces real execution: block_until_ready alone can return
-    # early through remote-device tunnels.
+    # Steady-state timing: chain a data dependency through the iterations so
+    # the device must execute them all sequentially, then force ONE final
+    # device->host fetch. This excludes per-iteration tunnel round-trips
+    # (block_until_ready alone can return early through remote-device
+    # tunnels, and per-iteration scalar fetches pay host RTT each step).
     outs = []
-    iter_times = []
+    carry = jnp.zeros((), jnp.float32)
+    _ = chained_step(q_batches[0], carry)  # compile the chained form
     t0 = time.perf_counter()
     for qb in q_batches:
-        it0 = time.perf_counter()
-        v, i = search(qb)
-        _ = float(v[0, 0])  # device->host sync
+        v, i, carry = chained_step(qb, carry)
         outs.append((v, i))
-        iter_times.append(time.perf_counter() - it0)
+    _ = float(carry)  # single sync
     elapsed = time.perf_counter() - t0
-    # Median per-iteration latency excludes tunnel hiccups from the headline.
-    median_iter = float(np.median(iter_times))
-    qps = args.query_batch / median_iter
+    median_iter = elapsed / args.iters
+    qps = args.query_batch * args.iters / elapsed
 
     # Recall@k parity vs the XLA scan reference, reusing the timed pallas
     # output for batch 0 (avoids compiling a second kernel shape).
