@@ -104,8 +104,8 @@ def main() -> int:
         return v, i, v[0, 0].astype(jnp.float32)
 
     # Warmup / compile (scalar fetch forces execution through the tunnel).
-    vals, idx = search(queries)
-    _ = float(vals[0, 0])
+    _, _, c0 = chained_step(queries, jnp.zeros((), jnp.float32))
+    _ = float(c0)
 
     # Steady-state timing: chain a data dependency through the iterations so
     # the device must execute them all sequentially, then force ONE final
@@ -124,11 +124,20 @@ def main() -> int:
     median_iter = elapsed / args.iters
     qps = args.query_batch * args.iters / elapsed
 
-    # Recall@k parity vs the XLA scan reference, reusing the timed pallas
-    # output for batch 0 (avoids compiling a second kernel shape).
+    # Recall@k parity vs a direct XLA matmul + lax.top_k reference on a small
+    # sample (materializing a (sample, N) f32 score matrix is fine at this
+    # size and compiles in seconds, unlike the streaming scan reference).
     n_sample = min(args.recall_sample, args.query_batch)
-    _, idx_ref = topk_scores_ref(queries[:n_sample], corpus, k=args.k)
-    idx_ref = np.asarray(idx_ref)
+
+    @jax.jit
+    def direct_ref(qs):
+        # same dtype path as the kernel (bf16 inputs, f32 accumulate) so index
+        # agreement checks selection logic, not float rounding
+        scores = jnp.einsum("qd,nd->qn", qs, corpus,
+                            preferred_element_type=jnp.float32)
+        return jax.lax.top_k(scores, args.k)[1]
+
+    idx_ref = np.asarray(direct_ref(queries[:n_sample]))
     idx_got = np.asarray(outs[0][1])[:n_sample]
     recall = float(
         np.mean([

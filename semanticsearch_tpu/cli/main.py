@@ -197,12 +197,26 @@ def cmd_train(args) -> int:
     ]
     models = args.models.split(",")
     evaluator = CVEvaluator(folds)
-    cfgs = {
-        m: TrainConfig(**{**tcfg.__dict__, "model": m,
-                          "eval_metrics": tuple(tcfg.eval_metrics)})
-        for m in models
-    }
-    results = evaluator.run_models(models, cfgs=cfgs, output_dir=args.output_dir)
+    if args.presets:
+        from ..train.presets import get_preset
+
+        cfgs, model_kwargs = {}, {}
+        for m in models:
+            pc, kw = get_preset(m)
+            cfgs[m], model_kwargs[m] = pc, kw
+        results = [
+            evaluator.run_model(m, cfg=cfgs[m], model_kwargs=model_kwargs[m],
+                                output_dir=args.output_dir)
+            for m in models
+        ]
+    else:
+        cfgs = {
+            m: TrainConfig(**{**tcfg.__dict__, "model": m,
+                              "eval_metrics": tuple(tcfg.eval_metrics)})
+            for m in models
+        }
+        results = evaluator.run_models(models, cfgs=cfgs,
+                                       output_dir=args.output_dir)
     print(format_comparison_table(results))
     if args.csv:
         write_comparison_csv(results, args.csv)
@@ -292,6 +306,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("train", help="train+evaluate rerankers over CV folds")
     p.add_argument("--models", default="knrm")
+    p.add_argument("--presets", action="store_true",
+                   help="use the per-model reference hyperparameter presets")
     p.add_argument("--folds-dir", required=True)
     p.add_argument("--num-folds", type=int, default=5)
     p.add_argument("--output-dir")

@@ -175,8 +175,10 @@ class SentenceEncoder:
 
         n_dev = self.mesh.shape["data"] if self.mesh is not None else 1
         for L, idxs in buckets.items():
-            for s in range(0, len(idxs), batch_size):
-                sel = idxs[s : s + batch_size]
+            eff_batch = batch_size
+            s = 0
+            while s < len(idxs):
+                sel = idxs[s: s + eff_batch]
                 b = len(sel)
                 # pad the batch so it divides the data axis
                 b_pad = -(-b // n_dev) * n_dev
@@ -184,8 +186,20 @@ class SentenceEncoder:
                 mask = np.zeros((b_pad, L), np.int32)
                 ids[:b] = ids_full[sel, :L]
                 mask[:b] = mask_full[sel, :L]
-                emb = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
-                out[sel] = np.asarray(emb[:b])
+                try:
+                    emb = self._forward(
+                        self.params, jnp.asarray(ids), jnp.asarray(mask)
+                    )
+                    out[sel] = np.asarray(emb[:b])
+                except Exception as exc:  # OOM sub-batch halving, like the
+                    # reference's embed retry (semantic_common.py:116-129)
+                    msg = str(exc).lower()
+                    if ("resource_exhausted" in msg or "out of memory" in msg
+                            or "memory" in msg) and eff_batch > n_dev:
+                        eff_batch = max(n_dev, eff_batch // 2)
+                        continue
+                    raise
+                s += b
         return out
 
 

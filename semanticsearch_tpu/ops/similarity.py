@@ -88,6 +88,31 @@ def adjacent_similarities(emb: jax.Array) -> jax.Array:
     )
 
 
+def analyze_similarity_distribution(s) -> dict:
+    """Percentile stats of the upper-triangle similarities (reference:
+    ``Method/semantic_common.py:250-288``) — used for auto-parameter
+    derivation diagnostics and data-quality reports."""
+    import numpy as np
+
+    s = np.asarray(s)
+    n = s.shape[0]
+    if n < 2:
+        return {"count": 0}
+    vals = s[np.triu_indices(n, 1)]
+    return {
+        "count": int(vals.size),
+        "mean": float(vals.mean()),
+        "std": float(vals.std()),
+        "min": float(vals.min()),
+        "max": float(vals.max()),
+        "p10": float(np.percentile(vals, 10)),
+        "p25": float(np.percentile(vals, 25)),
+        "p50": float(np.percentile(vals, 50)),
+        "p75": float(np.percentile(vals, 75)),
+        "p90": float(np.percentile(vals, 90)),
+    }
+
+
 def _row_ranks(s: jax.Array) -> jax.Array:
     """Per-row rank (number of strictly smaller entries) via double argsort.
 
