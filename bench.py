@@ -31,7 +31,7 @@ def main() -> int:
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--query-batch", type=int, default=2048,
                         help="large batches amortize tunnel round-trips")
-    parser.add_argument("--block-n", type=int, default=8192)
+    parser.add_argument("--block-n", type=int, default=16384)
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--recall-sample", type=int, default=32)
     args = parser.parse_args()
@@ -82,7 +82,7 @@ def main() -> int:
         if on_tpu:
             return topk_scores_pallas(
                 q, corpus, k=args.k,
-                block_q=min(args.query_batch, 256), block_n=args.block_n,
+                block_q=min(args.query_batch, 128), block_n=args.block_n,
             )
         return topk_scores_ref(q, corpus, k=args.k)
 

@@ -116,8 +116,8 @@ class IndexConfig:
     embed_dim: int = 384
     shard_axis: str = "data"
     top_k: int = 10
-    query_batch: int = 128
-    block_rows: int = 1024  # corpus rows per kernel block
+    query_batch: int = 128   # kernel block_q; measured-optimal on v5e
+    block_rows: int = 16384  # corpus rows per kernel block (VMEM-bounded)
     dtype: str = "bfloat16"
 
 

@@ -62,8 +62,54 @@ def _select_topk_rows(vals, idxs, k: int, out_width: int):
     )
 
 
+def _select_topk_segmented(scores, base, acc_v, acc_i, k: int, k_pad: int):
+    """Exact two-stage top-k merge of a score tile into the running top-k.
+
+    Stage 1 reduces the (B, T) tile to per-128-column segment maxima (one
+    pass over the tile) and selects the top-k segments. The top-k elements of
+    the tile provably live in those segments: if an element's segment were
+    outside the k best-by-max segments, k segments each contain an element
+    exceeding it. Stage 2 gathers the k winning segments with a one-hot
+    batched matmul (MXU, no dynamic gather) and runs the k-pass selection on
+    the narrow (B, k_pad + k*128) strip instead of the full tile — the VPU
+    work drops from O(k*T) to O(T + k^2*128) per row.
+    """
+    b, t = scores.shape
+    nseg = t // _LANE
+    s3 = scores.reshape(b, nseg, _LANE)
+    segmax = jnp.max(s3, axis=2)  # (B, nseg)
+
+    # top-k segments by max, ties to the lowest segment id (consistent with
+    # global lowest-index tie-breaking since global index orders by segment)
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (b, nseg), 1)
+    k_seg = min(k, nseg)
+    _, sel_segs = _select_topk_rows(segmax, seg_ids, k_seg, k_seg)  # (B, k_seg)
+
+    onehot = (
+        sel_segs[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (b, k_seg, nseg), 2)
+    ).astype(jnp.float32)
+    gathered = jax.lax.dot_general(
+        onehot, s3,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        # HIGHEST: the default TPU matmul rounds operands to bf16, which
+        # corrupts the gathered f32 scores and misranks near-ties.
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, k_seg, LANE)
+    g_vals = gathered.reshape(b, k_seg * _LANE)
+    col_in_seg = jax.lax.broadcasted_iota(jnp.int32, (b, k_seg, _LANE), 2)
+    g_idx = (sel_segs[:, :, None] * _LANE + col_in_seg).reshape(
+        b, k_seg * _LANE
+    ) + base
+
+    vals = jnp.concatenate([acc_v, g_vals], axis=1)
+    idxs = jnp.concatenate([acc_i, g_idx], axis=1)
+    return _select_topk_rows(vals, idxs, k, k_pad)
+
+
 def _topk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *, k: int,
-                 k_pad: int, block_n: int, n_total: int):
+                 k_pad: int, block_n: int, n_total: int, segmented: bool):
     """Grid: (q_blocks, c_blocks). c is the minor (fastest) grid axis, so the
     running top-k accumulates across corpus blocks for one query block."""
     cb = pl.program_id(1)
@@ -86,9 +132,14 @@ def _topk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *, k: int,
     scores = jnp.where(col < n_total, scores, NEG_INF)
 
     # Merge the running top-k with this tile, reselect top-k.
-    vals = jnp.concatenate([acc_v[:], scores], axis=1)
-    idxs = jnp.concatenate([acc_i[:], col], axis=1)
-    new_v, new_i = _select_topk_rows(vals, idxs, k, k_pad)
+    if segmented and block_n // _LANE >= k:
+        new_v, new_i = _select_topk_segmented(
+            scores, base, acc_v[:], acc_i[:], k, k_pad
+        )
+    else:
+        vals = jnp.concatenate([acc_v[:], scores], axis=1)
+        idxs = jnp.concatenate([acc_i[:], col], axis=1)
+        new_v, new_i = _select_topk_rows(vals, idxs, k, k_pad)
     acc_v[:] = new_v
     acc_i[:] = new_i
 
@@ -98,7 +149,10 @@ def _topk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *, k: int,
         oi_ref[:] = acc_i[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_q", "block_n", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_q", "block_n", "interpret", "segmented"),
+)
 def topk_scores_pallas(
     queries: jax.Array,
     corpus: jax.Array,
@@ -106,6 +160,7 @@ def topk_scores_pallas(
     block_q: int = 128,
     block_n: int = 1024,
     interpret: bool = False,
+    segmented: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k inner-product search: returns (values, indices), each (Q, k).
 
@@ -125,7 +180,8 @@ def topk_scores_pallas(
     grid = (q_pad // block_q, n_pad // block_n)
     out_v, out_i = pl.pallas_call(
         functools.partial(
-            _topk_kernel, k=k, k_pad=k_pad, block_n=block_n, n_total=n
+            _topk_kernel, k=k, k_pad=k_pad, block_n=block_n, n_total=n,
+            segmented=segmented,
         ),
         grid=grid,
         in_specs=[
