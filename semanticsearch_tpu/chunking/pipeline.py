@@ -176,18 +176,25 @@ class ChunkPipeline:
         output_dir: str,
         limit: Optional[int] = None,
         write_chunk_map: bool = False,
+        write_eval: bool = True,
     ) -> Dict:
-        """Stream the corpus, chunk it, write {name}_chunks.tsv + summary."""
+        """Stream the corpus, chunk it, write {name}_chunks.tsv + eval + summary.
+
+        The eval TSV carries per-chunk size stats like the reference's
+        streaming eval writer (``simple_chunk_controller.py:1198,1216-1345``).
+        """
         os.makedirs(output_dir, exist_ok=True)
         name = self.cfg.name
         out_path = os.path.join(output_dir, f"{name}_chunks.tsv")
         map_path = os.path.join(output_dir, f"{name}_chunk_map.tsv")
+        eval_path = os.path.join(output_dir, f"{name}_eval.tsv")
         summary_path = os.path.join(output_dir, f"{name}_summary.json")
         stats = ChunkRunStats()
         t0 = time.perf_counter()
 
         def rows_out() -> Iterator[Dict[str, str]]:
             map_rows: List[Dict[str, str]] = []
+            eval_rows: List[Dict[str, str]] = []
             for batch in batched(read_tsv(input_tsv, limit=limit), BATCH_SIZE):
                 for out_row in self._process_batch(batch, stats):
                     if write_chunk_map and out_row["meta"]:
@@ -199,9 +206,20 @@ class ChunkPipeline:
                             "sent_indices": meta.get("sent_indices", ""),
                             "meta": out_row["meta"],
                         })
+                    if write_eval:
+                        text = out_row["chunk_text"]
+                        eval_rows.append({
+                            "chunk_id": out_row["chunk_id"],
+                            "document_id": out_row["document_id"],
+                            "n_words": str(len(text.split())),
+                            "n_chars": str(len(text)),
+                        })
                     yield out_row
             if write_chunk_map and map_rows:
                 write_tsv(map_path, map_rows, MAP_COLUMNS)
+            if write_eval and eval_rows:
+                write_tsv(eval_path, eval_rows,
+                          ["chunk_id", "document_id", "n_words", "n_chars"])
 
         write_tsv(out_path, rows_out(), CHUNK_COLUMNS)
         stats.elapsed_s = time.perf_counter() - t0

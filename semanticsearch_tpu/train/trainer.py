@@ -11,6 +11,7 @@ eval (NDCG@3/5 + MAP, ``:556-560``), checkpoint via core.checkpoint.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
@@ -150,15 +151,36 @@ class RerankTrainer:
         train_ds: PairDataset,
         test_ds: Optional[PairDataset] = None,
         checkpoint_dir: Optional[str] = None,
+        resume_from: Optional[str] = None,
+        checkpoint_every: Optional[int] = None,
     ) -> TrainResult:
+        """Train; optionally checkpoint every N epochs and resume mid-run.
+
+        Unlike the reference (final-artifact-only checkpoints,
+        ``train_controller.py:497-498``), resume restores params + optimizer
+        state + epoch, so an interrupted run continues exactly.
+        """
         cfg = self.cfg
         params = self.init_params(train_ds)
         opt_state = self.tx.init(params)
+        start_epoch = 0
+        if resume_from:
+            from ..core.checkpoint import restore_checkpoint
+
+            state = restore_checkpoint(
+                resume_from,
+                {"params": params, "opt_state": opt_state, "epoch": 0},
+            )
+            params = state["params"]
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(opt_state), jax.tree.leaves(state["opt_state"])
+            )
+            start_epoch = int(np.asarray(state["epoch"])) + 1
         rng = jax.random.PRNGKey(cfg.seed)
         history: List[Dict[str, float]] = []
         best: Dict[str, float] = {}
         step = 0
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.perf_counter()
             losses = []
             for batch in train_ds.iter_pair_batches(
@@ -189,6 +211,14 @@ class RerankTrainer:
                     best = {m: row[m] for m in cfg.eval_metrics if m in row}
             history.append(row)
             logger.info("epoch %d: %s", epoch, row)
+            if checkpoint_dir and checkpoint_every and (
+                (epoch + 1) % checkpoint_every == 0
+            ):
+                save_checkpoint(
+                    os.path.join(checkpoint_dir, f"epoch_{epoch}"),
+                    {"params": params, "opt_state": opt_state, "epoch": epoch},
+                    metadata={"model": type(self.model).__name__, "epoch": epoch},
+                )
         if checkpoint_dir:
             save_checkpoint(
                 checkpoint_dir,
