@@ -77,9 +77,18 @@ class ChunkPipeline:
         self,
         cfg: Config = Config(),
         encoder: Optional[SentenceEncoder] = None,
+        debug_visuals_docs: int = 0,
+        debug_visuals_dir: Optional[str] = None,
+        ideal_bounds_dir: Optional[str] = None,
     ) -> None:
         self.cfg = cfg
         self.encoder = encoder  # lazily built; char method needs none
+        # Export heatmap/signal/strip PNGs for the first N documents
+        # (reference debug visuals, simple_chunk_controller.py:670-1050).
+        self.debug_visuals_docs = debug_visuals_docs
+        self.debug_visuals_dir = debug_visuals_dir
+        self.ideal_bounds_dir = ideal_bounds_dir
+        self._visuals_done = 0
 
     def _get_encoder(self) -> SentenceEncoder:
         if self.encoder is None:
@@ -157,6 +166,30 @@ class ChunkPipeline:
             if len(chunks) == 1 and chunks[0][0].endswith("_fallback"):
                 stats.fallbacks += 1
             stats.docs_chunked += 1
+            if (
+                self._visuals_done < self.debug_visuals_docs
+                and embs is not None and len(sentences) > 2
+            ):
+                try:
+                    from .visualize import export_document_debug
+
+                    groups = []
+                    for cid, _, meta in chunks:
+                        if meta:
+                            m = json.loads(meta)
+                            if m.get("sent_indices"):
+                                groups.append(
+                                    [int(x) for x in m["sent_indices"].split(",")]
+                                )
+                    if groups:
+                        export_document_debug(
+                            doc_id, embs, groups,
+                            self.debug_visuals_dir or ".",
+                            bounds_dir=self.ideal_bounds_dir,
+                        )
+                        self._visuals_done += 1
+                except Exception as exc:
+                    logger.debug("debug visuals failed for %s: %s", doc_id, exc)
             for cid, ctext, meta in chunks:
                 ctext = ctext[:MAX_CHUNK_CHARS]
                 stats.chunks_out += 1
