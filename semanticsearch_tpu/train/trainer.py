@@ -180,25 +180,44 @@ class RerankTrainer:
         history: List[Dict[str, float]] = []
         best: Dict[str, float] = {}
         step = 0
+        batch_size = cfg.batch_size
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.perf_counter()
             losses = []
-            for batch in train_ds.iter_pair_batches(
-                batch_size=cfg.batch_size,
-                num_dup=cfg.num_dup,
-                num_neg=cfg.num_neg,
-                seed=cfg.seed,
-                epoch=epoch,
-                resample=True,
-            ):
-                rng, sub = jax.random.split(rng)
-                params, opt_state, loss_val = self._train_step(
-                    params, opt_state,
-                    jnp.asarray(batch["left"]), jnp.asarray(batch["right"]),
-                    batch["group_size"], sub,
-                )
-                losses.append(float(loss_val))
-                step += 1
+            # OOM batch-halving retry (reference: train_controller.py:429-494);
+            # on TPU a smaller batch is a new static shape -> recompile once.
+            while True:
+                try:
+                    for batch in train_ds.iter_pair_batches(
+                        batch_size=batch_size,
+                        num_dup=cfg.num_dup,
+                        num_neg=cfg.num_neg,
+                        seed=cfg.seed,
+                        epoch=epoch,
+                        resample=True,
+                    ):
+                        rng, sub = jax.random.split(rng)
+                        params, opt_state, loss_val = self._train_step(
+                            params, opt_state,
+                            jnp.asarray(batch["left"]),
+                            jnp.asarray(batch["right"]),
+                            batch["group_size"], sub,
+                        )
+                        losses.append(float(loss_val))
+                        step += 1
+                    break
+                except Exception as exc:
+                    msg = str(exc).lower()
+                    oom = "resource_exhausted" in msg or "out of memory" in msg
+                    if oom and batch_size > 1:
+                        batch_size = max(1, batch_size // 2)
+                        losses = []
+                        logger.warning(
+                            "OOM at epoch %d; retrying with batch_size=%d",
+                            epoch, batch_size,
+                        )
+                        continue
+                    raise
             row: Dict[str, float] = {
                 "epoch": epoch,
                 "loss": float(np.mean(losses)) if losses else float("nan"),
