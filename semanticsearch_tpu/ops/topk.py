@@ -108,7 +108,7 @@ def _select_topk_segmented(scores, base, acc_v, acc_i, k: int, k_pad: int):
     return _select_topk_rows(vals, idxs, k, k_pad)
 
 
-def _topk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *, k: int,
+def _topk_kernel(q_ref, c_ref, m_ref, ov_ref, oi_ref, acc_v, acc_i, *, k: int,
                  k_pad: int, block_n: int, n_total: int, segmented: bool):
     """Grid: (q_blocks, c_blocks). c is the minor (fastest) grid axis, so the
     running top-k accumulates across corpus blocks for one query block."""
@@ -120,16 +120,15 @@ def _topk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *, k: int,
         acc_v[:] = jnp.full_like(acc_v, NEG_INF)
         acc_i[:] = jnp.zeros_like(acc_i)
 
-    # Score tile on the MXU: (BQ, D) @ (D, BN) -> f32
+    # Score tile on the MXU: (BQ, D) @ (D, BN) -> f32, plus the streamed
+    # additive padding mask (0 valid / NEG_INF padding) — one VPU add per
+    # element instead of iota + compare + select.
     scores = jax.lax.dot_general(
         q_ref[:], c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) + m_ref[:]
     base = cb * block_n
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
-    # Mask padding rows of the corpus (beyond n_total)
-    scores = jnp.where(col < n_total, scores, NEG_INF)
 
     # Merge the running top-k with this tile, reselect top-k.
     if segmented and block_n // _LANE >= k:
@@ -137,6 +136,7 @@ def _topk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *, k: int,
             scores, base, acc_v[:], acc_i[:], k, k_pad
         )
     else:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
         vals = jnp.concatenate([acc_v[:], scores], axis=1)
         idxs = jnp.concatenate([acc_i[:], col], axis=1)
         new_v, new_i = _select_topk_rows(vals, idxs, k, k_pad)
@@ -176,6 +176,10 @@ def topk_scores_pallas(
         queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
     if n_pad != n:
         corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
+    # Additive padding mask, streamed per corpus block (broadcasts over rows).
+    pad_mask = jnp.where(
+        jnp.arange(n_pad, dtype=jnp.int32)[None, :] < n, 0.0, NEG_INF
+    ).astype(jnp.float32)
 
     grid = (q_pad // block_q, n_pad // block_n)
     out_v, out_i = pl.pallas_call(
@@ -188,6 +192,8 @@ def topk_scores_pallas(
             pl.BlockSpec((block_q, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -217,7 +223,7 @@ def topk_scores_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, corpus)
+    )(queries, corpus, pad_mask)
     return out_v[:q, :k], out_i[:q, :k]
 
 
