@@ -64,8 +64,8 @@ def robust_sigmoid(x: np.ndarray, tau: float) -> np.ndarray:
     med = float(np.median(x))
     mad = _mad(x)
     scale = mad if mad > 0 else float(x.std()) + 1e-9
-    z = (x - med) / scale
-    return 1.0 / (1.0 + np.exp(-(z / max(tau, 1e-9))))
+    z = np.clip((x - med) / scale / max(tau, 1e-9), -60.0, 60.0)
+    return 1.0 / (1.0 + np.exp(-z))
 
 
 def score_based_nms(

@@ -1,0 +1,173 @@
+"""End-to-end pipeline demo: corpus -> chunk -> rank -> folds -> train -> eval.
+
+Generates a synthetic Robust04-shaped corpus with known relevance structure
+(relevant documents share topical vocabulary with their query), runs every
+pipeline stage through the public APIs, and writes the artifacts + an
+18-metric CV comparison to --output-dir. This is the "golden path" the
+reference exercises across its five tool directories (SURVEY.md §3), in one
+command.
+
+Usage: python tools/e2e_demo.py --output-dir /tmp/e2e [--queries 8]
+"""
+from __future__ import annotations
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+import numpy as np
+
+
+TOPICS = [
+    ("volcanic eruptions and lava flows", "volcano lava eruption magma ash"),
+    ("deep sea fishing quotas", "fishing quota trawler ocean catch"),
+    ("solar panel manufacturing", "solar panel photovoltaic silicon energy"),
+    ("ancient roman architecture", "roman aqueduct colosseum arch marble"),
+    ("high speed rail networks", "railway train track station speed"),
+    ("honey bee population decline", "bee hive pollinator colony nectar"),
+    ("glacier melt measurements", "glacier ice melt altitude survey"),
+    ("wind turbine maintenance", "turbine blade wind gearbox rotor"),
+]
+
+FILLER = ("the report describes several findings and notes that further "
+          "work remains necessary according to officials").split()
+
+
+def _make_corpus(path: str, n_queries: int, docs_per_q: int, seed: int = 0):
+    from semanticsearch_tpu.data.tsv import write_tsv
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for qi in range(n_queries):
+        qtext, vocab = TOPICS[qi % len(TOPICS)]
+        topic_words = vocab.split()
+        for d in range(docs_per_q):
+            relevant = d < docs_per_q // 2
+            sents = []
+            for s in range(8):
+                words = list(rng.choice(FILLER, size=6))
+                if relevant and s % 2 == 0:
+                    words = list(rng.choice(topic_words, size=4)) + words[:3]
+                sents.append(" ".join(words).capitalize() + ".")
+            rows.append({
+                "query_id": f"q{qi}",
+                "query_text": qtext,
+                "document_id": f"q{qi}_d{d}",
+                "document": " ".join(sents),
+                "label": str(int(relevant)),
+            })
+    write_tsv(path, rows,
+              ["query_id", "query_text", "document_id", "document", "label"])
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--output-dir", default="/tmp/semsearch_e2e")
+    ap.add_argument("--queries", type=int, default=8)
+    ap.add_argument("--docs-per-query", type=int, default=8)
+    ap.add_argument("--models", default="knrm,conv_knrm")
+    ap.add_argument("--epochs", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from semanticsearch_tpu.core.config import EncoderConfig, TrainConfig, get_named_config
+    from semanticsearch_tpu.chunking.pipeline import ChunkPipeline
+    from semanticsearch_tpu.data.folds import FoldPaths, create_cv_folds
+    from semanticsearch_tpu.data.mapping import add_query_text_to_tsv
+    from semanticsearch_tpu.data.tsv import read_tsv, write_tsv
+    from semanticsearch_tpu.data.validate import validate_and_clean
+    from semanticsearch_tpu.index.ranker import QueryGroup, rank_and_filter_groups
+    from semanticsearch_tpu.models.encoder import SentenceEncoder
+    from semanticsearch_tpu.train.evaluate import (
+        CVEvaluator, format_comparison_table, write_comparison_csv,
+    )
+
+    out = args.output_dir
+    os.makedirs(out, exist_ok=True)
+
+    # 1. corpus
+    corpus = _make_corpus(
+        os.path.join(out, "corpus.tsv"), args.queries, args.docs_per_query
+    )
+    print(f"[1/6] corpus: {corpus}")
+
+    # 2. chunk (semantic splitter, small encoder for CPU demo speed)
+    enc_cfg = EncoderConfig(vocab_size=5000, hidden_dim=64, num_layers=2,
+                            num_heads=4, mlp_dim=128, max_len=64,
+                            dtype="float32")
+    cfg = get_named_config("semantic_splitter").override(
+        encoder=enc_cfg.__dict__
+    )
+    encoder = SentenceEncoder(enc_cfg)
+    summary = ChunkPipeline(cfg, encoder=encoder).run(corpus, out)
+    print(f"[2/6] chunked: {summary['chunks_out']} chunks "
+          f"from {summary['docs_chunked']} docs")
+
+    # 3. hybrid rank + percentile labels
+    qmap = {}
+    groups = {}
+    for row in read_tsv(corpus):
+        qmap[row["query_id"]] = row["query_text"]
+    for row in read_tsv(summary["output_path"]):
+        g = groups.setdefault(row["query_id"], QueryGroup(
+            query_id=row["query_id"], query_text=qmap[row["query_id"]]))
+        g.chunk_ids.append(row.get("chunk_id", ""))
+        g.chunk_texts.append(row["chunk_text"])
+    ranked = rank_and_filter_groups(list(groups.values()), encoder.encode)
+    labeled = os.path.join(out, "labeled.tsv")
+    write_tsv(labeled, ({
+        "query_id": r.query_id, "chunk_text": r.chunk_text,
+        "label": str(r.label)} for r in ranked),
+        ["query_id", "chunk_text", "label"])
+    print(f"[3/6] ranked+labeled: {len(ranked)} rows")
+
+    # 4. validate + map query text
+    report = validate_and_clean(labeled, os.path.join(out, "labeled.clean.tsv"))
+    print(f"[4/6] validated: {report.rows_kept} kept, "
+          f"{report.queries_pairable} pairable queries")
+
+    # 5. CV folds
+    folds = create_cv_folds(os.path.join(out, "labeled.clean.tsv"),
+                            os.path.join(out, "cv"), num_folds=2)
+    print(f"[5/6] folds: {len(folds)}")
+
+    # 6. train + evaluate with the 18-metric task
+    models = args.models.split(",")
+    evaluator = CVEvaluator(folds)
+    cfgs = {
+        m: TrainConfig(model=m, epochs=args.epochs, batch_size=8, num_neg=1,
+                       optimizer="adam", learning_rate=0.01,
+                       embedding_dim=32, filter_low_freq=1,
+                       fixed_length_left=16, fixed_length_right=64)
+        for m in models
+    }
+    kwargs = {"conv_knrm": {"filters": 16}}
+    results = [
+        evaluator.run_model(m, cfg=cfgs[m], model_kwargs=kwargs.get(m),
+                            output_dir=os.path.join(out, "models"))
+        for m in models
+    ]
+    write_comparison_csv(results, os.path.join(out, "cv_comparison.csv"))
+    table = format_comparison_table(
+        results, metrics=("map", "mrr", "ndcg@5", "ndcg@10", "p@5"))
+    print("[6/6] CV evaluation (mean±std over folds):")
+    print(table)
+    with open(os.path.join(out, "cv_table.txt"), "w") as f:
+        f.write(table + "\n")
+    print(json.dumps({"output_dir": out,
+                      "artifacts": sorted(os.listdir(out))}))
+
+
+if __name__ == "__main__":
+    main()
