@@ -116,36 +116,47 @@ def cmd_index(args) -> int:
     from ..models.encoder import SentenceEncoder
 
     cfg = _apply_sets(get_named_config(args.config), args.set)
-    from ..index.builder import build_corpus_index
-
     enc = SentenceEncoder(cfg.encoder)
-    meta = build_corpus_index(args.input, enc, args.output_dir,
-                              batch_size=args.batch_size, limit=args.limit)
-    print(json.dumps(meta))
+    if args.bm25:
+        from ..index.query_engine import HybridQueryEngine
+
+        engine = HybridQueryEngine.build(
+            args.input, enc, args.output_dir,
+            index_cfg=cfg.index, rank_cfg=cfg.ranking, limit=args.limit,
+        )
+        print(json.dumps({"rows": engine.index.size, "bm25": True}))
+    else:
+        from ..index.builder import build_corpus_index
+
+        meta = build_corpus_index(args.input, enc, args.output_dir,
+                                  batch_size=args.batch_size, limit=args.limit)
+        print(json.dumps(meta))
     return 0
 
 
 def cmd_search(args) -> int:
     from ..core.mesh import local_mesh
-    from ..index.builder import load_index
+    from ..index.query_engine import HybridQueryEngine
     from ..models.encoder import SentenceEncoder
 
     cfg = _apply_sets(get_named_config(args.config), args.set)
-    index, chunk_ids = load_index(args.index_dir, mesh=local_mesh(),
-                                  cfg=cfg.index)
     enc = SentenceEncoder(cfg.encoder)
-    queries = args.query
-    q_emb = enc.encode(queries)
-    res = index.search(q_emb, k=args.k)
-    out = []
-    for qi, query in enumerate(queries):
-        out.append({
+    engine = HybridQueryEngine.load(
+        args.index_dir, enc, mesh=local_mesh(),
+        index_cfg=cfg.index, rank_cfg=cfg.ranking,
+    )
+    results = engine.search(args.query, k=args.k, hybrid=not args.dense_only)
+    out = [
+        {
             "query": query,
             "hits": [
-                {"chunk_id": chunk_ids[int(row)], "score": float(score)}
-                for row, score in zip(res.indices[qi], res.scores[qi])
+                {"chunk_id": h.chunk_id, "rrf_score": h.score,
+                 "dense_rank": h.dense_rank, "lexical_rank": h.lexical_rank}
+                for h in hits
             ],
-        })
+        }
+        for query, hits in zip(args.query, results)
+    ]
     print(json.dumps(out))
     return 0
 
@@ -275,12 +286,15 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output-dir", required=True)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--limit", type=int)
+    p.add_argument("--bm25", action="store_true",
+                   help="also persist BM25 term stats for hybrid search")
     _add_config_args(p)
     p.set_defaults(fn=cmd_index)
 
-    p = sub.add_parser("search", help="query a persisted index")
+    p = sub.add_parser("search", help="query a persisted index (hybrid RRF)")
     p.add_argument("--index-dir", required=True)
     p.add_argument("-k", type=int, default=10)
+    p.add_argument("--dense-only", action="store_true")
     p.add_argument("query", nargs="+")
     _add_config_args(p)
     p.set_defaults(fn=cmd_search)
