@@ -94,7 +94,9 @@ def _select_topk_segmented(scores, base, acc_v, acc_i, k: int, k_pad: int):
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         # HIGHEST: the default TPU matmul rounds operands to bf16, which
-        # corrupts the gathered f32 scores and misranks near-ties.
+        # corrupts the gathered f32 scores and misranks near-ties. (A 3-term
+        # bf16-split with DEFAULT precision is bit-exact too but measured
+        # slower: 3 batched matmuls beat 1 only below ~2 passes.)
         precision=jax.lax.Precision.HIGHEST,
     )  # (B, k_seg, LANE)
     g_vals = gathered.reshape(b, k_seg * _LANE)
@@ -109,16 +111,30 @@ def _select_topk_segmented(scores, base, acc_v, acc_i, k: int, k_pad: int):
 
 
 def _topk_kernel(q_ref, c_ref, m_ref, ov_ref, oi_ref, acc_v, acc_i, *, k: int,
-                 k_pad: int, block_n: int, n_total: int, segmented: bool):
-    """Grid: (q_blocks, c_blocks). c is the minor (fastest) grid axis, so the
-    running top-k accumulates across corpus blocks for one query block."""
-    cb = pl.program_id(1)
-    n_cb = pl.num_programs(1)
+                 k_pad: int, block_q: int, block_n: int, n_total: int,
+                 segmented: bool):
+    """Grid: (c_blocks, q_blocks) — corpus MAJOR, queries minor.
+
+    With q as the fastest axis, one corpus window stays resident in VMEM
+    while every query block scores against it, so the corpus streams from
+    HBM exactly once per search (q-minor ordering would re-stream the whole
+    corpus per query block — 16x the HBM traffic at 2048 queries). The
+    running top-k for ALL query blocks lives in one (q_pad, k_pad) scratch,
+    indexed by the query-block id.
+    """
+    cb = pl.program_id(0)
+    qb = pl.program_id(1)
+    n_cb = pl.num_programs(0)
+    row0 = qb * block_q
 
     @pl.when(cb == 0)
     def _init():
-        acc_v[:] = jnp.full_like(acc_v, NEG_INF)
-        acc_i[:] = jnp.zeros_like(acc_i)
+        acc_v[pl.ds(row0, block_q), :] = jnp.full(
+            (block_q, k_pad), NEG_INF, acc_v.dtype
+        )
+        acc_i[pl.ds(row0, block_q), :] = jnp.zeros(
+            (block_q, k_pad), acc_i.dtype
+        )
 
     # Score tile on the MXU: (BQ, D) @ (D, BN) -> f32, plus the streamed
     # additive padding mask (0 valid / NEG_INF padding) — one VPU add per
@@ -130,23 +146,25 @@ def _topk_kernel(q_ref, c_ref, m_ref, ov_ref, oi_ref, acc_v, acc_i, *, k: int,
     ) + m_ref[:]
     base = cb * block_n
 
+    cur_v = acc_v[pl.ds(row0, block_q), :]
+    cur_i = acc_i[pl.ds(row0, block_q), :]
     # Merge the running top-k with this tile, reselect top-k.
     if segmented and block_n // _LANE >= k:
         new_v, new_i = _select_topk_segmented(
-            scores, base, acc_v[:], acc_i[:], k, k_pad
+            scores, base, cur_v, cur_i, k, k_pad
         )
     else:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
-        vals = jnp.concatenate([acc_v[:], scores], axis=1)
-        idxs = jnp.concatenate([acc_i[:], col], axis=1)
+        vals = jnp.concatenate([cur_v, scores], axis=1)
+        idxs = jnp.concatenate([cur_i, col], axis=1)
         new_v, new_i = _select_topk_rows(vals, idxs, k, k_pad)
-    acc_v[:] = new_v
-    acc_i[:] = new_i
+    acc_v[pl.ds(row0, block_q), :] = new_v
+    acc_i[pl.ds(row0, block_q), :] = new_i
 
     @pl.when(cb == n_cb - 1)
     def _emit():
-        ov_ref[:] = acc_v[:]
-        oi_ref[:] = acc_i[:]
+        ov_ref[:] = new_v
+        oi_ref[:] = new_i
 
 
 @functools.partial(
@@ -170,6 +188,21 @@ def topk_scores_pallas(
     q, d = queries.shape
     n = corpus.shape[0]
     k_pad = _round_up(k, _LANE)
+    # The all-query-blocks accumulator lives in VMEM scratch; chunk very
+    # large query batches so it stays small (4096 rows -> 4MB).
+    max_q = 4096
+    if q > max_q:
+        parts = [
+            topk_scores_pallas(
+                queries[s: s + max_q], corpus, k=k, block_q=block_q,
+                block_n=block_n, interpret=interpret, segmented=segmented,
+            )
+            for s in range(0, q, max_q)
+        ]
+        return (
+            jnp.concatenate([p[0] for p in parts], axis=0),
+            jnp.concatenate([p[1] for p in parts], axis=0),
+        )
     q_pad = _round_up(max(q, 8), block_q)
     n_pad = _round_up(n, block_n)
     if q_pad != q:
@@ -181,25 +214,27 @@ def topk_scores_pallas(
         jnp.arange(n_pad, dtype=jnp.int32)[None, :] < n, 0.0, NEG_INF
     ).astype(jnp.float32)
 
-    grid = (q_pad // block_q, n_pad // block_n)
+    # Grid: corpus-major, query-minor — the corpus window stays in VMEM
+    # across the q sweep, so the corpus streams from HBM exactly once.
+    grid = (n_pad // block_n, q_pad // block_q)
     out_v, out_i = pl.pallas_call(
         functools.partial(
-            _topk_kernel, k=k, k_pad=k_pad, block_n=block_n, n_total=n,
-            segmented=segmented,
+            _topk_kernel, k=k, k_pad=k_pad, block_q=block_q, block_n=block_n,
+            n_total=n, segmented=segmented,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_q, d), lambda i, j: (i, 0),
+            pl.BlockSpec((block_q, d), lambda cb, qb: (qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, d), lambda i, j: (j, 0),
+            pl.BlockSpec((block_n, d), lambda cb, qb: (cb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+            pl.BlockSpec((1, block_n), lambda cb, qb: (0, cb),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_q, k_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((block_q, k_pad), lambda cb, qb: (qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, k_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((block_q, k_pad), lambda cb, qb: (qb, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -207,11 +242,11 @@ def topk_scores_pallas(
             jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, k_pad), jnp.float32),
-            pltpu.VMEM((block_q, k_pad), jnp.int32),
+            pltpu.VMEM((q_pad, k_pad), jnp.float32),
+            pltpu.VMEM((q_pad, k_pad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
             # The in-kernel merge materializes (block_q, k_pad + block_n) f32
             # value+index tiles; the default 16MB scoped-VMEM limit is too
             # small for production block sizes. v5e has 128MB VMEM/core.
