@@ -468,6 +468,36 @@ def group_by_similarity(
     return [sorted(set(g)) for g in merged if g]
 
 
+def batched_similarity_matrices(
+    embs_list, bucket: Optional[int] = None
+) -> List[np.ndarray]:
+    """Similarity matrices for MANY documents in one device call (zero-padded
+    to a bucket; padded blocks sliced away). One dispatch per bucket instead
+    of one per document."""
+    import jax
+    import jax.numpy as jnp
+
+    if not embs_list:
+        return []
+    d = embs_list[0].shape[1]
+    lens = [e.shape[0] for e in embs_list]
+    L = bucket or max(lens)
+    emb = np.zeros((len(embs_list), L, d), np.float32)
+    for i, e in enumerate(embs_list):
+        emb[i, : lens[i]] = e
+
+    @jax.jit
+    def _sims(emb):
+        return jnp.einsum(
+            "bid,bjd->bij", emb, emb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    S_all = np.asarray(_sims(jnp.asarray(emb)))
+    return [S_all[i, : lens[i], : lens[i]] for i in range(len(embs_list))]
+
+
 def chunk_passage_grouping(
     doc_id: str,
     sentences: List[str],
@@ -475,23 +505,31 @@ def chunk_passage_grouping(
     cfg: ChunkingConfig = ChunkingConfig(),
     collect_metadata: bool = False,
     seed: int = 0,
+    sim_matrix: Optional[np.ndarray] = None,
 ) -> List[Chunk]:
     """Emit grouped (chunk_id, chunk_text, metadata) triples for one document.
 
     Output contract matches ``semantic_grouping_main``
     (``Semantic_Grouping_Optimized.py:590-654``): clusters in index order,
     optional exemplar/centrality metadata, whole-document fallback.
+    ``sim_matrix`` optionally supplies a precomputed matrix from
+    :func:`batched_similarity_matrices`.
     """
-    import jax.numpy as jnp
-
-    from ..ops.similarity import similarity_matrix
-
     if not sentences:
         return []
     if len(sentences) == 1:
         return [(f"{doc_id}_single", sentences[0], None)]
 
-    S = np.asarray(similarity_matrix(jnp.asarray(np.asarray(embeddings, np.float32))))
+    if sim_matrix is not None:
+        S = np.asarray(sim_matrix)
+    else:
+        import jax.numpy as jnp
+
+        from ..ops.similarity import similarity_matrix
+
+        S = np.asarray(
+            similarity_matrix(jnp.asarray(np.asarray(embeddings, np.float32)))
+        )
     S_sharp = sharpen_similarity(S, tau=cfg.sigmoid_tau_group)
     n = len(sentences)
     centrality = S_sharp.sum(axis=1) / max(n - 1, 1)

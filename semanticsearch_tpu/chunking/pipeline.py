@@ -102,6 +102,8 @@ class ChunkPipeline:
         sentences: List[str],
         embeddings: Optional[np.ndarray],
         raw_text: str,
+        signals=None,
+        sim_matrix=None,
     ) -> List[Tuple[str, str, Optional[str]]]:
         ccfg = self.cfg.chunking
         if ccfg.method == "char":
@@ -115,11 +117,42 @@ class ChunkPipeline:
             return chunk_passage_grouping(
                 doc_id, sentences, embeddings, ccfg,
                 collect_metadata=ccfg.collect_metadata, seed=self.cfg.seed,
+                sim_matrix=sim_matrix,
             )
         return chunk_passage_splitter(
             doc_id, sentences, embeddings, ccfg,
             collect_metadata=ccfg.collect_metadata,
+            signals=signals,
         )
+
+    def _precompute_signals(self, embeddings_by_doc, signals_by_doc,
+                            sims_by_doc) -> None:
+        """Fill per-doc (rank matrix, adj sims) or similarity matrices using
+        one batched device call per length bucket."""
+        ccfg = self.cfg.chunking
+        use_signals = ccfg.method == "splitter" and not ccfg.c99_use_local_rank
+        use_sims = ccfg.method == "grouping"
+        if not (use_signals or use_sims):
+            return
+        buckets: Dict[int, List[int]] = {}
+        for i, emb in enumerate(embeddings_by_doc):
+            if emb is None or emb.shape[0] <= 1:
+                continue
+            n = emb.shape[0]
+            bucket = 1 << max(3, (n - 1).bit_length())  # 8,16,32,...
+            buckets.setdefault(bucket, []).append(i)
+        for bucket, idxs in buckets.items():
+            embs = [embeddings_by_doc[i] for i in idxs]
+            if use_signals:
+                from .splitter import batched_split_signals
+
+                for i, sig in zip(idxs, batched_split_signals(embs, bucket)):
+                    signals_by_doc[i] = sig
+            else:
+                from .grouping import batched_similarity_matrices
+
+                for i, S in zip(idxs, batched_similarity_matrices(embs, bucket)):
+                    sims_by_doc[i] = S
 
     # -- batch processing -----------------------------------------------------
     def _process_batch(
@@ -141,6 +174,8 @@ class ChunkPipeline:
             docs.append((row, text, sentences))
 
         embeddings_by_doc: List[Optional[np.ndarray]] = [None] * len(docs)
+        signals_by_doc: List = [None] * len(docs)
+        sims_by_doc: List = [None] * len(docs)
         if need_embed:
             # ONE device batch for every sentence in the row batch.
             all_sents: List[str] = []
@@ -153,11 +188,21 @@ class ChunkPipeline:
                 for i, (s, e) in enumerate(spans):
                     if e > s:
                         embeddings_by_doc[i] = embs[s:e]
+            # Batch the per-document similarity/rank math across docs of
+            # similar length: one device call per bucket instead of several
+            # per document (dispatch latency dominates otherwise).
+            self._precompute_signals(
+                embeddings_by_doc, signals_by_doc, sims_by_doc
+            )
 
-        for (row, text, sentences), embs in zip(docs, embeddings_by_doc):
+        for (row, text, sentences), embs, sig, sim in zip(
+            docs, embeddings_by_doc, signals_by_doc, sims_by_doc
+        ):
             doc_id = row.get("document_id", row.get("query_id", "doc"))
             try:
-                chunks = self._chunk_doc(doc_id, sentences, embs, text)
+                chunks = self._chunk_doc(
+                    doc_id, sentences, embs, text, signals=sig, sim_matrix=sim
+                )
             except Exception as exc:  # degrade-don't-die (reference :725-726)
                 logger.warning("chunking failed for %s: %s; falling back", doc_id, exc)
                 chunks = [(f"{doc_id}_fallback", text, None)]

@@ -262,33 +262,96 @@ def _groups_from_boundaries(n: int, boundaries: Sequence[int]) -> List[List[int]
     return groups
 
 
+def batched_split_signals(
+    embs_list: Sequence[np.ndarray],
+    bucket: Optional[int] = None,
+):
+    """Compute (rank_matrix, adj_sims) for MANY documents in one device call.
+
+    Documents are zero-padded to one bucket length; padded similarity entries
+    are set to -inf before the double-argsort, which assigns them the lowest
+    ranks and shifts every real entry's row/col rank by exactly the pad
+    count — subtracted afterwards, so the returned rank matrices are
+    bit-identical to the per-document computation. This replaces one device
+    round-trip per document with one per bucket (the per-doc dispatch
+    latency dominated chunking throughput through remote-device links).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if not embs_list:
+        return []
+    d = embs_list[0].shape[1]
+    lens = [e.shape[0] for e in embs_list]
+    L = bucket or max(lens)
+    B = len(embs_list)
+    emb = np.zeros((B, L, d), np.float32)
+    mask = np.zeros((B, L), np.float32)
+    for i, e in enumerate(embs_list):
+        emb[i, : lens[i]] = e
+        mask[i, : lens[i]] = 1.0
+
+    @jax.jit
+    def _signals(emb, mask):
+        S = jnp.einsum(
+            "bid,bjd->bij", emb, emb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        pair = mask[:, :, None] * mask[:, None, :]
+        S_m = jnp.where(pair > 0, S, -jnp.inf)
+        row_rank = jnp.argsort(jnp.argsort(S_m, axis=2), axis=2)
+        col_rank = jnp.argsort(jnp.argsort(S_m, axis=1), axis=1)
+        pad = (L - jnp.sum(mask, axis=1))[:, None, None]
+        R = row_rank.astype(jnp.float32) + col_rank.astype(jnp.float32) - 2 * pad
+        adj = jnp.sum(emb[:, :-1] * emb[:, 1:], axis=-1)
+        return R, adj
+
+    R_all, adj_all = (np.asarray(x) for x in _signals(
+        jnp.asarray(emb), jnp.asarray(mask)
+    ))
+    return [
+        (R_all[i, : lens[i], : lens[i]], adj_all[i, : max(lens[i] - 1, 0)])
+        for i in range(B)
+    ]
+
+
 def split_by_embeddings(
     embeddings: np.ndarray,
     cfg: ChunkingConfig = ChunkingConfig(),
+    signals: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> List[List[int]]:
     """Segment n sentences (given their unit-norm embeddings) into contiguous
-    groups of sentence indices. Returns a partition of range(n)."""
-    import jax.numpy as jnp
+    groups of sentence indices. Returns a partition of range(n).
 
-    from ..ops.similarity import (
-        adjacent_similarities,
-        rank_matrix_global,
-        rank_matrix_local,
-        similarity_matrix,
-    )
-
+    ``signals`` optionally provides precomputed (rank_matrix, adj_sims) from
+    :func:`batched_split_signals` to avoid per-document device calls.
+    """
     emb = np.asarray(embeddings, dtype=np.float32)
     n = emb.shape[0]
     if n <= 1:
         return [list(range(n))] if n else []
 
-    emb_j = jnp.asarray(emb)
-    adj_sims = np.asarray(adjacent_similarities(emb_j), dtype=np.float64)
-    S = similarity_matrix(emb_j)
-    if cfg.c99_use_local_rank:
-        R = np.asarray(rank_matrix_local(S, mask_size=cfg.c99_mask_size))
+    if signals is not None and not cfg.c99_use_local_rank:
+        R, adj_sims = signals
+        adj_sims = np.asarray(adj_sims, dtype=np.float64)
     else:
-        R = np.asarray(rank_matrix_global(S))
+        import jax.numpy as jnp
+
+        from ..ops.similarity import (
+            adjacent_similarities,
+            rank_matrix_global,
+            rank_matrix_local,
+            similarity_matrix,
+        )
+
+        emb_j = jnp.asarray(emb)
+        adj_sims = np.asarray(adjacent_similarities(emb_j), dtype=np.float64)
+        S = similarity_matrix(emb_j)
+        if cfg.c99_use_local_rank:
+            R = np.asarray(rank_matrix_local(S, mask_size=cfg.c99_mask_size))
+        else:
+            R = np.asarray(rank_matrix_global(S))
 
     # --- signal shaping + auto params (reference :415-479) ---
     adj_base = median_smooth(adj_sims, cfg.smooth_adj_window)
@@ -443,6 +506,7 @@ def chunk_passage_splitter(
     embeddings: np.ndarray,
     cfg: ChunkingConfig = ChunkingConfig(),
     collect_metadata: bool = False,
+    signals: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> List[Chunk]:
     """Emit (chunk_id, chunk_text, metadata) triples for one document.
 
@@ -454,7 +518,7 @@ def chunk_passage_splitter(
         return []
     if len(sentences) == 1:
         return [(f"{doc_id}_chunk0", sentences[0], None)]
-    groups = split_by_embeddings(embeddings, cfg)
+    groups = split_by_embeddings(embeddings, cfg, signals=signals)
     emb = np.asarray(embeddings, dtype=np.float32)
     out: List[Chunk] = []
     for idx, grp in enumerate(groups):
