@@ -9,7 +9,8 @@ analog); scoring is a vectorized bag-of-words dot product.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from collections import Counter
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -81,7 +82,11 @@ class BM25Okapi:
         qids = [self.vocab[t] for t in query_tokens if t in self.vocab]
         if not qids:
             return scores
-        qset = np.array(sorted(set(qids)), dtype=np.int64)
+        # rank_bm25 accumulates a term's contribution once per query
+        # occurrence, so repeated query terms must be weighted by their count.
+        cnt = Counter(qids)
+        qset = np.array(sorted(cnt), dtype=np.int64)
+        qmul = np.array([cnt[t] for t in qset], dtype=np.float32)
         norm = self.k1 * (1.0 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9))
         for d in range(self.n_docs):
             s, e = self._indptr[d], self._indptr[d + 1]
@@ -91,7 +96,8 @@ class BM25Okapi:
             if not hit.any():
                 continue
             f = tfs[hit]
-            w = self.idf[ids[hit]]
+            hit_ids = ids[hit]
+            w = self.idf[hit_ids] * qmul[np.searchsorted(qset, hit_ids)]
             scores[d] = float(
                 np.sum(w * f * (self.k1 + 1.0) / (f + norm[d]))
             )
@@ -115,28 +121,34 @@ class BM25Okapi:
             from ..native import bm25_score_batch
 
             q_ids: List[int] = []
+            q_wts: List[float] = []
             q_indptr = [0]
             for toks in queries_tokens:
-                ids = sorted({self.vocab[t] for t in toks if t in self.vocab})
-                q_ids.extend(ids)
+                cnt = Counter(
+                    self.vocab[t] for t in toks if t in self.vocab
+                )
+                for tid in sorted(cnt):
+                    q_ids.append(tid)
+                    q_wts.append(float(cnt[tid]))
                 q_indptr.append(len(q_ids))
             native = bm25_score_batch(
                 self._indptr, self._indices, self._data,
                 self.idf.astype(np.float32), norm.astype(np.float32),
                 np.asarray(q_indptr, np.int64), np.asarray(q_ids, np.int64),
-                self.k1,
+                np.asarray(q_wts, np.float32), self.k1,
             )
             if native is not None:
                 return native
         except Exception:
             pass
-        # query term -> list of query rows containing it
-        term_to_rows: Dict[int, List[int]] = {}
+        # query term -> list of (query row, occurrence count) pairs;
+        # multiplicity matches rank_bm25 (once per query occurrence).
+        term_to_rows: Dict[int, List[Tuple[int, float]]] = {}
         for qi, toks in enumerate(queries_tokens):
-            for t in set(toks):
+            for t, c in Counter(toks).items():
                 tid = self.vocab.get(t)
                 if tid is not None:
-                    term_to_rows.setdefault(tid, []).append(qi)
+                    term_to_rows.setdefault(tid, []).append((qi, float(c)))
         for d in range(self.n_docs):
             s, e = self._indptr[d], self._indptr[d + 1]
             for ids_pos in range(s, e):
@@ -146,6 +158,6 @@ class BM25Okapi:
                     continue
                 f = float(self._data[ids_pos])
                 contrib = self.idf[tid] * f * (self.k1 + 1.0) / (f + norm[d])
-                for qi in rows:
-                    out[qi, d] += contrib
+                for qi, c in rows:
+                    out[qi, d] += c * contrib
         return out

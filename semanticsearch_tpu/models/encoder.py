@@ -192,10 +192,13 @@ class SentenceEncoder:
                     )
                     out[sel] = np.asarray(emb[:b])
                 except Exception as exc:  # OOM sub-batch halving, like the
-                    # reference's embed retry (semantic_common.py:116-129)
+                    # reference's embed retry (semantic_common.py:116-129).
+                    # Match only genuine OOM signatures; anything else (e.g.
+                    # compiler diagnostics that merely mention memory) must
+                    # surface immediately.
                     msg = str(exc).lower()
                     if ("resource_exhausted" in msg or "out of memory" in msg
-                            or "memory" in msg) and eff_batch > n_dev:
+                            ) and eff_batch > n_dev:
                         eff_batch = max(n_dev, eff_batch // 2)
                         continue
                     raise

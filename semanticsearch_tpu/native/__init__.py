@@ -60,10 +60,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.c_float, ctypes.POINTER(ctypes.c_float),
     ]
     lib.semsearch_native_abi_version.restype = ctypes.c_int32
-    if lib.semsearch_native_abi_version() != 1:
+    if lib.semsearch_native_abi_version() != 2:
         return None
     _lib = lib
     return _lib
@@ -110,12 +111,15 @@ def bm25_score_batch(
     norm: np.ndarray,
     q_indptr: np.ndarray,
     q_termids: np.ndarray,
+    q_weights: np.ndarray,
     k1: float,
 ) -> Optional[np.ndarray]:
     """Native CSR BM25 batch scorer; None if the library is unavailable.
 
     doc_termids must be sorted within each document's CSR slice, and
     q_termids sorted within each query's slice (merge-join contract).
+    q_weights carries each query term's occurrence count (rank_bm25
+    multiplicity semantics).
     """
     lib = get_lib()
     if lib is None:
@@ -126,7 +130,7 @@ def bm25_score_batch(
     lib.bm25_score_batch(
         _i64p(doc_indptr), _i64p(doc_termids), _f32p(doc_tf),
         _f32p(idf), _f32p(norm), n_docs,
-        _i64p(q_indptr), _i64p(q_termids), n_queries,
+        _i64p(q_indptr), _i64p(q_termids), _f32p(q_weights), n_queries,
         ctypes.c_float(k1), _f32p(out),
     )
     return out

@@ -88,8 +88,10 @@ void hash_tokenize_batch(
 // Batched BM25 Okapi scoring over CSR document term statistics.
 //
 // Scoring contract matches index/bm25.py::BM25Okapi.get_scores_batch:
-// score(q, d) = sum_{t in q∩d} idf[t] * tf * (k1+1) / (tf + norm[d])
-// with norm[d] = k1 * (1 - b + b * dl[d] / avgdl). idf precomputed by caller.
+// score(q, d) = sum_{t in q∩d} w_q[t] * idf[t] * tf * (k1+1) / (tf + norm[d])
+// with norm[d] = k1 * (1 - b + b * dl[d] / avgdl) and w_q[t] the term's
+// occurrence count in the query (rank_bm25 accumulates once per occurrence).
+// idf precomputed by caller.
 // ---------------------------------------------------------------------------
 
 void bm25_score_batch(
@@ -101,6 +103,7 @@ void bm25_score_batch(
     int64_t n_docs,
     const int64_t* q_indptr,      // (n_queries+1) into q_termids
     const int64_t* q_termids,     // (q_nnz) sorted unique term ids per query
+    const float* q_weights,       // (q_nnz) occurrence count per query term
     int64_t n_queries,
     float k1,
     float* scores_out) {          // (n_queries, n_docs) row-major
@@ -120,7 +123,7 @@ void bm25_score_batch(
                 else if (td > tq) ++j;
                 else {
                     const float f = doc_tf[i];
-                    acc += idf[td] * f * (k1 + 1.0f) / (f + nd);
+                    acc += q_weights[j] * idf[td] * f * (k1 + 1.0f) / (f + nd);
                     ++i; ++j;
                 }
             }
@@ -129,6 +132,6 @@ void bm25_score_batch(
     }
 }
 
-int32_t semsearch_native_abi_version() { return 1; }
+int32_t semsearch_native_abi_version() { return 2; }
 
 }  // extern "C"

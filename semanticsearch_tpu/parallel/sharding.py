@@ -25,7 +25,9 @@ def shard_corpus(emb: jax.Array, mesh: Mesh) -> jax.Array:
     """Place a (N, D) embedding matrix row-sharded over the data axis.
 
     N must be divisible by the data-axis size; pad with zero rows first if
-    needed (zero rows score 0 and lose to any real candidate for k < N).
+    needed and pass the true row count as ``valid_n`` to ``sharded_topk``
+    (zero pad rows score 0, which can BEAT real candidates with negative
+    cosine — they must be excluded, not just assumed to lose).
     """
     return jax.device_put(emb, NamedSharding(mesh, P("data", None)))
 
@@ -59,15 +61,21 @@ def sharded_topk(
     """
     n_total = corpus_sharded.shape[0]
     shard_rows = n_total // mesh.shape["data"]
+    # Pad rows (zero vectors, score 0) can outrank real candidates with
+    # negative scores INSIDE the padded shard's local selection. Request
+    # k + n_pad local candidates so that after masking pads to -inf every
+    # shard still contributes its true local top-k.
+    n_pad = 0 if valid_n < 0 else n_total - valid_n
+    k_local = min(shard_rows, k + n_pad)
 
     def local_search(q, c_local):
         # c_local: (shard_rows, D) — this device's corpus rows.
         my_shard = jax.lax.axis_index("data")
         base = my_shard * shard_rows
         if use_pallas:
-            vals, idx = topk_scores_pallas(q, c_local, k=k)
+            vals, idx = topk_scores_pallas(q, c_local, k=k_local)
         else:
-            vals, idx = topk_scores_ref(q, c_local, k=k)
+            vals, idx = topk_scores_ref(q, c_local, k=k_local)
         gidx = idx + base
         if valid_n >= 0:
             vals = jnp.where(gidx < valid_n, vals, -jnp.inf)

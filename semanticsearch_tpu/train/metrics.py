@@ -4,7 +4,10 @@ The same 18-metric task the reference evaluates
 (``MatchZoo_Tool/evaluate_models.py:213-241``): MAP, MRR, AP, P@{1,3,5,10,20},
 NDCG@{1,3,5,10,20}, DCG@{1,3,5,10,20}. Definitions follow MatchZoo-py's
 metric classes: relevance threshold 0 (labels > 0 count as relevant), DCG gain
-``2^rel - 1`` with ``log2(rank+1)`` discount, ties broken by model-score order.
+``2^rel - 1`` gated on ``rel > threshold`` with a NATURAL-log ``ln(rank + 1)``
+discount (MatchZoo's ``DiscountedCumulativeGain`` uses ``math.log(2 + idx)``,
+not log2 — absolute DCG values differ by ln 2 from the textbook definition;
+NDCG ratios are unaffected), ties broken by model-score order.
 """
 from __future__ import annotations
 
@@ -44,10 +47,10 @@ def precision_at_k(y_true, y_score, k: int, threshold: float = 0.0) -> float:
     return float(rel.sum() / k)
 
 
-def dcg_at_k(y_true, y_score, k: int) -> float:
+def dcg_at_k(y_true, y_score, k: int, threshold: float = 0.0) -> float:
     labels = _sorted_labels(y_true, y_score)[:k]
-    gains = np.power(2.0, labels) - 1.0
-    discounts = np.log2(np.arange(labels.size) + 2.0)
+    gains = np.where(labels > threshold, np.power(2.0, labels) - 1.0, 0.0)
+    discounts = np.log(np.arange(labels.size) + 2.0)
     return float(np.sum(gains / discounts))
 
 

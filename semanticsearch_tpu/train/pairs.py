@@ -49,8 +49,11 @@ class PairDataset:
         """Yield batches of pairwise groups.
 
         Each batch: left/right of shape (batch_size*(1+num_neg), L); within a
-        group the positive row comes first. Incomplete trailing batches are
-        dropped (static shapes).
+        group the positive row comes first. The trailing partial batch is
+        FLUSHED, not dropped: it is padded to batch_size with wrap-around
+        groups from the same epoch permutation (real pairs, so the gradient
+        stays valid and static shapes hold). Dropping it silently ran ZERO
+        steps whenever the dataset had fewer groups than batch_size.
         """
         rng = np.random.default_rng(seed + (epoch if resample else 0))
         groups: List[List[int]] = []
@@ -66,8 +69,15 @@ class PairDataset:
             return
         order = rng.permutation(len(groups))
         group_w = 1 + num_neg
-        for s in range(0, len(order) - batch_size + 1, batch_size):
-            sel = [groups[g] for g in order[s: s + batch_size]]
+        for s in range(0, len(order), batch_size):
+            chunk = order[s: s + batch_size]
+            if len(chunk) < batch_size:
+                # pad with wrap-around groups (repeats if fewer groups than
+                # the pad needs — np.resize cycles)
+                chunk = np.concatenate(
+                    [chunk, np.resize(order, batch_size - len(chunk))]
+                )
+            sel = [groups[g] for g in chunk]
             rows = np.asarray(sel).reshape(-1)  # (B*group_w,)
             yield {
                 "left": self.left[rows],

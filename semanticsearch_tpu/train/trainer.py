@@ -176,7 +176,6 @@ class RerankTrainer:
                 jax.tree.structure(opt_state), jax.tree.leaves(state["opt_state"])
             )
             start_epoch = int(np.asarray(state["epoch"])) + 1
-        rng = jax.random.PRNGKey(cfg.seed)
         history: List[Dict[str, float]] = []
         best: Dict[str, float] = {}
         step = 0
@@ -184,10 +183,15 @@ class RerankTrainer:
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.perf_counter()
             losses = []
+            # Dropout rng is derived from (seed, epoch, step-in-epoch) so a
+            # resumed run replays the identical stream an uninterrupted run
+            # would have used from this epoch on.
+            epoch_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
             # OOM batch-halving retry (reference: train_controller.py:429-494);
             # on TPU a smaller batch is a new static shape -> recompile once.
             while True:
                 try:
+                    step_in_epoch = 0
                     for batch in train_ds.iter_pair_batches(
                         batch_size=batch_size,
                         num_dup=cfg.num_dup,
@@ -196,7 +200,8 @@ class RerankTrainer:
                         epoch=epoch,
                         resample=True,
                     ):
-                        rng, sub = jax.random.split(rng)
+                        sub = jax.random.fold_in(epoch_rng, step_in_epoch)
+                        step_in_epoch += 1
                         params, opt_state, loss_val = self._train_step(
                             params, opt_state,
                             jnp.asarray(batch["left"]),
@@ -218,9 +223,15 @@ class RerankTrainer:
                         )
                         continue
                     raise
+            if not losses:
+                raise RuntimeError(
+                    "epoch ran 0 training steps: the dataset has no pairable "
+                    "queries (every query needs at least one positive and one "
+                    "negative example). Refusing to continue silently."
+                )
             row: Dict[str, float] = {
                 "epoch": epoch,
-                "loss": float(np.mean(losses)) if losses else float("nan"),
+                "loss": float(np.mean(losses)),
                 "time_s": time.perf_counter() - t0,
             }
             if test_ds is not None:

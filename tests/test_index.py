@@ -2,7 +2,7 @@
 import numpy as np
 import pytest
 
-from semanticsearch_tpu.core.config import RankingConfig
+from semanticsearch_tpu.core.config import IndexConfig, RankingConfig
 from semanticsearch_tpu.index.bm25 import BM25Okapi, tokenize
 from semanticsearch_tpu.index.engine import EmbeddingIndex
 from semanticsearch_tpu.index.ranker import (
@@ -52,6 +52,23 @@ def test_bm25_matches_formula():
     got = bm.get_scores(q)
     want = _np_bm25_reference(toks, q)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bm25_repeated_query_terms_multiplicity():
+    """rank_bm25 accumulates a term's contribution once per query occurrence;
+    a repeated query term must score exactly double (ADVICE round 1)."""
+    toks = [tokenize(t) for t in CORPUS]
+    bm = BM25Okapi(toks)
+    q_dup = tokenize("fox fox dog")
+    want = _np_bm25_reference(toks, q_dup)
+    np.testing.assert_allclose(bm.get_scores(q_dup), want, rtol=1e-5, atol=1e-6)
+    # batch path (native C++ when available, python fallback otherwise)
+    batch = bm.get_scores_batch([q_dup, tokenize("fox dog")])
+    np.testing.assert_allclose(batch[0], want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        batch[1], _np_bm25_reference(toks, tokenize("fox dog")),
+        rtol=1e-5, atol=1e-6,
+    )
 
 
 def test_bm25_batch_matches_single():
@@ -131,3 +148,27 @@ def test_embedding_index_recall_parity_sharded(mesh8, rng, n, d, k):
     for row_got, row_want in zip(res.indices, brute):
         recall = len(set(row_got) & set(row_want)) / k
         assert recall == 1.0
+
+
+def test_sharded_topk_negative_scores_with_padding(mesh8, rng):
+    """Zero pad rows (score 0) must not displace real candidates with
+    negative cosine inside the padded shard's local top-k (ADVICE round 1).
+    229 rows over 8 shards -> 3 pad rows in the last shard; every real score
+    is made negative so any pad leakage would corrupt the top-k."""
+    n, d, k = 229, 64, 10
+    base = np.zeros(d, np.float32)
+    base[0] = 1.0
+    corpus = base[None, :] + 0.5 * rng.standard_normal((n, d)).astype(np.float32)
+    corpus[:, 0] = np.abs(corpus[:, 0]) + 0.2  # every row points +e1-ward
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = np.zeros((4, d), np.float32)
+    queries[:, 0] = -1.0  # exact anti-direction: all cosines negative
+    assert (queries @ corpus.T).max() < 0  # construction check
+
+    # f32 index dtype: the point is pad-row exclusion, not bf16 tie-breaking
+    idx = EmbeddingIndex.build(corpus, mesh=mesh8, cfg=IndexConfig(dtype="float32"))
+    res = idx.search(queries, k=k)
+    assert (res.indices < n).all()
+    brute = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
+    for row_got, row_want in zip(res.indices, brute):
+        assert len(set(row_got) & set(row_want)) == k

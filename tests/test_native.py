@@ -59,4 +59,4 @@ def test_native_bm25_matches_python():
 def test_native_lib_abi():
     lib = get_lib()
     assert lib is not None
-    assert lib.semsearch_native_abi_version() == 1
+    assert lib.semsearch_native_abi_version() == 2

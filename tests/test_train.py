@@ -29,11 +29,20 @@ def test_metrics_hand_computed():
     assert average_precision(y_true, y_score) == pytest.approx((1.0 + 2 / 3) / 2)
     assert reciprocal_rank(y_true, y_score) == 1.0
     assert precision_at_k(y_true, y_score, 2) == 0.5
-    # DCG@2 = (2^1-1)/log2(2) + (2^0-1)/log2(3) = 1.0
-    assert dcg_at_k(y_true, y_score, 2) == pytest.approx(1.0)
-    # ideal DCG@2 = 1 + 1/log2(3)
+    # MatchZoo's DiscountedCumulativeGain: natural-log discount, gain gated
+    # on label > 0. DCG@2 = (2^1-1)/ln(2) + 0 = 1/ln 2.
+    assert dcg_at_k(y_true, y_score, 2) == pytest.approx(1.0 / np.log(2))
+    # ideal ranking @2 = both positives: 1/ln2 + 1/ln3; actual = 1/ln2
     assert ndcg_at_k(y_true, y_score, 2) == pytest.approx(
-        1.0 / (1.0 + 1.0 / np.log2(3))
+        (1 / np.log(2)) / (1 / np.log(2) + 1 / np.log(3))
+    )
+
+
+def test_dcg_negative_labels_gated():
+    # MatchZoo only adds gain when label > threshold: a negative label must
+    # contribute 0, not a negative gain.
+    assert dcg_at_k([-2.0, 1.0], [0.9, 0.1], 2) == pytest.approx(
+        (2.0 ** 1 - 1) / np.log(3)
     )
 
 
@@ -92,6 +101,23 @@ def test_pair_batches_structure():
     labs = b["labels"].reshape(-1, 4)
     assert (labs[:, 0] > 0).all()       # positive first in every group
     assert (labs[:, 1:] <= 0).all()
+
+
+def test_pair_trailing_batch_flushed():
+    """The final partial batch must be padded and yielded, not dropped —
+    otherwise datasets with fewer groups than batch_size train ZERO steps
+    (round-1 e2e demo bug)."""
+    ds = _toy_dataset(n_queries=3, per_q=4)  # 3 queries * 2 pos = 6 groups
+    # batch_size larger than the number of groups: still one (padded) batch
+    batches = list(ds.iter_pair_batches(batch_size=64, num_dup=1, num_neg=1))
+    assert len(batches) == 1
+    assert batches[0]["left"].shape[0] == 64 * 2
+    labs = batches[0]["labels"].reshape(-1, 2)
+    assert (labs[:, 0] > 0).all() and (labs[:, 1] <= 0).all()
+    # non-divisible group count: ceil coverage, every batch full-shape
+    batches = list(ds.iter_pair_batches(batch_size=4, num_dup=1, num_neg=1))
+    assert len(batches) == 2  # ceil(6 / 4)
+    assert all(b["left"].shape[0] == 4 * 2 for b in batches)
 
 
 def test_pair_resample_changes_negatives():
