@@ -39,6 +39,22 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
                    help=f"named config: {sorted(NAMED_CONFIGS)}")
     p.add_argument("--set", action="append", default=[],
                    help="override config fields, e.g. --set chunking.method=grouping")
+    p.add_argument("--encoder-ckpt",
+                   help="load trained encoder weights (see train-encoder) "
+                        "instead of random init")
+
+
+def _make_encoder(cfg: Config, args):
+    """Encoder for a subcommand: trained checkpoint when given, else
+    config-built random init (the reference's pretrained-model slot,
+    ``Tool/Sentence_Embedding.py:75``)."""
+    if getattr(args, "encoder_ckpt", None):
+        from ..train.encoder_train import load_encoder
+
+        return load_encoder(args.encoder_ckpt)
+    from ..models.encoder import SentenceEncoder
+
+    return SentenceEncoder(cfg.encoder)
 
 
 def cmd_integrate(args) -> int:
@@ -65,7 +81,6 @@ def cmd_rank(args) -> int:
     from ..core.config import RankingConfig
     from ..data.tsv import read_tsv, write_tsv
     from ..index.ranker import QueryGroup, rank_and_filter_groups
-    from ..models.encoder import SentenceEncoder
 
     cfg = _apply_sets(get_named_config(args.config), args.set)
     rcfg = cfg.ranking
@@ -86,7 +101,7 @@ def cmd_rank(args) -> int:
         g.chunk_ids.append(row.get("chunk_id", f"{qid}_{len(g.chunk_ids)}"))
         g.chunk_texts.append(row.get("chunk_text", ""))
 
-    encoder = SentenceEncoder(cfg.encoder)
+    encoder = _make_encoder(cfg, args)
     ranked = rank_and_filter_groups(list(groups.values()), encoder.encode, rcfg)
     full = args.output.replace(".tsv", "") + "_rrf_filtered_full.tsv"
     write_tsv(
@@ -113,10 +128,8 @@ def cmd_rank(args) -> int:
 
 
 def cmd_index(args) -> int:
-    from ..models.encoder import SentenceEncoder
-
     cfg = _apply_sets(get_named_config(args.config), args.set)
-    enc = SentenceEncoder(cfg.encoder)
+    enc = _make_encoder(cfg, args)
     if args.bm25:
         from ..index.query_engine import HybridQueryEngine
 
@@ -137,10 +150,9 @@ def cmd_index(args) -> int:
 def cmd_search(args) -> int:
     from ..core.mesh import local_mesh
     from ..index.query_engine import HybridQueryEngine
-    from ..models.encoder import SentenceEncoder
 
     cfg = _apply_sets(get_named_config(args.config), args.set)
-    enc = SentenceEncoder(cfg.encoder)
+    enc = _make_encoder(cfg, args)
     engine = HybridQueryEngine.load(
         args.index_dir, enc, mesh=local_mesh(),
         index_cfg=cfg.index, rank_cfg=cfg.ranking,
@@ -234,6 +246,39 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_train_encoder(args) -> int:
+    from ..data.tsv import read_tsv
+    from ..train.encoder_train import (
+        ContrastiveConfig,
+        ContrastiveEncoderTrainer,
+        pairs_from_labeled_rows,
+        save_encoder,
+    )
+
+    cfg = _apply_sets(get_named_config(args.config), args.set)
+    rows = list(read_tsv(args.input))
+    pairs, hard = pairs_from_labeled_rows(rows)
+    if not pairs:
+        print(json.dumps({"error": "no positive (query, chunk) pairs in input"}))
+        return 1
+    encoder = _make_encoder(cfg, args)
+    ccfg = ContrastiveConfig(
+        epochs=args.epochs, batch_size=args.batch_size,
+        learning_rate=args.lr, seed=cfg.seed,
+        max_len_chunk=min(cfg.encoder.max_len, 256),
+    )
+    history = ContrastiveEncoderTrainer(encoder, ccfg).fit(
+        pairs, hard_negatives=hard
+    )
+    save_encoder(encoder, args.output_dir)
+    print(json.dumps({
+        "pairs": len(pairs), "epochs": len(history),
+        "loss_first": history[0]["loss"], "loss_last": history[-1]["loss"],
+        "checkpoint": args.output_dir,
+    }))
+    return 0
+
+
 def cmd_analyze(args) -> int:
     from ..data.analyze import analyze_chunks, analyze_documents, save_report
 
@@ -257,6 +302,10 @@ def cmd_mapping(args) -> int:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="semsearch")
+    parser.add_argument("--platform", choices=["cpu", "tpu"],
+                        help="pin the JAX platform (some TPU plugins override "
+                             "JAX_PLATFORMS at import; this uses "
+                             "jax.config.update, which wins)")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("integrate", help="qrels+topics+docs -> 5-col TSV")
@@ -329,6 +378,19 @@ def main(argv=None) -> int:
     _add_config_args(p)
     p.set_defaults(fn=cmd_train)
 
+    p = sub.add_parser("train-encoder",
+                       help="contrastive (InfoNCE) encoder training on a "
+                            "labeled TSV; writes a checkpoint usable via "
+                            "--encoder-ckpt on rank/index/search")
+    p.add_argument("-i", "--input", required=True,
+                   help="labeled TSV (query_id/query_text/chunk_text/label)")
+    p.add_argument("-o", "--output-dir", required=True)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=3e-4)
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_train_encoder)
+
     p = sub.add_parser("analyze", help="corpus/chunk statistics")
     p.add_argument("kind", choices=["documents", "chunks"])
     p.add_argument("-i", "--input", required=True)
@@ -343,6 +405,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_mapping)
 
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 
