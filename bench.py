@@ -34,12 +34,21 @@ def main() -> int:
     parser.add_argument("--block-n", type=int, default=16384)
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--recall-sample", type=int, default=32)
+    parser.add_argument("--impl", choices=["twopass", "fused"],
+                        default="twopass",
+                        help="twopass = segment-max streaming kernel + "
+                             "candidate rescore (fastest); fused = single "
+                             "kernel with in-VMEM selection")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from semanticsearch_tpu.ops.topk import topk_scores_pallas, topk_scores_ref
+    from semanticsearch_tpu.ops.topk import (
+        topk_scores_pallas,
+        topk_scores_ref,
+        topk_scores_twopass,
+    )
 
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
@@ -79,12 +88,17 @@ def main() -> int:
     q_all = jnp.asarray(q_host, dtype=dtype)
 
     def search(q):
-        if on_tpu:
-            return topk_scores_pallas(
+        if not on_tpu:
+            return topk_scores_ref(q, corpus, k=args.k)
+        if args.impl == "twopass":
+            return topk_scores_twopass(
                 q, corpus, k=args.k,
                 block_q=min(args.query_batch, 128), block_n=args.block_n,
             )
-        return topk_scores_ref(q, corpus, k=args.k)
+        return topk_scores_pallas(
+            q, corpus, k=args.k,
+            block_q=min(args.query_batch, 128), block_n=args.block_n,
+        )
 
     # Warmup / compile. (A lax.scan over the kernel would amortize dispatch
     # perfectly, but scan-of-pallas compiles pathologically slowly through

@@ -80,8 +80,10 @@ class ChunkPipeline:
         debug_visuals_docs: int = 0,
         debug_visuals_dir: Optional[str] = None,
         ideal_bounds_dir: Optional[str] = None,
+        mesh=None,
     ) -> None:
         self.cfg = cfg
+        self.mesh = mesh  # multi-device: shard encode + SP long-doc sims
         self.encoder = encoder  # lazily built; char method needs none
         # Export heatmap/signal/strip PNGs for the first N documents
         # (reference debug visuals, simple_chunk_controller.py:670-1050).
@@ -92,7 +94,7 @@ class ChunkPipeline:
 
     def _get_encoder(self) -> SentenceEncoder:
         if self.encoder is None:
-            self.encoder = SentenceEncoder(self.cfg.encoder)
+            self.encoder = SentenceEncoder(self.cfg.encoder, mesh=self.mesh)
         return self.encoder
 
     # -- per-document chunking given precomputed embeddings ------------------
@@ -128,7 +130,14 @@ class ChunkPipeline:
     def _precompute_signals(self, embeddings_by_doc, signals_by_doc,
                             sims_by_doc) -> None:
         """Fill per-doc (rank matrix, adj sims) or similarity matrices using
-        one batched device call per length bucket."""
+        one batched device call per length bucket.
+
+        Buckets ladder 8..max_sentences (4096 covers the corpus-max 3,939
+        -sentence document without truncation); big buckets are sub-batched
+        by an element budget so the (B, L, L) intermediates stay bounded.
+        Grouping docs at >= sp_min_sentences on a multi-device mesh route
+        through the ring-exchange sequence-parallel similarity path.
+        """
         ccfg = self.cfg.chunking
         use_signals = ccfg.method == "splitter" and not ccfg.c99_use_local_rank
         use_sims = ccfg.method == "grouping"
@@ -139,20 +148,38 @@ class ChunkPipeline:
             if emb is None or emb.shape[0] <= 1:
                 continue
             n = emb.shape[0]
-            bucket = 1 << max(3, (n - 1).bit_length())  # 8,16,32,...
+            bucket = 1 << max(3, (n - 1).bit_length())  # 8,16,...,4096
             buckets.setdefault(bucket, []).append(i)
+
+        n_dev = self.mesh.shape["data"] if self.mesh is not None else 1
+        budget_elems = 1 << 26  # ~64M f32 per (B, L, L) intermediate
         for bucket, idxs in buckets.items():
-            embs = [embeddings_by_doc[i] for i in idxs]
-            if use_signals:
-                from .splitter import batched_split_signals
+            # SP route: grouping + multi-device mesh + long doc
+            if (use_sims and n_dev > 1
+                    and bucket >= self.cfg.chunking.sp_min_sentences):
+                from ..parallel.ring_similarity import sharded_doc_similarity
 
-                for i, sig in zip(idxs, batched_split_signals(embs, bucket)):
-                    signals_by_doc[i] = sig
-            else:
-                from .grouping import batched_similarity_matrices
+                for i in idxs:
+                    sims_by_doc[i] = sharded_doc_similarity(
+                        embeddings_by_doc[i], self.mesh
+                    )
+                continue
+            b_max = max(1, budget_elems // (bucket * bucket))
+            for s in range(0, len(idxs), b_max):
+                part = idxs[s: s + b_max]
+                embs = [embeddings_by_doc[i] for i in part]
+                if use_signals:
+                    from .splitter import batched_split_signals
 
-                for i, S in zip(idxs, batched_similarity_matrices(embs, bucket)):
-                    sims_by_doc[i] = S
+                    for i, sig in zip(part, batched_split_signals(embs, bucket)):
+                        signals_by_doc[i] = sig
+                else:
+                    from .grouping import batched_similarity_matrices
+
+                    for i, S in zip(
+                        part, batched_similarity_matrices(embs, bucket)
+                    ):
+                        sims_by_doc[i] = S
 
     # -- batch processing -----------------------------------------------------
     def _process_batch(

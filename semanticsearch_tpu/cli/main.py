@@ -91,38 +91,59 @@ def cmd_rank(args) -> int:
 
         qmap = build_query_map(args.original)
 
-    groups: Dict[str, QueryGroup] = {}
-    for row in read_tsv(args.input):
-        qid = row.get("query_id", "")
-        qtext = row.get("query_text") or qmap.get(qid, "")
-        if not qtext:
-            continue
-        g = groups.setdefault(qid, QueryGroup(query_id=qid, query_text=qtext))
-        g.chunk_ids.append(row.get("chunk_id", f"{qid}_{len(g.chunk_ids)}"))
-        g.chunk_texts.append(row.get("chunk_text", ""))
-
     encoder = _make_encoder(cfg, args)
-    ranked = rank_and_filter_groups(list(groups.values()), encoder.encode, rcfg)
+
+    # Stream query groups: rows for one query are processed and written as
+    # soon as the next query starts, so host memory holds ONE group, never
+    # the whole chunk TSV (the reference chunk-reads with a RAM estimator,
+    # ``rank_chunks_optimized.py:28-50,373-378``; a 10M-chunk file would not
+    # fit as QueryGroup dicts). Requires the input grouped by query_id —
+    # which the chunking pipeline emits — and fails loudly otherwise.
+    def stream_groups():
+        seen: set = set()
+        cur: QueryGroup | None = None
+        for row in read_tsv(args.input):
+            qid = row.get("query_id", "")
+            qtext = row.get("query_text") or qmap.get(qid, "")
+            if not qtext:
+                continue
+            if cur is None or qid != cur.query_id:
+                if cur is not None:
+                    yield cur
+                if qid in seen:
+                    raise ValueError(
+                        f"input is not grouped by query_id ({qid!r} "
+                        "reappears); sort the chunk TSV by query_id first"
+                    )
+                seen.add(qid)
+                cur = QueryGroup(query_id=qid, query_text=qtext)
+            cur.chunk_ids.append(row.get("chunk_id", f"{qid}_{len(cur.chunk_ids)}"))
+            cur.chunk_texts.append(row.get("chunk_text", ""))
+        if cur is not None:
+            yield cur
+
+    def ranked_rows():
+        for group in stream_groups():
+            yield from rank_and_filter_groups([group], encoder.encode, rcfg)
+
     full = args.output.replace(".tsv", "") + "_rrf_filtered_full.tsv"
-    write_tsv(
-        full,
-        ({"query_id": r.query_id, "chunk_id": r.chunk_id,
-          "chunk_text": r.chunk_text, "cosine_score": f"{r.cosine_score:.6f}",
-          "bm25_score": f"{r.bm25_score:.6f}",
-          "rrf_score": f"{r.rrf_score:.8f}", "label": str(r.label)}
-         for r in ranked),
-        ["query_id", "chunk_id", "chunk_text", "cosine_score", "bm25_score",
-         "rrf_score", "label"],
-    )
-    # 3-column training file at a DISTINCT path (the reference overwrote its
-    # full output with the 3-col one — known defect 3 in SURVEY.md §7).
-    write_tsv(
-        args.output,
-        ({"query_id": r.query_id, "chunk_text": r.chunk_text,
-          "label": str(r.label)} for r in ranked),
-        ["query_id", "chunk_text", "label"],
-    )
-    print(json.dumps({"ranked_rows": len(ranked), "output": args.output,
+    n_rows = 0
+    with open(full, "w", encoding="utf-8") as f_full, \
+            open(args.output, "w", encoding="utf-8") as f_out:
+        # 3-column training file at a DISTINCT path (the reference overwrote
+        # its full output with the 3-col one — defect 3 in SURVEY.md §7).
+        f_full.write("query_id\tchunk_id\tchunk_text\tcosine_score\t"
+                     "bm25_score\trrf_score\tlabel\n")
+        f_out.write("query_id\tchunk_text\tlabel\n")
+        for r in ranked_rows():
+            text = r.chunk_text.replace("\t", " ").replace("\n", " ")
+            f_full.write(
+                f"{r.query_id}\t{r.chunk_id}\t{text}\t{r.cosine_score:.6f}\t"
+                f"{r.bm25_score:.6f}\t{r.rrf_score:.8f}\t{r.label}\n"
+            )
+            f_out.write(f"{r.query_id}\t{text}\t{r.label}\n")
+            n_rows += 1
+    print(json.dumps({"ranked_rows": n_rows, "output": args.output,
                       "full_output": full}))
     return 0
 

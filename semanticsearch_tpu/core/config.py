@@ -89,8 +89,14 @@ class ChunkingConfig:
     # char splitter params
     char_chunk_size: int = 1000
     char_overlap: int = 100
-    # sentence bucketing for static shapes on TPU
-    max_sentences: int = 512
+    # sentence bucketing for static shapes on TPU; 4096 covers the corpus
+    # max (3,939 sentences/doc — reference document_length_summary.json)
+    # without truncation
+    max_sentences: int = 4096
+    # route grouping similarity matrices for docs with >= this many
+    # sentences through the ring-exchange sequence-parallel path when a
+    # multi-device mesh is available (parallel/ring_similarity.py)
+    sp_min_sentences: int = 2048
 
 
 @dataclass(frozen=True)

@@ -92,11 +92,51 @@ def load_index(
     mesh=None,
     cfg: IndexConfig = IndexConfig(),
 ) -> Tuple[EmbeddingIndex, List[str]]:
-    """Restore the HBM-resident sharded index + the chunk-id table."""
+    """Restore the HBM-resident sharded index + the chunk-id table.
+
+    The f16 memmap streams to device SHARD BY SHARD via
+    ``jax.make_array_from_callback`` — host memory peaks at one shard slice,
+    never the full-corpus f32 copy (which would be ~15 GB at the 10M-row
+    north star). Normalization/dtype-cast runs on device after placement.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..core.mesh import local_mesh
+
     with open(os.path.join(index_dir, META_FILE)) as f:
         meta = json.load(f)
+    n, dim = meta["rows"], meta["dim"]
     emb = np.load(os.path.join(index_dir, EMB_FILE), mmap_mode="r")
-    assert emb.shape == (meta["rows"], meta["dim"])
+    assert emb.shape == (n, dim)
     chunk_ids = [row["chunk_id"] for row in read_tsv(os.path.join(index_dir, IDS_FILE))]
-    index = EmbeddingIndex.build(np.asarray(emb, np.float32), mesh=mesh, cfg=cfg)
+
+    if mesh is None:
+        mesh = local_mesh()
+    n_shards = mesh.shape["data"]
+    n_pad = ((n + n_shards - 1) // n_shards) * n_shards
+    sharding = NamedSharding(mesh, P("data", None))
+
+    def _shard_slice(index: Tuple[slice, ...]) -> np.ndarray:
+        rs = index[0]
+        start, stop = rs.start or 0, rs.stop if rs.stop is not None else n_pad
+        out = np.zeros((stop - start, dim), np.float16)
+        real = max(0, min(stop, n) - start)
+        if real > 0:
+            out[:real] = emb[start: start + real]
+        return out
+
+    raw = jax.make_array_from_callback((n_pad, dim), sharding, _shard_slice)
+
+    @jax.jit
+    def _normalize(x):
+        x = x.astype(jnp.float32)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+        return jax.lax.with_sharding_constraint(
+            x.astype(jnp.dtype(cfg.dtype)), sharding
+        )
+
+    corpus = _normalize(raw)
+    index = EmbeddingIndex(corpus, valid_n=n, mesh=mesh, cfg=cfg)
     return index, chunk_ids

@@ -262,6 +262,132 @@ def topk_scores_pallas(
     return out_v[:q, :k], out_i[:q, :k]
 
 
+# --------------------------------------------------------------------------
+# Two-pass exact top-k: segment-max streaming kernel + candidate rescore.
+#
+# Pass A streams the corpus once and emits only per-SEGMENT maxima of the
+# score matrix (segments = 128 lane-strided columns per corpus block), so the
+# kernel is almost pure MXU: one matmul + one elementwise-vreg max chain per
+# tile — no in-kernel selection, no gather, no cross-tile accumulator. The
+# (Q, n_segments) segmax matrix is ~N/G the score matrix's size.
+#
+# Pass B (plain XLA, same jit): the true top-k elements provably live in the
+# top-k segments by maximum (if element e's segment ranked below k, then k
+# segments each contain an element >= segmax > ... >= e). lax.top_k picks
+# k segments per query, their k*G candidate columns are gathered and exactly
+# rescored with a tiny einsum, and a final lax.top_k returns the answer.
+# Total pass-B traffic is Q * k * G corpus rows — independent of N.
+# --------------------------------------------------------------------------
+
+def _segmax_kernel(q_ref, c_ref, m_ref, out_ref, *, block_q: int,
+                   block_n: int):
+    """Grid (c_blocks, q_blocks), corpus-major: each corpus window is loaded
+    into VMEM once and swept by all query blocks. Emits (block_q, 128) lane
+    -strided segment maxima: segment s of this tile = columns {g*128 + s}."""
+    scores = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + m_ref[:]
+    g = block_n // _LANE
+    out_ref[:] = jnp.max(scores.reshape(block_q, g, _LANE), axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_q", "block_n", "q_chunk", "interpret"),
+)
+def topk_scores_twopass(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int = 10,
+    block_q: int = 128,
+    block_n: int = 16384,
+    q_chunk: int = 256,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k inner-product search, two-pass: (values, indices), (Q, k).
+
+    Faster than the fused single-pass kernel because the streaming pass does
+    O(1) VPU work per score (one max) and all selection runs on the small
+    (Q, N/G) segment matrix. Candidate rescore traffic is Q*k*G rows where
+    G = block_n/128 (128 at the default block), so prefer the single-pass
+    kernel only when Q is huge relative to N.
+    """
+    q, d = queries.shape
+    n = corpus.shape[0]
+    n_pad = _round_up(n, block_n)
+    q_pad = _round_up(max(q, 8), block_q)
+    if q_pad != q:
+        queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
+    if n_pad != n:
+        corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
+    pad_mask = jnp.where(
+        jnp.arange(n_pad, dtype=jnp.int32)[None, :] < n, 0.0, NEG_INF
+    ).astype(jnp.float32)
+
+    c_blocks = n_pad // block_n
+    grid = (c_blocks, q_pad // block_q)
+    segmax = pl.pallas_call(
+        functools.partial(_segmax_kernel, block_q=block_q, block_n=block_n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda cb, qb: (qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda cb, qb: (cb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda cb, qb: (0, cb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_q, _LANE), lambda cb, qb: (qb, cb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q_pad, c_blocks * _LANE), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n_pad * d,
+            bytes_accessed=q_pad * d * 4 + n_pad * d * 4
+            + q_pad * c_blocks * _LANE * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, corpus, pad_mask)
+
+    # ---- pass B: top-k segments -> gather + exact rescore (XLA) ----
+    g_size = block_n // _LANE
+    total_segs = c_blocks * _LANE
+    k_seg = min(k, total_segs)
+    _, seg_ids = jax.lax.top_k(segmax, k_seg)  # (q_pad, k_seg)
+
+    # candidate global columns: seg = cb*128 + lane; col = cb*block_n
+    # + g*128 + lane, g in [0, g_size)
+    cb_ids = seg_ids // _LANE
+    lane_ids = seg_ids % _LANE
+    g_off = (jnp.arange(g_size, dtype=jnp.int32) * _LANE)[None, None, :]
+    cand = (cb_ids[:, :, None] * block_n + lane_ids[:, :, None] + g_off
+            ).reshape(q_pad, k_seg * g_size)
+    cand_safe = jnp.minimum(cand, n - 1)
+
+    out_v = []
+    out_i = []
+    for s in range(0, q_pad, q_chunk):
+        e = min(s + q_chunk, q_pad)
+        rows = jnp.take(corpus, cand_safe[s:e], axis=0)  # (qc, C, D)
+        scores = jnp.einsum(
+            "qcd,qd->qc", rows, queries[s:e],
+            preferred_element_type=jnp.float32,
+        )
+        scores = jnp.where(cand[s:e] < n, scores, NEG_INF)
+        v, sel = jax.lax.top_k(scores, k)
+        out_v.append(v)
+        out_i.append(jnp.take_along_axis(cand_safe[s:e], sel, axis=1))
+    vals = jnp.concatenate(out_v, axis=0)[:q]
+    idx = jnp.concatenate(out_i, axis=0)[:q].astype(jnp.int32)
+    return vals, idx
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block_n"))
 def topk_scores_ref(
     queries: jax.Array, corpus: jax.Array, k: int = 10, block_n: int = 4096

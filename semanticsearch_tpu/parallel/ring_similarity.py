@@ -61,3 +61,26 @@ def ring_similarity_matrix(emb_sharded: jax.Array, mesh: Mesh) -> jax.Array:
         out_specs=P("data", None),
         check_vma=False,
     )(emb_sharded)
+
+
+def sharded_doc_similarity(embeddings, mesh: Mesh):
+    """Production entry: one long document's (n, n) similarity matrix via the
+    ring exchange, handling padding to the device count.
+
+    Used by the chunking pipeline for documents with >= sp_min_sentences
+    sentences on a multi-device mesh (the reference computes these whole on
+    one device and truncates instead — ``semantic_common.py:144-191``).
+    Returns a host numpy (n, n) float32 matrix (the grouping post-processing
+    consumes it host-side).
+    """
+    import numpy as np
+
+    emb = jnp.asarray(np.asarray(embeddings, np.float32))
+    n = emb.shape[0]
+    n_dev = mesh.shape["data"]
+    pad = (-n) % n_dev
+    if pad:
+        emb = jnp.pad(emb, ((0, pad), (0, 0)))
+    emb = jax.device_put(emb, NamedSharding(mesh, P("data", None)))
+    S = ring_similarity_matrix(emb, mesh)
+    return np.asarray(S)[:n, :n]

@@ -7,6 +7,7 @@ from semanticsearch_tpu.ops.topk import (
     topk_scores_pallas,
     topk_scores_ref,
     topk_scores,
+    topk_scores_twopass,
 )
 
 
@@ -34,6 +35,44 @@ def test_topk_pallas_interpret_matches_bruteforce(rng):
     vals, idx = topk_scores_pallas(
         jnp.asarray(Q), jnp.asarray(C), k=k, block_q=8, block_n=128,
         interpret=True,
+    )
+    bv, bi = _brute_force(Q, C, k)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx), bi)
+
+
+@pytest.mark.parametrize("q,n,d,k,block_n", [
+    (4, 300, 128, 10, 128),      # multiple corpus blocks, padding
+    (3, 1024, 128, 5, 256),      # exact block multiple
+    (9, 77, 128, 10, 128),       # single padded block, q padding
+])
+def test_topk_twopass_interpret_matches_bruteforce(rng, q, n, d, k, block_n):
+    Q = rng.standard_normal((q, d)).astype(np.float32)
+    C = rng.standard_normal((n, d)).astype(np.float32)
+    vals, idx = topk_scores_twopass(
+        jnp.asarray(Q), jnp.asarray(C), k=k, block_q=8, block_n=block_n,
+        q_chunk=8, interpret=True,
+    )
+    bv, bi = _brute_force(Q, C, k)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx), bi)
+
+
+def test_topk_twopass_negative_scores_padding(rng):
+    """Zero pad columns (score 0) must not displace negative-scored true
+    top-k via inflated segment maxima — the mask applies before segmax."""
+    n, d, k = 77, 64, 10
+    base = np.zeros(d, np.float32)
+    base[0] = 1.0
+    C = base[None, :] + 0.5 * rng.standard_normal((n, d)).astype(np.float32)
+    C[:, 0] = np.abs(C[:, 0]) + 0.2
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    Q = np.zeros((4, d), np.float32)
+    Q[:, 0] = -1.0
+    assert (Q @ C.T).max() < 0
+    vals, idx = topk_scores_twopass(
+        jnp.asarray(Q), jnp.asarray(C), k=k, block_q=8, block_n=128,
+        q_chunk=8, interpret=True,
     )
     bv, bi = _brute_force(Q, C, k)
     np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
