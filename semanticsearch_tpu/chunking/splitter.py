@@ -189,19 +189,46 @@ def c99_boundaries(
     return sorted(set(cuts[: min(m - 1, len(cuts))]))
 
 
+def c99_gain_curve(
+    rank_matrix: np.ndarray, min_chunk_size: int = 3
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Root-segment cut-gain profile: gain(c) for every candidate first cut.
+
+    The C99 density signal the reference's 4-panel debug plot shows
+    (``simple_chunk_controller.py:731-943``): gain(c) = 0.5*(mean_left +
+    mean_right) - mean_all over the whole document. Returns (positions,
+    gains); empty arrays when the document is too short to cut.
+    """
+    R = np.asarray(rank_matrix, dtype=np.float64)
+    n = R.shape[0]
+    mcs = int(min_chunk_size)
+    if n < 2 * mcs:
+        return np.array([], dtype=int), np.array([])
+    ps = _PrefixSum2D(R)
+    mean_all = float(ps.block_mean(0, n))
+    cuts = np.arange(mcs, n - mcs + 1)
+    left = ps.block_mean(np.zeros_like(cuts), cuts)
+    right = ps.block_mean(cuts, np.full_like(cuts, n))
+    return cuts, 0.5 * (left + right) - mean_all
+
+
 # --------------------------------------------------------------------------
 # Valley detection on the adjacent-similarity signal
 # --------------------------------------------------------------------------
 
-def valley_boundaries(
+def valley_candidates(
     adj_sims: Sequence[float],
     triplet_tau: float = 0.12,
-    min_boundary_spacing: int = 2,
-    min_first_boundary_index: int = 5,
-) -> List[int]:
-    """Valleys = decreasing->increasing runs of adjacent similarity; strength
-    is the left drop + right rise at the run minimum; z-scored, sigmoided,
-    spacing-NMS'd (reference ``Semantic_Splitter_Optimized.py:267-338``)."""
+) -> List[Tuple[int, float, float]]:
+    """All raw valley candidates as (position, strength, score).
+
+    Valleys = decreasing->increasing runs of adjacent similarity; strength
+    is the left drop + right rise at the run minimum; score is the z-scored
+    sigmoid over all candidates (reference
+    ``Semantic_Splitter_Optimized.py:267-338``). No spacing/first-index
+    filtering — that happens in :func:`valley_boundaries`; the full
+    candidate set also feeds the NMS-decision debug panels.
+    """
     sims = np.asarray(adj_sims, dtype=np.float64)
     n = sims.size
     if n < 3:
@@ -227,14 +254,25 @@ def valley_boundaries(
 
     if not raw:
         return []
-
     strengths = np.array([s for _, s in raw])
     z = (strengths - strengths.mean()) / (strengths.std() + 1e-9)
     scores = 1.0 / (1.0 + np.exp(-(z / max(triplet_tau, 1e-9))))
+    return [
+        (b, float(s), float(sc)) for (b, s), sc in zip(raw, scores)
+    ]
 
+
+def valley_boundaries(
+    adj_sims: Sequence[float],
+    triplet_tau: float = 0.12,
+    min_boundary_spacing: int = 2,
+    min_first_boundary_index: int = 5,
+) -> List[int]:
+    """Valley candidates filtered by first-index and spacing-NMS (reference
+    ``Semantic_Splitter_Optimized.py:313-338``)."""
     cands = [
-        (b, float(sc), float(s))
-        for (b, s), sc in zip(raw, scores)
+        (b, sc, s)
+        for b, s, sc in valley_candidates(adj_sims, triplet_tau)
         if b >= int(min_first_boundary_index)
     ]
     if not cands:

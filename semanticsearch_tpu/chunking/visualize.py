@@ -80,31 +80,82 @@ def plot_boundary_signals(
     final_bounds: Optional[Sequence[int]] = None,
     smoothed: Optional[Sequence[float]] = None,
     ideal_bounds: Optional[Sequence[int]] = None,
+    valley_cands: Optional[Sequence] = None,
+    c99_curve: Optional[tuple] = None,
 ) -> Optional[str]:
-    """Multi-panel signal plot: raw/smoothed adjacent sims + per-method cuts."""
+    """Four DISTINCT signal panels with NMS decision annotations (reference
+    4-panel plot, ``simple_chunk_controller.py:731-943``):
+
+    1. raw + smoothed adjacent similarity
+    2. valley strength/score stems — kept boundaries solid red, candidates
+       suppressed by NMS/first-index dashed gray
+    3. C99 root-segment cut-gain profile + chosen cuts
+    4. final boundaries over the smoothed signal — union candidates that
+       lost the hybrid vote / final NMS dashed gray
+
+    ``valley_cands``: (pos, strength, score) triples from
+    ``splitter.valley_candidates``; ``c99_curve``: (positions, gains) from
+    ``splitter.c99_gain_curve``.
+    """
     plt = _plt()
     if plt is None:
         return None
     adj = np.asarray(adj_sims, dtype=float)
-    panels = [
-        ("adjacent similarity", adj, smoothed),
-        ("valley boundaries", adj, None),
-        ("C99 boundaries", adj, None),
-        ("final boundaries", adj, None),
-    ]
-    marks = [None, valley_bounds, c99_bounds, final_bounds]
-    fig, axes = plt.subplots(len(panels), 1, figsize=(10, 9), sharex=True)
-    for ax, (title, sig, extra), bnds in zip(axes, panels, marks):
-        ax.plot(np.arange(1, sig.size + 1), sig, lw=0.9, label="adj sim")
-        if extra is not None:
-            ax.plot(np.arange(1, len(extra) + 1), extra, lw=0.9,
-                    label="smoothed", alpha=0.7)
-            ax.legend(loc="lower right", fontsize=7)
-        for b in bnds or []:
-            ax.axvline(b, color="red", lw=1.0, alpha=0.8)
-        for b in ideal_bounds or []:
-            ax.axvline(b, color="cyan", lw=0.8, linestyle="--", alpha=0.8)
-        ax.set_ylabel(title, fontsize=8)
+    x = np.arange(1, adj.size + 1)
+    fig, axes = plt.subplots(4, 1, figsize=(10, 10), sharex=True)
+
+    # 1 — adjacent similarity
+    ax = axes[0]
+    ax.plot(x, adj, lw=0.9, label="adj sim")
+    if smoothed is not None:
+        ax.plot(np.arange(1, len(smoothed) + 1), smoothed, lw=0.9,
+                label="smoothed", alpha=0.7)
+    ax.legend(loc="lower right", fontsize=7)
+    ax.set_ylabel("adjacent similarity", fontsize=8)
+
+    # 2 — valley strength/score with NMS decisions
+    ax = axes[1]
+    kept_v = set(valley_bounds or [])
+    if valley_cands:
+        for pos, strength, score in valley_cands:
+            kept = pos in kept_v
+            ax.vlines(pos, 0, strength,
+                      color="red" if kept else "gray",
+                      lw=1.4 if kept else 0.9,
+                      linestyle="-" if kept else "--", alpha=0.9)
+            ax.plot(pos, score, "o", ms=3,
+                    color="darkred" if kept else "gray", alpha=0.8)
+        ax.plot([], [], color="red", label="kept")
+        ax.plot([], [], color="gray", linestyle="--", label="NMS-suppressed")
+        ax.plot([], [], "o", ms=3, color="darkred", label="score")
+        ax.legend(loc="upper right", fontsize=7)
+    ax.set_ylabel("valley strength", fontsize=8)
+
+    # 3 — C99 gain profile
+    ax = axes[2]
+    if c99_curve is not None and len(c99_curve[0]):
+        ax.plot(c99_curve[0], c99_curve[1], lw=0.9, color="tab:green",
+                label="first-cut gain")
+        ax.axhline(0.0, color="black", lw=0.5, alpha=0.5)
+        ax.legend(loc="upper right", fontsize=7)
+    for b in c99_bounds or []:
+        ax.axvline(b, color="red", lw=1.2, alpha=0.9)
+    ax.set_ylabel("C99 gain profile", fontsize=8)
+
+    # 4 — final decision
+    ax = axes[3]
+    base = np.asarray(smoothed, dtype=float) if smoothed is not None else adj
+    ax.plot(np.arange(1, base.size + 1), base, lw=0.9, alpha=0.8)
+    final_set = set(final_bounds or [])
+    union = set(valley_bounds or []) | set(c99_bounds or [])
+    for b in sorted(union - final_set):
+        ax.axvline(b, color="gray", lw=0.9, linestyle="--", alpha=0.7)
+    for b in sorted(final_set):
+        ax.axvline(b, color="red", lw=1.4, alpha=0.9)
+    for b in ideal_bounds or []:
+        ax.axvline(b, color="cyan", lw=0.8, linestyle=":", alpha=0.9)
+    ax.set_ylabel("final boundaries", fontsize=8)
+
     axes[-1].set_xlabel("boundary index (between sentence i and i+1)")
     fig.suptitle(f"boundary signals — {doc_id}")
     fig.tight_layout()
@@ -154,15 +205,35 @@ def export_document_debug(
     """One-call export of all three visuals for a chunked document."""
     import jax.numpy as jnp
 
-    from ..ops.similarity import adjacent_similarities, similarity_matrix
+    from ..ops.similarity import (
+        adjacent_similarities,
+        rank_matrix_global,
+        similarity_matrix,
+    )
+    from .splitter import (
+        c99_boundaries,
+        c99_gain_curve,
+        median_smooth,
+        valley_boundaries,
+        valley_candidates,
+    )
 
     os.makedirs(output_dir, exist_ok=True)
     emb = np.asarray(embeddings, np.float32)
     n = emb.shape[0]
-    S = np.asarray(similarity_matrix(jnp.asarray(emb)))
+    S_dev = similarity_matrix(jnp.asarray(emb))
+    S = np.asarray(S_dev)
     adj = np.asarray(adjacent_similarities(jnp.asarray(emb)))
     boundaries = sorted(g[0] for g in groups if g and g[0] > 0)
     ideal = load_ideal_bounds(bounds_dir, doc_id) if bounds_dir else None
+
+    # distinct per-method signals for the 4-panel plot
+    smoothed = median_smooth(adj, 3)
+    v_cands = valley_candidates(smoothed)
+    v_bounds = valley_boundaries(smoothed)
+    R = np.asarray(rank_matrix_global(S_dev))
+    c_curve = c99_gain_curve(R)
+    c_bounds = c99_boundaries(R)
     return {
         "heatmap": plot_similarity_heatmap(
             S, boundaries, os.path.join(output_dir, f"{doc_id}_heatmap.png"),
@@ -170,7 +241,9 @@ def export_document_debug(
         ),
         "signals": plot_boundary_signals(
             adj, os.path.join(output_dir, f"{doc_id}_signals.png"),
-            doc_id, final_bounds=boundaries, ideal_bounds=ideal,
+            doc_id, valley_bounds=v_bounds, c99_bounds=c_bounds,
+            final_bounds=boundaries, smoothed=smoothed, ideal_bounds=ideal,
+            valley_cands=v_cands, c99_curve=c_curve,
         ),
         "strip": plot_grouping_strip(
             groups_to_labels(groups, n),

@@ -148,6 +148,10 @@ class TrainConfig:
     seed: int = 42
     clip_norm: Optional[float] = None
     eval_metrics: tuple = ("ndcg@3", "ndcg@5", "map")
+    # GloVe-format local file for embedding-table init (reference builds an
+    # L2-normalized GloVe-100 matrix, train_controller.py:564-581); None =
+    # learned from scratch
+    embedding_init_path: Optional[str] = None
 
 
 @dataclass(frozen=True)

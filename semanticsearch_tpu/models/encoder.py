@@ -174,6 +174,20 @@ class SentenceEncoder:
             buckets.setdefault(self._bucket_for(int(ln)), []).append(i)
 
         n_dev = self.mesh.shape["data"] if self.mesh is not None else 1
+        # Double-buffered dispatch: the device computes batch i while the
+        # host converts batch i-1's result (JAX dispatch is async; only the
+        # np.asarray fetch blocks). Round 1 fetched synchronously per batch,
+        # leaving the device idle during every host<->device transfer —
+        # 12x below device-forward rate through a remote link (BASELINE.md).
+        pending: Optional[tuple] = None  # (device_emb, sel, b, start_offset)
+
+        def _drain():
+            nonlocal pending
+            if pending is not None:
+                emb_dev, p_sel, p_b, _ = pending
+                out[p_sel] = np.asarray(emb_dev[:p_b])
+                pending = None
+
         for L, idxs in buckets.items():
             eff_batch = batch_size
             s = 0
@@ -190,7 +204,8 @@ class SentenceEncoder:
                     emb = self._forward(
                         self.params, jnp.asarray(ids), jnp.asarray(mask)
                     )
-                    out[sel] = np.asarray(emb[:b])
+                    _drain()  # fetch the PREVIOUS batch while this one runs
+                    pending = (emb, sel, b, s)
                 except Exception as exc:  # OOM sub-batch halving, like the
                     # reference's embed retry (semantic_common.py:116-129).
                     # Match only genuine OOM signatures; anything else (e.g.
@@ -199,10 +214,16 @@ class SentenceEncoder:
                     msg = str(exc).lower()
                     if ("resource_exhausted" in msg or "out of memory" in msg
                             ) and eff_batch > n_dev:
+                        if pending is not None:
+                            # the in-flight previous batch may be the one
+                            # that failed on-device; recompute it too
+                            s = pending[3]
+                            pending = None
                         eff_batch = max(n_dev, eff_batch // 2)
                         continue
                     raise
                 s += b
+            _drain()  # flush before switching buckets (offsets are per-bucket)
         return out
 
 

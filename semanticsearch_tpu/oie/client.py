@@ -42,21 +42,106 @@ def is_port_open(port: int, host: str = "127.0.0.1") -> bool:
         return s.connect_ex((host, port)) == 0
 
 
+def kill_processes_on_port(port: int, timeout_s: float = 5.0) -> int:
+    """Terminate (then kill) any process LISTENING on ``port``.
+
+    Server-restart hygiene from the reference (``OIE_ubuntu.py:58-85``): a
+    crashed or foreign squatter on the OIE port would otherwise make every
+    relaunch silently reuse the wrong server. Returns the number of
+    processes terminated; 0 when the port is free or psutil is unavailable.
+    """
+    try:
+        import psutil
+    except ImportError:
+        return 0
+    victims = []
+    for proc in psutil.process_iter(["pid"]):
+        try:
+            conns = proc.net_connections(kind="inet")
+        except (psutil.AccessDenied, psutil.NoSuchProcess):
+            continue
+        for c in conns:
+            if c.laddr and c.laddr.port == port and c.status == psutil.CONN_LISTEN:
+                victims.append(proc)
+                break
+    for proc in victims:
+        try:
+            proc.terminate()
+        except psutil.NoSuchProcess:
+            pass
+    _, alive = psutil.wait_procs(victims, timeout=timeout_s)
+    for proc in alive:
+        try:
+            proc.kill()
+        except psutil.NoSuchProcess:
+            pass
+    if victims:
+        logger.info("killed %d process(es) on port %d", len(victims), port)
+    return len(victims)
+
+
+def terminate_openie_processes(timeout_s: float = 5.0) -> int:
+    """Terminate every process whose command line references an OpenIE jar
+    (reference ``OIE.py:119-156`` / ``OIE_ubuntu.py:96-101``). Returns the
+    count terminated."""
+    try:
+        import psutil
+    except ImportError:
+        return 0
+    victims = []
+    me = os.getpid()
+    for proc in psutil.process_iter(["pid", "name", "cmdline"]):
+        try:
+            argv = proc.info.get("cmdline") or []
+            name = (proc.info.get("name") or "").lower()
+        except (psutil.AccessDenied, psutil.NoSuchProcess):
+            continue
+        # The EXECUTABLE must be java — matching 'openie' anywhere in the
+        # cmdline alone would also kill shells whose command text merely
+        # mentions the jar (e.g. the launcher that started it).
+        exe_is_java = name == "java" or (
+            argv and os.path.basename(argv[0]).lower() == "java"
+        )
+        cmd = " ".join(argv).lower()
+        if proc.pid != me and exe_is_java and "openie" in cmd:
+            victims.append(proc)
+    for proc in victims:
+        try:
+            proc.terminate()
+        except psutil.NoSuchProcess:
+            pass
+    _, alive = psutil.wait_procs(victims, timeout=timeout_s)
+    for proc in alive:
+        try:
+            proc.kill()
+        except psutil.NoSuchProcess:
+            pass
+    if victims:
+        logger.info("terminated %d OpenIE process(es)", len(victims))
+    return len(victims)
+
+
 def start_openie_server(
     jar_path: Optional[str] = None,
     port: int = DEFAULT_PORT,
     xms_gb: Optional[int] = None,
     wait_s: float = 120.0,
+    kill_squatters: bool = False,
 ) -> Optional[subprocess.Popen]:
     """Launch the OpenIE5 jar if configured; None when unavailable.
 
     Env contract matches the reference: ``OPENIE_JAR_PATH``, ``OPENIE_XMS_GB``.
+    ``kill_squatters`` frees the port first (``OIE_ubuntu.py:58-85``).
     """
     jar_path = jar_path or os.environ.get("OPENIE_JAR_PATH")
     if not jar_path or not os.path.exists(jar_path):
         return None
     if is_port_open(port):
-        return None  # already serving
+        if not kill_squatters:
+            return None  # already serving
+        kill_processes_on_port(port)
+        if is_port_open(port):
+            return None
     xms = int(xms_gb or os.environ.get("OPENIE_XMS_GB", 10))
     cmd = [
         "java", f"-Xms{xms}g", f"-Xmx{max(xms, 16)}g",

@@ -17,7 +17,7 @@ cosine semantics (dot == cosine), matching the reference's normalize-then-dot
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -263,34 +263,91 @@ def topk_scores_pallas(
 
 
 # --------------------------------------------------------------------------
-# Two-pass exact top-k: segment-max streaming kernel + candidate rescore.
+# Two-pass exact top-k over a SWIZZLED corpus: segment top-k kernel +
+# contiguous-block candidate rescore.
 #
-# Pass A streams the corpus once and emits only per-SEGMENT maxima of the
-# score matrix (segments = 128 lane-strided columns per corpus block), so the
-# kernel is almost pure MXU: one matmul + one elementwise-vreg max chain per
-# tile — no in-kernel selection, no gather, no cross-tile accumulator. The
-# (Q, n_segments) segmax matrix is ~N/G the score matrix's size.
+# The corpus is partitioned into SEGMENTS of L = block_n/128 consecutive
+# rows (128 segments per corpus block). The true top-k elements provably
+# live in the top-k segments by maximum: if element e's segment ranked
+# below k, then k segments each contain an element >= segmax >= e.
 #
-# Pass B (plain XLA, same jit): the true top-k elements provably live in the
-# top-k segments by maximum (if element e's segment ranked below k, then k
-# segments each contain an element >= segmax > ... >= e). lax.top_k picks
-# k segments per query, their k*G candidate columns are gathered and exactly
-# rescored with a tiny einsum, and a final lax.top_k returns the answer.
-# Total pass-B traffic is Q * k * G corpus rows — independent of N.
+# Pass A streams a SWIZZLED copy of the corpus (within each block, row
+# j*128+s holds natural row s*L+j) so that segment s's score columns all
+# land on LANE s — the per-tile segment max is then an elementwise max over
+# vreg rows (no cross-lane reduction), and the per-tile merge into the
+# running top-k segments is k cheap passes over a (block_q, 256) strip.
+# The kernel's non-matmul work is O(1) VPU ops per score.
+#
+# Pass B (plain XLA, same jit): segment s covers natural rows
+# [s*L, (s+1)*L) — CONTIGUOUS — so the candidate gather is k big
+# (L, D) block copies per query (jnp.take over a (n_segs, L, D) view),
+# not a scattered row gather. Rescore with a small einsum + final top_k.
+# Pass-B traffic is Q * k * L rows, independent of N.
 # --------------------------------------------------------------------------
 
-def _segmax_kernel(q_ref, c_ref, m_ref, out_ref, *, block_q: int,
-                   block_n: int):
-    """Grid (c_blocks, q_blocks), corpus-major: each corpus window is loaded
-    into VMEM once and swept by all query blocks. Emits (block_q, 128) lane
-    -strided segment maxima: segment s of this tile = columns {g*128 + s}."""
+def swizzle_corpus(corpus: jax.Array, block_n: int = 16384) -> jax.Array:
+    """Precompute the pass-A layout: within each block_n-row block, position
+    j*128 + s holds natural row s*L + j (L = block_n/128). Pad to a block
+    multiple first (zero rows). One transpose-copy; build it once per index
+    (EmbeddingIndex stores it) and pass to ``topk_scores_twopass``."""
+    n = corpus.shape[0]
+    d = corpus.shape[1]
+    n_pad = _round_up(n, block_n)
+    if n_pad != n:
+        corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
+    L = block_n // _LANE
+    cb = n_pad // block_n
+    return (
+        corpus.reshape(cb, _LANE, L, d)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_pad, d)
+    )
+
+
+def _segtopk_kernel(q_ref, c_ref, m_ref, ov_ref, oi_ref, acc_v, acc_i, *,
+                    k: int, block_q: int, block_n: int):
+    """Grid (c_blocks, q_blocks), corpus-major. c_ref holds the SWIZZLED
+    block; lane s of the score tile = segment cb*128 + s. Maintains the
+    running top-k (segmax value, segment id) per query in VMEM scratch."""
+    cb = pl.program_id(0)
+    qb = pl.program_id(1)
+    n_cb = pl.num_programs(0)
+    row0 = qb * block_q
+
+    @pl.when(cb == 0)
+    def _init():
+        acc_v[pl.ds(row0, block_q), :] = jnp.full(
+            (block_q, _LANE), NEG_INF, acc_v.dtype
+        )
+        acc_i[pl.ds(row0, block_q), :] = jnp.zeros(
+            (block_q, _LANE), acc_i.dtype
+        )
+
     scores = jax.lax.dot_general(
         q_ref[:], c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + m_ref[:]
-    g = block_n // _LANE
-    out_ref[:] = jnp.max(scores.reshape(block_q, g, _LANE), axis=1)
+    L = block_n // _LANE
+    # segment max: elementwise max across the L vreg-rows at each lane
+    segmax = jnp.max(scores.reshape(block_q, L, _LANE), axis=1)
+    seg_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, _LANE), 1)
+        + cb * _LANE
+    )
+
+    cur_v = acc_v[pl.ds(row0, block_q), :]
+    cur_i = acc_i[pl.ds(row0, block_q), :]
+    vals = jnp.concatenate([cur_v, segmax], axis=1)
+    idxs = jnp.concatenate([cur_i, seg_ids], axis=1)
+    new_v, new_i = _select_topk_rows(vals, idxs, k, _LANE)
+    acc_v[pl.ds(row0, block_q), :] = new_v
+    acc_i[pl.ds(row0, block_q), :] = new_i
+
+    @pl.when(cb == n_cb - 1)
+    def _emit():
+        ov_ref[:] = new_v
+        oi_ref[:] = new_i
 
 
 @functools.partial(
@@ -305,31 +362,44 @@ def topk_scores_twopass(
     block_n: int = 16384,
     q_chunk: int = 256,
     interpret: bool = False,
+    corpus_swizzled: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k inner-product search, two-pass: (values, indices), (Q, k).
 
-    Faster than the fused single-pass kernel because the streaming pass does
-    O(1) VPU work per score (one max) and all selection runs on the small
-    (Q, N/G) segment matrix. Candidate rescore traffic is Q*k*G rows where
-    G = block_n/128 (128 at the default block), so prefer the single-pass
-    kernel only when Q is huge relative to N.
+    ``corpus`` is the natural row-major matrix (used by the pass-B rescore);
+    ``corpus_swizzled`` the pass-A layout from :func:`swizzle_corpus`
+    (computed on the fly when None — one extra corpus copy per call, so
+    persistent indexes should precompute it). Requires k <= 128.
     """
+    assert k <= _LANE, f"segment top-k supports k <= {_LANE}, got {k}"
     q, d = queries.shape
     n = corpus.shape[0]
     n_pad = _round_up(n, block_n)
     q_pad = _round_up(max(q, 8), block_q)
     if q_pad != q:
         queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
+    if corpus_swizzled is None:
+        corpus_swizzled = swizzle_corpus(corpus, block_n)
     if n_pad != n:
         corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
+
+    # pad mask in SWIZZLED column space: natural col cb*T + s*L + j sits at
+    # swizzled position cb*T + j*128 + s
+    L = block_n // _LANE
+    c_blocks = n_pad // block_n
+    nat_valid = jnp.arange(n_pad, dtype=jnp.int32) < n
     pad_mask = jnp.where(
-        jnp.arange(n_pad, dtype=jnp.int32)[None, :] < n, 0.0, NEG_INF
+        nat_valid.reshape(c_blocks, _LANE, L)
+        .transpose(0, 2, 1)
+        .reshape(1, n_pad),
+        0.0, NEG_INF,
     ).astype(jnp.float32)
 
-    c_blocks = n_pad // block_n
     grid = (c_blocks, q_pad // block_q)
-    segmax = pl.pallas_call(
-        functools.partial(_segmax_kernel, block_q=block_q, block_n=block_n),
+    _, seg_ids_full = pl.pallas_call(
+        functools.partial(
+            _segtopk_kernel, k=k, block_q=block_q, block_n=block_n,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_q, d), lambda cb, qb: (qb, 0),
@@ -339,50 +409,53 @@ def topk_scores_twopass(
             pl.BlockSpec((1, block_n), lambda cb, qb: (0, cb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_q, _LANE), lambda cb, qb: (qb, cb),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((q_pad, c_blocks * _LANE), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((block_q, _LANE), lambda cb, qb: (qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, _LANE), lambda cb, qb: (qb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, _LANE), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_pad, _LANE), jnp.float32),
+            pltpu.VMEM((q_pad, _LANE), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * n_pad * d,
-            bytes_accessed=q_pad * d * 4 + n_pad * d * 4
-            + q_pad * c_blocks * _LANE * 4,
+            bytes_accessed=q_pad * d * 4 + n_pad * d * 4 + q_pad * _LANE * 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, corpus, pad_mask)
+    )(queries, corpus_swizzled, pad_mask)
+    seg_ids = seg_ids_full[:, :k]  # (q_pad, k) top-k segment ids
 
-    # ---- pass B: top-k segments -> gather + exact rescore (XLA) ----
-    g_size = block_n // _LANE
-    total_segs = c_blocks * _LANE
-    k_seg = min(k, total_segs)
-    _, seg_ids = jax.lax.top_k(segmax, k_seg)  # (q_pad, k_seg)
-
-    # candidate global columns: seg = cb*128 + lane; col = cb*block_n
-    # + g*128 + lane, g in [0, g_size)
-    cb_ids = seg_ids // _LANE
-    lane_ids = seg_ids % _LANE
-    g_off = (jnp.arange(g_size, dtype=jnp.int32) * _LANE)[None, None, :]
-    cand = (cb_ids[:, :, None] * block_n + lane_ids[:, :, None] + g_off
-            ).reshape(q_pad, k_seg * g_size)
-    cand_safe = jnp.minimum(cand, n - 1)
+    # ---- pass B: contiguous-block gather + exact rescore (XLA) ----
+    # segment s covers natural rows [s*L, (s+1)*L)
+    corpus_segs = corpus.reshape(c_blocks * _LANE, L, d)
+    cand_cols = (
+        seg_ids[:, :, None] * L + jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    ).reshape(q_pad, k * L)
 
     out_v = []
     out_i = []
     for s in range(0, q_pad, q_chunk):
         e = min(s + q_chunk, q_pad)
-        rows = jnp.take(corpus, cand_safe[s:e], axis=0)  # (qc, C, D)
+        blocks = jnp.take(corpus_segs, seg_ids[s:e], axis=0)  # (qc, k, L, D)
         scores = jnp.einsum(
-            "qcd,qd->qc", rows, queries[s:e],
+            "qkld,qd->qkl", blocks, queries[s:e],
             preferred_element_type=jnp.float32,
-        )
-        scores = jnp.where(cand[s:e] < n, scores, NEG_INF)
+        ).reshape(e - s, k * L)
+        scores = jnp.where(cand_cols[s:e] < n, scores, NEG_INF)
         v, sel = jax.lax.top_k(scores, k)
         out_v.append(v)
-        out_i.append(jnp.take_along_axis(cand_safe[s:e], sel, axis=1))
+        out_i.append(jnp.take_along_axis(cand_cols[s:e], sel, axis=1))
     vals = jnp.concatenate(out_v, axis=0)[:q]
     idx = jnp.concatenate(out_i, axis=0)[:q].astype(jnp.int32)
     return vals, idx

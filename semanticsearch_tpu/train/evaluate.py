@@ -90,9 +90,17 @@ class CVEvaluator:
             pp.fit(train_rows["query_texts"] + train_rows["chunk_texts"])
             train_ds = dataset_from_fold(fold.train, pp)
             test_ds = dataset_from_fold(fold.test, pp)
+            emb_init = None
+            if cfg.embedding_init_path:
+                from .embeddings import load_word_embeddings
+
+                emb_init = load_word_embeddings(
+                    cfg.embedding_init_path, pp.vocab, pp.vocab_size,
+                    cfg.embedding_dim, seed=cfg.seed,
+                )
             trainer = RerankTrainer(
                 model_name, vocab_size=pp.vocab_size, cfg=cfg,
-                model_kwargs=model_kwargs,
+                model_kwargs=model_kwargs, embedding_matrix=emb_init,
             )
             ckpt = (
                 os.path.join(output_dir, model_name, f"fold_{k}")

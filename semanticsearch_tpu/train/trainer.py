@@ -87,8 +87,14 @@ class RerankTrainer:
         vocab_size: int,
         cfg: TrainConfig = TrainConfig(),
         model_kwargs: Optional[Dict] = None,
+        embedding_matrix=None,
     ) -> None:
+        """``embedding_matrix`` (vocab_size, embed_dim) overrides the random
+        embedding-table init — the pretrained-GloVe slot of the reference
+        (``train_controller.py:564-581``); build it with
+        ``train.embeddings.load_word_embeddings``."""
         self.cfg = cfg
+        self._embedding_matrix = embedding_matrix
         self.model = make_model(
             model_name, vocab_size=vocab_size,
             embed_dim=cfg.embedding_dim, **(model_kwargs or {}),
@@ -124,7 +130,12 @@ class RerankTrainer:
         rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
         left = jnp.asarray(dataset.left[:2])
         right = jnp.asarray(dataset.right[:2])
-        return self.model.init(rng, left, right)["params"]
+        params = self.model.init(rng, left, right)["params"]
+        if self._embedding_matrix is not None:
+            from .embeddings import apply_embedding_init
+
+            params = apply_embedding_init(params, self._embedding_matrix)
+        return params
 
     def predict(self, params, dataset: PairDataset, batch_size: int = 128
                 ) -> np.ndarray:
