@@ -194,10 +194,11 @@ def louvain_labels(A: np.ndarray, gamma: float = 1.0, seed: int = 0,
         k = uniq.size
         if k == n:
             break
-        agg = np.zeros((k, k))
-        for a in range(n):
-            for b in range(n):
-                agg[new_ids[a], new_ids[b]] += cur[a, b]
+        # agg = M^T cur M with M the community one-hot — two matmuls instead
+        # of the O(n^2) Python double loop (round-1 VERDICT weak #9)
+        M = np.zeros((n, k))
+        M[np.arange(n), new_ids] = 1.0
+        agg = M.T @ cur @ M
         node_map = new_ids[node_map]
         cur = agg
         if k <= 1:

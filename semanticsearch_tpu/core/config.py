@@ -122,8 +122,9 @@ class IndexConfig:
     embed_dim: int = 384
     shard_axis: str = "data"
     top_k: int = 10
-    query_batch: int = 128   # kernel block_q; measured-optimal on v5e
-    block_rows: int = 16384  # corpus rows per kernel block (VMEM-bounded)
+    query_batch: int = 128   # fused-kernel block_q (sharded path)
+    block_rows: int = 8192   # corpus rows per kernel block; also sets the
+    # two-pass segment size (block_rows/128 rows/segment) — measured on v5e
     dtype: str = "bfloat16"
 
 

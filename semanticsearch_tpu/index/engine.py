@@ -18,7 +18,13 @@ from jax.sharding import Mesh
 
 from ..core.config import IndexConfig
 from ..core.mesh import local_mesh
-from ..ops.topk import topk_scores, topk_scores_pallas, topk_scores_ref
+from ..ops.topk import (
+    swizzle_corpus,
+    topk_scores,
+    topk_scores_pallas,
+    topk_scores_ref,
+    topk_scores_twopass,
+)
 from ..parallel.sharding import pad_to_shards, shard_corpus, sharded_topk
 
 
@@ -47,6 +53,9 @@ class EmbeddingIndex:
         self._valid_n = valid_n
         self._mesh = mesh
         self.cfg = cfg
+        # pass-A layout for the two-pass kernel, built lazily on first
+        # single-chip TPU search (one transpose-copy, then reused)
+        self._corpus_swizzled: Optional[jax.Array] = None
 
     @classmethod
     def build(
@@ -87,9 +96,13 @@ class EmbeddingIndex:
                 valid_n=self._valid_n, use_pallas=use_pallas,
             )
         elif use_pallas:
-            vals, idx = topk_scores_pallas(
-                q, self._corpus, k=k,
-                block_q=self.cfg.query_batch, block_n=self.cfg.block_rows,
+            if self._corpus_swizzled is None:
+                self._corpus_swizzled = swizzle_corpus(
+                    self._corpus, self.cfg.block_rows
+                )
+            vals, idx = topk_scores_twopass(
+                q, self._corpus, k=k, block_n=self.cfg.block_rows,
+                corpus_swizzled=self._corpus_swizzled,
             )
         else:
             vals, idx = topk_scores_ref(q, self._corpus, k=k)

@@ -304,11 +304,19 @@ def swizzle_corpus(corpus: jax.Array, block_n: int = 16384) -> jax.Array:
     )
 
 
-def _segtopk_kernel(q_ref, c_ref, m_ref, ov_ref, oi_ref, acc_v, acc_i, *,
-                    k: int, block_q: int, block_n: int):
+def _segtopk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *,
+                    k_sel: int, block_q: int, block_n: int, n_valid_segs: int):
     """Grid (c_blocks, q_blocks), corpus-major. c_ref holds the SWIZZLED
     block; lane s of the score tile = segment cb*128 + s. Maintains the
-    running top-k (segmax value, segment id) per query in VMEM scratch."""
+    running top-k_sel (segmax value, segment id) per query in VMEM scratch.
+
+    Padding needs NO per-element mask pass (a full-tile VPU add would cost
+    ~4B of VMEM traffic per score): pad rows are zeros, which can only
+    inflate the maximum of the ONE partial segment straddling n — covered
+    by over-selecting one extra segment (k_sel = k+1) — while fully-fake
+    segments (id >= n_valid_segs) are killed with a (B, 128) segment-level
+    mask, 1/L the traffic of an element mask.
+    """
     cb = pl.program_id(0)
     qb = pl.program_id(1)
     n_cb = pl.num_programs(0)
@@ -319,15 +327,17 @@ def _segtopk_kernel(q_ref, c_ref, m_ref, ov_ref, oi_ref, acc_v, acc_i, *,
         acc_v[pl.ds(row0, block_q), :] = jnp.full(
             (block_q, _LANE), NEG_INF, acc_v.dtype
         )
-        acc_i[pl.ds(row0, block_q), :] = jnp.zeros(
-            (block_q, _LANE), acc_i.dtype
+        # distinct negative ids so duplicate-marking in the k-pass selection
+        # never aliases a real segment id
+        acc_i[pl.ds(row0, block_q), :] = -1 - jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, _LANE), 1
         )
 
     scores = jax.lax.dot_general(
         q_ref[:], c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + m_ref[:]
+    )
     L = block_n // _LANE
     # segment max: elementwise max across the L vreg-rows at each lane
     segmax = jnp.max(scores.reshape(block_q, L, _LANE), axis=1)
@@ -335,12 +345,13 @@ def _segtopk_kernel(q_ref, c_ref, m_ref, ov_ref, oi_ref, acc_v, acc_i, *,
         jax.lax.broadcasted_iota(jnp.int32, (block_q, _LANE), 1)
         + cb * _LANE
     )
+    segmax = jnp.where(seg_ids < n_valid_segs, segmax, NEG_INF)
 
     cur_v = acc_v[pl.ds(row0, block_q), :]
     cur_i = acc_i[pl.ds(row0, block_q), :]
     vals = jnp.concatenate([cur_v, segmax], axis=1)
     idxs = jnp.concatenate([cur_i, seg_ids], axis=1)
-    new_v, new_i = _select_topk_rows(vals, idxs, k, _LANE)
+    new_v, new_i = _select_topk_rows(vals, idxs, k_sel, _LANE)
     acc_v[pl.ds(row0, block_q), :] = new_v
     acc_i[pl.ds(row0, block_q), :] = new_i
 
@@ -358,8 +369,8 @@ def topk_scores_twopass(
     queries: jax.Array,
     corpus: jax.Array,
     k: int = 10,
-    block_q: int = 128,
-    block_n: int = 16384,
+    block_q: int = 256,
+    block_n: int = 8192,
     q_chunk: int = 256,
     interpret: bool = False,
     corpus_swizzled: Optional[jax.Array] = None,
@@ -369,9 +380,14 @@ def topk_scores_twopass(
     ``corpus`` is the natural row-major matrix (used by the pass-B rescore);
     ``corpus_swizzled`` the pass-A layout from :func:`swizzle_corpus`
     (computed on the fly when None — one extra corpus copy per call, so
-    persistent indexes should precompute it). Requires k <= 128.
+    persistent indexes should precompute it). Requires k < 128.
+
+    Exactness: the kernel over-selects k+1 segments because the single
+    zero-padded partial segment can carry an inflated (score 0) maximum; the
+    true top-k segments therefore all survive, and the pass-B rescore masks
+    individual pad columns exactly.
     """
-    assert k <= _LANE, f"segment top-k supports k <= {_LANE}, got {k}"
+    assert k < _LANE, f"segment top-k supports k < {_LANE}, got {k}"
     q, d = queries.shape
     n = corpus.shape[0]
     n_pad = _round_up(n, block_n)
@@ -383,30 +399,22 @@ def topk_scores_twopass(
     if n_pad != n:
         corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
 
-    # pad mask in SWIZZLED column space: natural col cb*T + s*L + j sits at
-    # swizzled position cb*T + j*128 + s
     L = block_n // _LANE
     c_blocks = n_pad // block_n
-    nat_valid = jnp.arange(n_pad, dtype=jnp.int32) < n
-    pad_mask = jnp.where(
-        nat_valid.reshape(c_blocks, _LANE, L)
-        .transpose(0, 2, 1)
-        .reshape(1, n_pad),
-        0.0, NEG_INF,
-    ).astype(jnp.float32)
+    n_valid_segs = -(-n // L)  # segments containing at least one real row
+    k_sel = min(k + 1, _LANE)
 
     grid = (c_blocks, q_pad // block_q)
     _, seg_ids_full = pl.pallas_call(
         functools.partial(
-            _segtopk_kernel, k=k, block_q=block_q, block_n=block_n,
+            _segtopk_kernel, k_sel=k_sel, block_q=block_q, block_n=block_n,
+            n_valid_segs=n_valid_segs,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_q, d), lambda cb, qb: (qb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, d), lambda cb, qb: (cb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda cb, qb: (0, cb),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -433,26 +441,34 @@ def topk_scores_twopass(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, corpus_swizzled, pad_mask)
-    seg_ids = seg_ids_full[:, :k]  # (q_pad, k) top-k segment ids
+    )(queries, corpus_swizzled)
+    seg_ids = seg_ids_full[:, :k_sel]  # (q_pad, k_sel) top segment ids
 
     # ---- pass B: contiguous-block gather + exact rescore (XLA) ----
-    # segment s covers natural rows [s*L, (s+1)*L)
+    # segment s covers natural rows [s*L, (s+1)*L); ids < 0 are "fewer than
+    # k_sel real segments" placeholders (only when n <= ~k*L)
     corpus_segs = corpus.reshape(c_blocks * _LANE, L, d)
+    seg_safe = jnp.maximum(seg_ids, 0)
     cand_cols = (
-        seg_ids[:, :, None] * L + jnp.arange(L, dtype=jnp.int32)[None, None, :]
-    ).reshape(q_pad, k * L)
+        seg_safe[:, :, None] * L
+        + jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    ).reshape(q_pad, k_sel * L)
+    cand_valid = (
+        (seg_ids[:, :, None] >= 0)
+        & ((seg_safe[:, :, None] * L
+            + jnp.arange(L, dtype=jnp.int32)[None, None, :]) < n)
+    ).reshape(q_pad, k_sel * L)
 
     out_v = []
     out_i = []
     for s in range(0, q_pad, q_chunk):
         e = min(s + q_chunk, q_pad)
-        blocks = jnp.take(corpus_segs, seg_ids[s:e], axis=0)  # (qc, k, L, D)
+        blocks = jnp.take(corpus_segs, seg_safe[s:e], axis=0)  # (qc,k_sel,L,D)
         scores = jnp.einsum(
             "qkld,qd->qkl", blocks, queries[s:e],
             preferred_element_type=jnp.float32,
-        ).reshape(e - s, k * L)
-        scores = jnp.where(cand_cols[s:e] < n, scores, NEG_INF)
+        ).reshape(e - s, k_sel * L)
+        scores = jnp.where(cand_valid[s:e], scores, NEG_INF)
         v, sel = jax.lax.top_k(scores, k)
         out_v.append(v)
         out_i.append(jnp.take_along_axis(cand_cols[s:e], sel, axis=1))

@@ -1,11 +1,12 @@
-"""Per-stage timing for the two-pass top-k: segmax kernel, segment top_k,
-gather+rescore. Three compiled programs, one scalar fetch each (axon rules).
+"""Per-stage timing for the two-pass top-k (swizzled, maskless design):
+pass A kernel, pass B full, pass B gather-only. Four compiled programs.
 """
 import os
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_compile_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
+import functools
 import sys
 import time
 
@@ -32,9 +33,11 @@ def timeit(fn, *args, iters=4):
 
 
 def main():
-    rows, d, qn, k, block_n = 1_250_000, 384, 2048, 10, 16384
-    from semanticsearch_tpu.ops.topk import topk_scores_twopass, _segmax_kernel, _round_up, NEG_INF
-    import functools
+    rows, d, qn, k = 1_250_000, 384, 2048, 10
+    block_q, block_n = 256, 8192
+    from semanticsearch_tpu.ops.topk import (
+        NEG_INF, _round_up, _segtopk_kernel, swizzle_corpus,
+    )
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -54,83 +57,105 @@ def main():
 
     corpus = make_corpus()
     _ = float(corpus[0, 0])
+    corpus_sw = swizzle_corpus(corpus, block_n)
+    n_pad0 = _round_up(rows, block_n)
+    corpus_padded = jnp.pad(corpus, ((0, n_pad0 - rows), (0, 0)))
+    _ = float(corpus_padded[0, 0])
+    _ = float(corpus_sw[0, 0])
     rng = np.random.default_rng(0)
     qh = rng.standard_normal((qn, d)).astype(np.float32)
     qh /= np.linalg.norm(qh, axis=1, keepdims=True)
     queries = jnp.asarray(qh, dtype=dtype)
 
     n_pad = _round_up(rows, block_n)
+    q_pad = _round_up(qn, block_q)
+    L = block_n // 128
     c_blocks = n_pad // block_n
-    total_segs = c_blocks * 128
-    block_q = 128
+    n_valid_segs = -(-rows // L)
+    k_sel = k + 1
 
-    # --- stage 1: segmax kernel only ---
     @jax.jit
-    def passA(q, c):
-        q_pad = _round_up(q.shape[0], block_q)
-        if q_pad != q.shape[0]:
-            q = jnp.pad(q, ((0, q_pad - q.shape[0]), (0, 0)))
-        if n_pad != c.shape[0]:
-            c = jnp.pad(c, ((0, n_pad - c.shape[0]), (0, 0)))
-        mask = jnp.where(jnp.arange(n_pad, dtype=jnp.int32)[None, :] < rows,
-                         0.0, NEG_INF).astype(jnp.float32)
+    def passA(q, c_sw):
         return pl.pallas_call(
-            functools.partial(_segmax_kernel, block_q=block_q, block_n=block_n),
+            functools.partial(
+                _segtopk_kernel, k_sel=k_sel, block_q=block_q,
+                block_n=block_n, n_valid_segs=n_valid_segs,
+            ),
             grid=(c_blocks, q_pad // block_q),
             in_specs=[
                 pl.BlockSpec((block_q, d), lambda cb, qb: (qb, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((block_n, d), lambda cb, qb: (cb, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_n), lambda cb, qb: (0, cb),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_q, 128), lambda cb, qb: (qb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_q, 128), lambda cb, qb: (qb, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((block_q, 128), lambda cb, qb: (qb, cb),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((q_pad, total_segs), jnp.float32),
+            out_shape=[
+                jax.ShapeDtypeStruct((q_pad, 128), jnp.float32),
+                jax.ShapeDtypeStruct((q_pad, 128), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((q_pad, 128), jnp.float32),
+                pltpu.VMEM((q_pad, 128), jnp.int32),
+            ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
-        )(q, c, mask)
+        )(q, c_sw)
 
-    tA = timeit(passA, queries, corpus)
-    print(f"STAGE passA_segmax_kernel: {tA*1e3:.2f} ms", file=sys.stderr)
+    tA = timeit(passA, queries, corpus_sw)
+    print(f"STAGE passA_kernel(bq{block_q},bn{block_n}): {tA*1e3:.2f} ms",
+          file=sys.stderr, flush=True)
 
-    # --- stage 2: top_k over the segmax matrix ---
-    segmax = passA(queries, corpus)
+    _, seg_full = passA(queries, corpus_sw)
+    seg_ids = jnp.asarray(np.asarray(seg_full)[:, :k_sel])
 
-    @jax.jit
-    def seg_topk(sm):
-        return jax.lax.top_k(sm, k)
-
-    tB = timeit(seg_topk, segmax)
-    print(f"STAGE lax_top_k_{segmax.shape}: {tB*1e3:.2f} ms", file=sys.stderr)
-
-    # --- stage 3: gather + rescore + final top_k ---
-    _, seg_ids = seg_topk(segmax)
+    corpus_segs_shape = (c_blocks * 128, L, d)
 
     @jax.jit
-    def rescore(q, c, seg_ids):
-        g_size = block_n // 128
-        cb_ids = seg_ids // 128
-        lane = seg_ids % 128
-        g_off = (jnp.arange(g_size, dtype=jnp.int32) * 128)[None, None, :]
-        cand = (cb_ids[:, :, None] * block_n + lane[:, :, None] + g_off
-                ).reshape(q.shape[0], k * g_size)
-        cand = jnp.minimum(cand, rows - 1)
+    def passB_gather(c, ids):
+        segs = c.reshape(corpus_segs_shape)
         outs = []
-        for s in range(0, q.shape[0], 256):
-            rows_g = jnp.take(c, cand[s:s+256], axis=0)
-            sc = jnp.einsum("qcd,qd->qc", rows_g, q[s:s+256],
-                            preferred_element_type=jnp.float32)
-            v, _sel = jax.lax.top_k(sc, k)
-            outs.append(v)
-        return jnp.concatenate(outs, 0)
+        for s in range(0, q_pad, 256):
+            outs.append(jnp.take(segs, jnp.maximum(ids[s:s+256], 0), axis=0))
+        return jnp.concatenate([o.reshape(256, -1) for o in outs], 0)
 
-    tC = timeit(rescore, queries, corpus, seg_ids)
-    print(f"STAGE gather_rescore: {tC*1e3:.2f} ms", file=sys.stderr)
-    print(f"TOTAL {1e3*(tA+tB+tC):.2f} ms -> {qn/(tA+tB+tC):.0f} QPS")
+    tG = timeit(passB_gather, corpus_padded, seg_ids)
+    print(f"STAGE passB_gather_only: {tG*1e3:.2f} ms", file=sys.stderr,
+          flush=True)
+
+    @jax.jit
+    def passB(q, c, ids):
+        segs = c.reshape(corpus_segs_shape)
+        safe = jnp.maximum(ids, 0)
+        cand = (safe[:, :, None] * L
+                + jnp.arange(L, dtype=jnp.int32)[None, None, :]
+                ).reshape(q_pad, k_sel * L)
+        valid = (ids[:, :, None] >= 0).reshape(q_pad, k_sel, 1) & (
+            (safe[:, :, None] * L
+             + jnp.arange(L, dtype=jnp.int32)[None, None, :]) < rows
+        )
+        valid = valid.reshape(q_pad, k_sel * L)
+        out_v, out_i = [], []
+        for s in range(0, q_pad, 256):
+            blocks = jnp.take(segs, safe[s:s+256], axis=0)
+            sc = jnp.einsum("qkld,qd->qkl", blocks, q[s:s+256],
+                            preferred_element_type=jnp.float32
+                            ).reshape(256, k_sel * L)
+            sc = jnp.where(valid[s:s+256], sc, NEG_INF)
+            v, sel = jax.lax.top_k(sc, k)
+            out_v.append(v)
+            out_i.append(jnp.take_along_axis(cand[s:s+256], sel, axis=1))
+        return jnp.concatenate(out_v, 0), jnp.concatenate(out_i, 0)
+
+    tB = timeit(passB, queries, corpus_padded, seg_ids)
+    print(f"STAGE passB_full: {tB*1e3:.2f} ms", file=sys.stderr, flush=True)
+    print(f"TOTAL A+B {1e3*(tA+tB):.2f} ms -> {qn/(tA+tB):.0f} QPS")
 
 
 if __name__ == "__main__":
