@@ -74,6 +74,59 @@ class BM25Okapi:
         idf = np.where(idf < 0, self.epsilon * avg_idf, idf)
         self.idf = idf.astype(np.float32)
 
+    # -------------------------------------------------- inverted-index top-k
+    def _ensure_inverted(self) -> None:
+        """Term-major postings (inverted index), built lazily and cached.
+
+        The doc-major CSR is ideal for batch scoring of small candidate
+        sets; serve-time top-k over a 10M-chunk corpus must not scan every
+        document per query (the reference's rank_bm25 does, and so did the
+        round-1 engine). Postings make per-query cost O(sum_t df(t))."""
+        if getattr(self, "_inv_indptr", None) is not None:
+            return
+        doc_of_entry = np.repeat(
+            np.arange(self.n_docs, dtype=np.int64), np.diff(self._indptr)
+        )
+        order = np.argsort(self._indices, kind="stable")
+        n_vocab = len(self.vocab)
+        counts = np.bincount(self._indices, minlength=n_vocab)
+        self._inv_indptr = np.concatenate(
+            [[0], np.cumsum(counts)]
+        ).astype(np.int64)
+        self._inv_docs = doc_of_entry[order]
+        self._inv_tf = self._data[order]
+
+    def get_topk(self, query_tokens: Sequence[str], k: int
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k (indices, scores) by BM25, touching only posting entries of
+        the query's terms. Identical scores to :meth:`get_scores`; ties break
+        to the lower document id (matching stable argsort over full scores).
+        Documents sharing no term score 0 and are returned only when fewer
+        than k docs match; WHICH zero-score fillers pad the tail is
+        arbitrary (consumers must cut at score <= 0, as the query engine
+        does)."""
+        self._ensure_inverted()
+        k = min(k, self.n_docs)
+        acc = np.zeros(self.n_docs, dtype=np.float32)
+        if self.n_docs == 0 or k == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        norm = self.k1 * (
+            1.0 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9)
+        )
+        for tok, c in Counter(query_tokens).items():
+            tid = self.vocab.get(tok)
+            if tid is None:
+                continue
+            s, e = self._inv_indptr[tid], self._inv_indptr[tid + 1]
+            docs = self._inv_docs[s:e]
+            tf = self._inv_tf[s:e]
+            acc[docs] += (
+                c * self.idf[tid] * tf * (self.k1 + 1.0) / (tf + norm[docs])
+            )
+        part = np.argpartition(-acc, k - 1)[:k]
+        order = part[np.lexsort((part, -acc[part]))]
+        return order.astype(np.int64), acc[order]
+
     def get_scores(self, query_tokens: Sequence[str]) -> np.ndarray:
         """BM25 score of the query against every document: (n_docs,) f32."""
         scores = np.zeros(self.n_docs, dtype=np.float32)

@@ -118,11 +118,6 @@ class HybridQueryEngine:
         dense = self.index.search(q_emb, k=min(depth, self.index.size))
 
         use_bm25 = hybrid and self.bm25 is not None
-        lex_scores = None
-        if use_bm25:
-            lex_scores = self.bm25.get_scores_batch(
-                [tokenize(q) for q in queries]
-            )
 
         out: List[List[Hit]] = []
         for qi in range(len(queries)):
@@ -134,12 +129,13 @@ class HybridQueryEngine:
                 rrf[row] = rrf.get(row, 0.0) + 1.0 / (self.cfg.rrf_k + rank)
                 dense_rank[row] = rank
             if use_bm25:
-                scores = lex_scores[qi]
-                top = np.argsort(-scores, kind="stable")[:depth]
-                for rank, row in enumerate(top, start=1):
-                    row = int(row)
-                    if scores[row] <= 0:
+                # inverted-index top-depth: per-query cost is the query
+                # terms' posting sizes, not the corpus size
+                top, scores = self.bm25.get_topk(tokenize(queries[qi]), depth)
+                for rank, (row, sc) in enumerate(zip(top, scores), start=1):
+                    if sc <= 0:
                         break
+                    row = int(row)
                     rrf[row] = rrf.get(row, 0.0) + 1.0 / (self.cfg.rrf_k + rank)
                     lex_rank[row] = rank
             ranked = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

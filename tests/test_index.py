@@ -80,6 +80,24 @@ def test_bm25_batch_matches_single():
         np.testing.assert_allclose(batch[i], bm.get_scores(q), rtol=1e-5, atol=1e-6)
 
 
+def test_bm25_topk_matches_full_scan():
+    """Inverted-index get_topk must equal stable argsort over get_scores —
+    including tie order and repeated query terms."""
+    toks = [tokenize(t) for t in CORPUS]
+    bm = BM25Okapi(toks)
+    for q in ["fox over the dog", "fox fox dog", "stock bond", "zzz"]:
+        qt = tokenize(q)
+        full = bm.get_scores(qt)
+        want = np.argsort(-full, kind="stable")[:3]
+        idx, scores = bm.get_topk(qt, 3)
+        # exact agreement on the positive-score prefix (zero-score tail
+        # fillers are arbitrary; consumers cut at score <= 0)
+        pos = full[want] > 0
+        np.testing.assert_array_equal(idx[pos], want[pos])
+        np.testing.assert_allclose(scores, full[idx], rtol=1e-5, atol=1e-6)
+        assert (scores[~pos] == 0).all()
+
+
 def test_ranks_from_scores_ties_positional():
     scores = np.array([0.5, 0.9, 0.5, 0.1])
     ranks = ranks_from_scores(scores)
