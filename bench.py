@@ -29,9 +29,9 @@ def main() -> int:
                         help="corpus rows; default = 10M / 8 chips")
     parser.add_argument("--dim", type=int, default=384)
     parser.add_argument("--k", type=int, default=10)
-    parser.add_argument("--query-batch", type=int, default=2048,
+    parser.add_argument("--query-batch", type=int, default=16384,
                         help="large batches amortize tunnel round-trips")
-    parser.add_argument("--block-n", type=int, default=16384)
+    parser.add_argument("--block-n", type=int, default=8192)
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--recall-sample", type=int, default=32)
     parser.add_argument("--impl", choices=["twopass", "fused"],
@@ -101,7 +101,7 @@ def main() -> int:
         if args.impl == "twopass":
             return topk_scores_twopass(
                 q, corpus, k=args.k,
-                block_q=min(args.query_batch, 128), block_n=args.block_n,
+                block_q=min(args.query_batch, 256), block_n=args.block_n,
                 corpus_swizzled=corpus_sw,
             )
         return topk_scores_pallas(

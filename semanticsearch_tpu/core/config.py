@@ -45,6 +45,10 @@ class EncoderConfig:
     dtype: str = "bfloat16"
     pooling: str = "mean"  # mean | cls
     normalize: bool = True  # L2-normalize sentence embeddings
+    # attention implementation: "auto" = Pallas flash kernel on TPU, stock
+    # XLA attention elsewhere; "flash" / "stock" force it. Flash requires
+    # dropout_rate == 0 (attention-probability dropout is not fused).
+    attention: str = "auto"
 
 
 @dataclass(frozen=True)

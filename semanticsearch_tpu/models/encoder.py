@@ -29,23 +29,57 @@ from ..core.config import EncoderConfig
 from .tokenizer import HashingTokenizer, load_tokenizer
 
 
+def _make_flash_attention_fn(interpret: bool):
+    """Adapter: flax's attention_fn contract -> the Pallas flash kernel.
+
+    flax hands (B, T, H, Dh) tensors and a broadcastable boolean mask; the
+    encoder's mask is key-padding only, so its (B, 1, 1, T) form reduces to
+    the (B, T) key mask the kernel wants. Same parameter tree as the stock
+    path (the hook only swaps the attention math), so checkpoints are
+    portable between implementations.
+    """
+    from ..ops.flash_attention import flash_attention
+
+    def attention_fn(query, key, value, bias=None, mask=None, **_kw):
+        kmask = (
+            mask.reshape(mask.shape[0], -1, mask.shape[-1])[:, 0, :]
+            if mask is not None
+            else jnp.ones((key.shape[0], key.shape[1]), jnp.float32)
+        )
+        q = jnp.transpose(query, (0, 2, 1, 3))
+        k = jnp.transpose(key, (0, 2, 1, 3))
+        v = jnp.transpose(value, (0, 2, 1, 3))
+        out = flash_attention(q, k, v, kmask.astype(jnp.float32),
+                              interpret=interpret)
+        return jnp.transpose(out, (0, 2, 1, 3)).astype(query.dtype)
+
+    return attention_fn
+
+
 class TransformerBlock(nn.Module):
     hidden_dim: int
     num_heads: int
     mlp_dim: int
     dropout_rate: float
     dtype: jnp.dtype
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
         # Pre-LN attention
         h = nn.LayerNorm(dtype=self.dtype)(x)
         attn_mask = mask[:, None, None, :].astype(bool)
+        attn_kwargs = {}
+        if self.use_flash:
+            attn_kwargs["attention_fn"] = _make_flash_attention_fn(
+                interpret=jax.default_backend() != "tpu"
+            )
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             dtype=self.dtype,
             dropout_rate=self.dropout_rate,
             deterministic=deterministic,
+            **attn_kwargs,
         )(h, h, mask=attn_mask)
         x = x + h
         # Pre-LN MLP
@@ -73,6 +107,18 @@ class SentenceTransformerModel(nn.Module):
         x = x + nn.Embed(c.max_len, c.hidden_dim, dtype=dtype,
                          name="pos_embed")(pos)
         x = nn.LayerNorm(dtype=dtype)(x)
+        attention = getattr(c, "attention", "auto")
+        # "auto" engages the Pallas flash kernel only for long sequences:
+        # at max_len 128 the stock XLA attention measured FASTER (17.6k vs
+        # 10.1k docs/s device-forward on v5e — Dh=32 underutilizes the MXU
+        # in the kernel); flash wins only where the O(T^2) attention matrix
+        # starts to dominate. Force with attention="flash".
+        use_flash = attention == "flash" or (
+            attention == "auto"
+            and jax.default_backend() == "tpu"
+            and c.dropout_rate == 0.0
+            and c.max_len >= 1024
+        )
         for i in range(c.num_layers):
             x = TransformerBlock(
                 hidden_dim=c.hidden_dim,
@@ -80,6 +126,7 @@ class SentenceTransformerModel(nn.Module):
                 mlp_dim=c.mlp_dim,
                 dropout_rate=c.dropout_rate,
                 dtype=dtype,
+                use_flash=use_flash,
                 name=f"layer_{i}",
             )(x, mask, deterministic=deterministic)
         x = nn.LayerNorm(dtype=dtype)(x)
