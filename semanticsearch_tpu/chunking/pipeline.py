@@ -211,7 +211,12 @@ class ChunkPipeline:
                 spans.append((len(all_sents), len(all_sents) + len(sentences)))
                 all_sents.extend(sentences)
             if all_sents:
-                embs = self._get_encoder().encode(all_sents)
+                # large device batches: a row batch is thousands of
+                # sentences and every encode sub-batch costs a full
+                # host<->device round trip (the dominant cost through
+                # remote links — profiled at 80% of pipeline time with the
+                # 256-row default)
+                embs = self._get_encoder().encode(all_sents, batch_size=2048)
                 for i, (s, e) in enumerate(spans):
                     if e > s:
                         embeddings_by_doc[i] = embs[s:e]

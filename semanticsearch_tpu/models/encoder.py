@@ -176,12 +176,25 @@ class SentenceEncoder:
         )
         self.model = SentenceTransformerModel(cfg)
         if params is None:
+            # Initialize on the HOST CPU: parameter init is dominated by
+            # large threefry RNG kernels (the embedding table alone is
+            # vocab_size x hidden_dim), which execute pathologically slowly
+            # through remote-device links (~minutes per encoder). The
+            # one-time device_put of the finished params is cheap.
             rng = jax.random.PRNGKey(seed)
             dummy_ids = jnp.zeros((1, cfg.max_len), jnp.int32)
             dummy_mask = jnp.ones((1, cfg.max_len), jnp.int32)
-            params = self.model.init(rng, dummy_ids, dummy_mask)["params"]
+            with jax.default_device(jax.devices("cpu")[0]):
+                params = jax.tree.map(
+                    np.asarray,
+                    self.model.init(rng, dummy_ids, dummy_mask)["params"],
+                )
         if mesh is not None:
             params = jax.device_put(params, NamedSharding(mesh, P()))
+        else:
+            # pin to the default device ONCE — host-resident params would
+            # re-upload the whole tree on every forward call
+            params = jax.device_put(params)
         self.params = params
 
         @functools.partial(jax.jit, static_argnames=())
