@@ -363,7 +363,8 @@ def _segtopk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_q", "block_n", "q_chunk", "interpret"),
+    static_argnames=("k", "block_q", "block_n", "q_chunk", "interpret",
+                     "gather_from_swizzled", "valid_n"),
 )
 def topk_scores_twopass(
     queries: jax.Array,
@@ -374,6 +375,8 @@ def topk_scores_twopass(
     q_chunk: int = 256,
     interpret: bool = False,
     corpus_swizzled: Optional[jax.Array] = None,
+    gather_from_swizzled: bool = False,
+    valid_n: int = -1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k inner-product search, two-pass: (values, indices), (Q, k).
 
@@ -382,6 +385,13 @@ def topk_scores_twopass(
     (computed on the fly when None — one extra corpus copy per call, so
     persistent indexes should precompute it). Requires k < 128.
 
+    ``gather_from_swizzled=True`` is the SINGLE-COPY mode for corpora too
+    large to hold twice in HBM (the full-10M-on-one-chip case): pass
+    ``corpus=corpus_swizzled`` plus the true row count as ``valid_n``; pass
+    B then gathers its k+1 candidate segments as 128-strided rows of the
+    swizzled layout (slower gather, half the HBM residency). Returned
+    indices are natural row ids in every mode.
+
     Exactness: the kernel over-selects k+1 segments because the single
     zero-padded partial segment can carry an inflated (score 0) maximum; the
     true top-k segments therefore all survive, and the pass-B rescore masks
@@ -389,15 +399,21 @@ def topk_scores_twopass(
     """
     assert k < _LANE, f"segment top-k supports k < {_LANE}, got {k}"
     q, d = queries.shape
-    n = corpus.shape[0]
+    n = valid_n if valid_n >= 0 else corpus.shape[0]
     n_pad = _round_up(n, block_n)
     q_pad = _round_up(max(q, 8), block_q)
     if q_pad != q:
         queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
-    if corpus_swizzled is None:
+    if gather_from_swizzled:
+        if corpus_swizzled is None:
+            corpus_swizzled = corpus
+        assert corpus_swizzled.shape[0] == n_pad, (
+            "single-copy mode expects the swizzled (padded) layout"
+        )
+    elif corpus_swizzled is None:
         corpus_swizzled = swizzle_corpus(corpus, block_n)
-    if n_pad != n:
-        corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
+    if not gather_from_swizzled and n_pad != corpus.shape[0]:
+        corpus = jnp.pad(corpus, ((0, n_pad - corpus.shape[0]), (0, 0)))
 
     L = block_n // _LANE
     c_blocks = n_pad // block_n
@@ -444,30 +460,43 @@ def topk_scores_twopass(
     )(queries, corpus_swizzled)
     seg_ids = seg_ids_full[:, :k_sel]  # (q_pad, k_sel) top segment ids
 
-    # ---- pass B: contiguous-block gather + exact rescore (XLA) ----
+    # ---- pass B: candidate gather + exact rescore (XLA) ----
     # segment s covers natural rows [s*L, (s+1)*L); ids < 0 are "fewer than
     # k_sel real segments" placeholders (only when n <= ~k*L)
-    corpus_segs = corpus.reshape(c_blocks * _LANE, L, d)
     seg_safe = jnp.maximum(seg_ids, 0)
-    cand_cols = (
-        seg_safe[:, :, None] * L
-        + jnp.arange(L, dtype=jnp.int32)[None, None, :]
-    ).reshape(q_pad, k_sel * L)
+    j_off = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    cand_cols = (seg_safe[:, :, None] * L + j_off).reshape(q_pad, k_sel * L)
     cand_valid = (
         (seg_ids[:, :, None] >= 0)
-        & ((seg_safe[:, :, None] * L
-            + jnp.arange(L, dtype=jnp.int32)[None, None, :]) < n)
+        & ((seg_safe[:, :, None] * L + j_off) < n)
     ).reshape(q_pad, k_sel * L)
+    if not gather_from_swizzled:
+        corpus_segs = corpus.reshape(c_blocks * _LANE, L, d)
+    else:
+        # natural row seg*L + j lives at swizzled position
+        # (seg//128)*block_n + j*128 + (seg%128)
+        cand_swz = (
+            (seg_safe[:, :, None] // _LANE) * block_n
+            + j_off * _LANE
+            + (seg_safe[:, :, None] % _LANE)
+        ).reshape(q_pad, k_sel * L)
 
     out_v = []
     out_i = []
     for s in range(0, q_pad, q_chunk):
         e = min(s + q_chunk, q_pad)
-        blocks = jnp.take(corpus_segs, seg_safe[s:e], axis=0)  # (qc,k_sel,L,D)
-        scores = jnp.einsum(
-            "qkld,qd->qkl", blocks, queries[s:e],
-            preferred_element_type=jnp.float32,
-        ).reshape(e - s, k_sel * L)
+        if gather_from_swizzled:
+            blocks = jnp.take(corpus_swizzled, cand_swz[s:e], axis=0)
+            scores = jnp.einsum(
+                "qcd,qd->qc", blocks, queries[s:e],
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            blocks = jnp.take(corpus_segs, seg_safe[s:e], axis=0)
+            scores = jnp.einsum(
+                "qkld,qd->qkl", blocks, queries[s:e],
+                preferred_element_type=jnp.float32,
+            ).reshape(e - s, k_sel * L)
         scores = jnp.where(cand_valid[s:e], scores, NEG_INF)
         v, sel = jax.lax.top_k(scores, k)
         out_v.append(v)

@@ -79,6 +79,24 @@ def test_topk_twopass_negative_scores_padding(rng):
     np.testing.assert_array_equal(np.asarray(idx), bi)
 
 
+def test_topk_twopass_single_copy_matches(rng):
+    """gather_from_swizzled=True (half-HBM mode for the full-10M-on-one-chip
+    case) must return identical results to the two-copy mode."""
+    from semanticsearch_tpu.ops.topk import swizzle_corpus
+
+    q, n, d, k, block_n = 5, 300, 128, 10, 128
+    Q = rng.standard_normal((q, d)).astype(np.float32)
+    C = rng.standard_normal((n, d)).astype(np.float32)
+    sw = swizzle_corpus(jnp.asarray(C), block_n)
+    vals, idx = topk_scores_twopass(
+        jnp.asarray(Q), sw, k=k, block_q=8, block_n=block_n, q_chunk=8,
+        interpret=True, gather_from_swizzled=True, valid_n=n,
+    )
+    bv, bi = _brute_force(Q, C, k)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx), bi)
+
+
 def test_topk_dispatch_runs_on_cpu(rng):
     Q = rng.standard_normal((2, 128)).astype(np.float32)
     C = rng.standard_normal((50, 128)).astype(np.float32)
