@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import ast
 import json
+import os
 import sys
 from typing import Any, Dict, List
 
@@ -267,6 +268,33 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    """Evaluate SAVED reranker checkpoints on fold test sets — the
+    reference's standalone artifact-reload path
+    (``MatchZoo_Tool/evaluate_models.py:122-350``), without retraining."""
+    from ..train.evaluate import evaluate_saved_model
+
+    results = {}
+    for model_dir in args.model_dirs:
+        per_fold = []
+        for k in range(1, args.num_folds + 1):
+            fold_dir = os.path.join(model_dir, f"fold_{k}")
+            test = os.path.join(args.folds_dir, f"fold_{k}_test.tsv")
+            if not os.path.isdir(fold_dir):
+                continue
+            per_fold.append(evaluate_saved_model(fold_dir, test))
+        if per_fold:
+            import numpy as np
+
+            results[os.path.basename(model_dir)] = {
+                m: {"mean": float(np.mean([f[m] for f in per_fold])),
+                    "std": float(np.std([f[m] for f in per_fold]))}
+                for m in per_fold[0]
+            }
+    print(json.dumps(results, indent=2))
+    return 0 if results else 1
+
+
 def cmd_train_encoder(args) -> int:
     from ..data.tsv import read_tsv
     from ..train.encoder_train import (
@@ -398,6 +426,15 @@ def main(argv=None) -> int:
     p.add_argument("--csv")
     _add_config_args(p)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate",
+                       help="evaluate SAVED reranker checkpoints per fold "
+                            "(no retraining)")
+    p.add_argument("--model-dirs", nargs="+", required=True,
+                   help="checkpoint roots containing fold_k/ subdirs")
+    p.add_argument("--folds-dir", required=True)
+    p.add_argument("--num-folds", type=int, default=5)
+    p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("train-encoder",
                        help="contrastive (InfoNCE) encoder training on a "

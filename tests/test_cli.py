@@ -87,3 +87,44 @@ def test_cli_train_tiny(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "knrm" in out
+
+
+def test_cli_train_then_evaluate_saved(tmp_path, capsys):
+    """train --output-dir saves per-fold checkpoints; `evaluate` reloads
+    them and reports mean±std without retraining (reference
+    evaluate_models.py artifact-reload path)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    rows = []
+    for q in range(6):
+        for d in range(4):
+            lab = 1 if d < 2 else 0
+            words = [f"tok{q}"] * 3 if lab else [f"z{rng.integers(100)}" for _ in range(3)]
+            rows.append({"query_id": f"q{q}",
+                         "chunk_text": " ".join(words) + " filler words here",
+                         "label": str(lab)})
+    p = tmp_path / "labeled.tsv"
+    write_tsv(str(p), rows, ["query_id", "chunk_text", "label"])
+    assert main(["folds", "-i", str(p), "-o", str(tmp_path / "cv"),
+                 "--num-folds", "2"]) == 0
+    sets = ["--set", "train.epochs=1", "--set", "train.batch_size=2",
+            "--set", "train.optimizer=adam", "--set", "train.learning_rate=0.01",
+            "--set", "train.embedding_dim=8", "--set", "train.filter_low_freq=1"]
+    assert main(["train", "--models", "knrm", "--folds-dir",
+                 str(tmp_path / "cv"), "--num-folds", "2",
+                 "--output-dir", str(tmp_path / "models")] + sets) == 0
+    capsys.readouterr()
+    rc = main(["evaluate", "--model-dirs", str(tmp_path / "models" / "knrm"),
+               "--folds-dir", str(tmp_path / "cv"), "--num-folds", "2"])
+    assert rc == 0
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out)
+    assert "knrm" in out and "map" in out["knrm"]
+    assert 0.0 <= out["knrm"]["map"]["mean"] <= 1.0
+
+    # missing model dir -> empty result, nonzero exit
+    capsys.readouterr()
+    assert main(["evaluate", "--model-dirs", str(tmp_path / "nope"),
+                 "--folds-dir", str(tmp_path / "cv")]) == 1
