@@ -18,7 +18,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.topk import topk_scores_pallas, topk_scores_ref
+from ..ops.topk import (
+    topk_scores_pallas,
+    topk_scores_ref,
+    topk_scores_twopass,
+)
 
 
 def shard_corpus(emb: jax.Array, mesh: Mesh) -> jax.Array:
@@ -42,7 +46,9 @@ def pad_to_shards(emb: jax.Array, mesh: Mesh) -> Tuple[jax.Array, int]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "k", "valid_n", "use_pallas")
+    jax.jit,
+    static_argnames=("mesh", "k", "valid_n", "use_pallas", "impl",
+                     "interpret"),
 )
 def sharded_topk(
     queries: jax.Array,
@@ -51,6 +57,8 @@ def sharded_topk(
     k: int = 10,
     valid_n: int = -1,
     use_pallas: bool = False,
+    impl: str = "twopass",
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over a row-sharded corpus. Returns (values, global indices).
 
@@ -72,8 +80,15 @@ def sharded_topk(
         # c_local: (shard_rows, D) — this device's corpus rows.
         my_shard = jax.lax.axis_index("data")
         base = my_shard * shard_rows
-        if use_pallas:
-            vals, idx = topk_scores_pallas(q, c_local, k=k_local)
+        if use_pallas and impl == "twopass":
+            # the per-shard swizzled copy is built inside the call (one
+            # transpose per search); shard-resident indexes that search
+            # repeatedly should precompute it (ROADMAP round-3)
+            vals, idx = topk_scores_twopass(q, c_local, k=k_local,
+                                            interpret=interpret)
+        elif use_pallas:
+            vals, idx = topk_scores_pallas(q, c_local, k=k_local,
+                                           interpret=interpret)
         else:
             vals, idx = topk_scores_ref(q, c_local, k=k_local)
         gidx = idx + base

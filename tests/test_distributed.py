@@ -13,3 +13,27 @@ def test_global_mesh_and_primary():
     mesh = global_mesh(MeshSpec(data=-1, model=1))
     assert mesh.shape["data"] >= 1
     assert is_primary() is True
+
+
+def test_sharded_topk_twopass_kernel_under_shard_map(mesh8, rng):
+    """The multi-chip path routed through the two-pass segment kernel
+    (interpret mode on the CPU mesh) must stay exact, padding included."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from semanticsearch_tpu.parallel.sharding import pad_to_shards, sharded_topk
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax
+
+    n, d, k = 333, 64, 7
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((3, d)).astype(np.float32)
+    emb, valid_n = pad_to_shards(jnp.asarray(corpus), mesh8)
+    emb = jax.device_put(emb, NamedSharding(mesh8, P("data", None)))
+    vals, idx = sharded_topk(
+        jnp.asarray(queries), emb, mesh8, k=k, valid_n=valid_n,
+        use_pallas=True, impl="twopass", interpret=True,
+    )
+    brute = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
+    for got, want in zip(np.asarray(idx), brute):
+        assert set(got.tolist()) == set(want.tolist())
