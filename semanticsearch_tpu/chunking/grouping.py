@@ -46,15 +46,30 @@ def sharpen_similarity(S: np.ndarray, tau: float = 0.15) -> np.ndarray:
     return out
 
 
+# Below this size a device eigendecomposition is pure dispatch overhead
+# (micro-matrices; one host<->device round trip per document dominated the
+# grouping pipeline) — host LAPACK is faster until the O(n^3) work is real.
+_EIGH_DEVICE_MIN_N = 512
+
+
+def _eigh(S_sym: np.ndarray):
+    if S_sym.shape[0] < _EIGH_DEVICE_MIN_N:
+        return np.linalg.eigh(S_sym)
+    import jax.numpy as jnp
+
+    evals, evecs = jnp.linalg.eigh(jnp.asarray(S_sym))
+    return np.asarray(evals), np.asarray(evecs)
+
+
 def rmt_filter(S: np.ndarray, keep_eigs: int = 3) -> np.ndarray:
     """Keep top-k eigencomponents, average the rest (noise floor).
 
-    Runs the eigendecomposition on the default JAX device.
+    Eigendecomposition runs on device for large matrices and on host
+    LAPACK below _EIGH_DEVICE_MIN_N (identical results; the device call is
+    round-trip-bound at document sizes).
     """
-    import jax.numpy as jnp
-
     S_sym = 0.5 * (S + S.T)
-    evals, evecs = (np.asarray(a) for a in jnp.linalg.eigh(jnp.asarray(S_sym)))
+    evals, evecs = _eigh(S_sym)
     # ascending from eigh -> descending
     evals, evecs = evals[::-1], evecs[:, ::-1]
     k = int(max(1, min(keep_eigs, S.shape[0])))
@@ -120,13 +135,11 @@ def kmeans(X: np.ndarray, k: int, n_init: int = 5, max_iter: int = 100,
 def spectral_labels_auto_k(W: np.ndarray, kmax: int, seed: int = 0
                            ) -> Optional[np.ndarray]:
     """Eigengap-selected K spectral clustering on a weighted graph."""
-    import jax.numpy as jnp
-
     n = W.shape[0]
     if n <= 2 or np.allclose(W, 0.0):
         return None
     L = normalized_laplacian(W)
-    evals, evecs = (np.asarray(a) for a in jnp.linalg.eigh(jnp.asarray(L)))
+    evals, evecs = _eigh(L)
     kmax_eff = max(2, min(kmax, n - 1))
     gaps = np.diff(evals[: kmax_eff + 1])
     k = 2 if gaps.size == 0 else int(np.clip(np.argmax(gaps) + 1, 2, kmax_eff))
