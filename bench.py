@@ -60,21 +60,16 @@ def main() -> int:
 
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    # --- corpus: ONE jitted function, one dispatch. jax.random.normal at
-    # this scale compiles pathologically slowly through the remote compile
-    # service (threefry); a murmur-style integer hash of iota gives uniform
-    # pseudo-random directions, which is all a top-k benchmark needs. ---
+    # --- corpus: ONE jitted function, one dispatch (shared hash helper;
+    # jax.random at this scale compiles pathologically via the remote
+    # compile service) ---
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from synth_corpus import device_unit_rows
+
     @jax.jit
     def make_corpus():
-        i = jax.lax.broadcasted_iota(jnp.uint32, (args.rows, args.dim), 0)
-        j = jax.lax.broadcasted_iota(jnp.uint32, (args.rows, args.dim), 1)
-        h = i * jnp.uint32(2654435761) + j * jnp.uint32(40503) + jnp.uint32(977)
-        h = h ^ (h >> 13)
-        h = h * jnp.uint32(0x5BD1E995)
-        h = h ^ (h >> 15)
-        x = h.astype(jnp.float32) / jnp.float32(2**32) - 0.5
-        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-        return x.astype(dtype)
+        i = jax.lax.broadcasted_iota(jnp.uint32, (args.rows, 1), 0)
+        return device_unit_rows(i, args.dim, dtype=dtype)
 
     print("STAGE corpus gen...", file=sys.stderr, flush=True)
     corpus = make_corpus()

@@ -154,16 +154,27 @@ class ChunkPipeline:
         n_dev = self.mesh.shape["data"] if self.mesh is not None else 1
         budget_elems = 1 << 26  # ~64M f32 per (B, L, L) intermediate
         for bucket, idxs in buckets.items():
-            # SP route: grouping + multi-device mesh + long doc
-            if (use_sims and n_dev > 1
-                    and bucket >= self.cfg.chunking.sp_min_sentences):
-                from ..parallel.ring_similarity import sharded_doc_similarity
-
-                for i in idxs:
-                    sims_by_doc[i] = sharded_doc_similarity(
-                        embeddings_by_doc[i], self.mesh
+            # SP route: grouping + multi-device mesh + doc ACTUALLY at or
+            # beyond the threshold (the bucket is a power-of-two ceiling, so
+            # testing it would also catch docs up to 2x shorter)
+            if use_sims and n_dev > 1:
+                sp_min = self.cfg.chunking.sp_min_sentences
+                long_idxs = [
+                    i for i in idxs
+                    if embeddings_by_doc[i].shape[0] >= sp_min
+                ]
+                if long_idxs:
+                    from ..parallel.ring_similarity import (
+                        sharded_doc_similarity,
                     )
-                continue
+
+                    for i in long_idxs:
+                        sims_by_doc[i] = sharded_doc_similarity(
+                            embeddings_by_doc[i], self.mesh
+                        )
+                    idxs = [i for i in idxs if i not in set(long_idxs)]
+                    if not idxs:
+                        continue
             b_max = max(1, budget_elems // (bucket * bucket))
             for s in range(0, len(idxs), b_max):
                 part = idxs[s: s + b_max]

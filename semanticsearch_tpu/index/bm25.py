@@ -74,6 +74,13 @@ class BM25Okapi:
         idf = np.where(idf < 0, self.epsilon * avg_idf, idf)
         self.idf = idf.astype(np.float32)
 
+    def __getstate__(self):
+        # the top-k scratch accumulator is pure per-process state — keep it
+        # out of persisted indexes (40MB at the 10M north star)
+        state = dict(self.__dict__)
+        state.pop("_acc", None)
+        return state
+
     # -------------------------------------------------- inverted-index top-k
     def _ensure_inverted(self) -> None:
         """Term-major postings (inverted index), built lazily and cached.
@@ -99,20 +106,27 @@ class BM25Okapi:
     def get_topk(self, query_tokens: Sequence[str], k: int
                  ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k (indices, scores) by BM25, touching only posting entries of
-        the query's terms. Identical scores to :meth:`get_scores`; ties break
-        to the lower document id (matching stable argsort over full scores).
-        Documents sharing no term score 0 and are returned only when fewer
-        than k docs match; WHICH zero-score fillers pad the tail is
-        arbitrary (consumers must cut at score <= 0, as the query engine
-        does)."""
+        the query's terms. Identical scores to :meth:`get_scores`; ties —
+        including at the k-th boundary — break to the lower document id,
+        exactly matching ``np.argsort(-scores, kind='stable')[:k]`` over the
+        full scan whenever matched scores are positive (always true unless
+        epsilon-floored IDFs go negative, where matched-negative docs rank
+        before zero-score fillers here). Documents sharing no term score 0
+        and only appear when fewer than k docs match (lowest ids first)."""
         self._ensure_inverted()
         k = min(k, self.n_docs)
-        acc = np.zeros(self.n_docs, dtype=np.float32)
         if self.n_docs == 0 or k == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        # Persistent accumulator: only touched entries are written and reset,
+        # so per-query cost is O(sum_t df(t) + touched log touched), not
+        # O(n_docs).
+        if getattr(self, "_acc", None) is None or self._acc.size != self.n_docs:
+            self._acc = np.zeros(self.n_docs, dtype=np.float32)
+        acc = self._acc
         norm = self.k1 * (
             1.0 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9)
         )
+        touched_parts = []
         for tok, c in Counter(query_tokens).items():
             tid = self.vocab.get(tok)
             if tid is None:
@@ -123,9 +137,29 @@ class BM25Okapi:
             acc[docs] += (
                 c * self.idf[tid] * tf * (self.k1 + 1.0) / (tf + norm[docs])
             )
-        part = np.argpartition(-acc, k - 1)[:k]
-        order = part[np.lexsort((part, -acc[part]))]
-        return order.astype(np.int64), acc[order]
+            touched_parts.append(docs)
+        if not touched_parts:
+            idx = np.arange(k, dtype=np.int64)
+            return idx, np.zeros(k, np.float32)
+        touched = np.unique(np.concatenate(touched_parts))  # ascending ids
+        scores_t = acc[touched].copy()
+        acc[touched] = 0.0  # reset for the next query
+        # stable ordering by (-score, doc id): mergesort on -score over the
+        # ascending-id candidate list preserves id order within ties
+        order_t = np.argsort(-scores_t, kind="stable")[:k]
+        idx = touched[order_t].astype(np.int64)
+        scores = scores_t[order_t]
+        if idx.size < k:
+            # fewer matching docs than k: fill with the lowest-id zero-score
+            # docs, as a stable argsort over the full array would
+            fill = np.setdiff1d(
+                np.arange(k, dtype=np.int64), idx, assume_unique=False
+            )[: k - idx.size]
+            idx = np.concatenate([idx, fill])
+            scores = np.concatenate(
+                [scores, np.zeros(k - scores.size, np.float32)]
+            )
+        return idx, scores
 
     def get_scores(self, query_tokens: Sequence[str]) -> np.ndarray:
         """BM25 score of the query against every document: (n_docs,) f32."""

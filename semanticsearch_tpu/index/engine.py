@@ -95,7 +95,7 @@ class EmbeddingIndex:
                 q, self._corpus, self._mesh, k=k,
                 valid_n=self._valid_n, use_pallas=use_pallas,
             )
-        elif use_pallas:
+        elif use_pallas and k < 128:
             if self._corpus_swizzled is None:
                 self._corpus_swizzled = swizzle_corpus(
                     self._corpus, self.cfg.block_rows
@@ -103,6 +103,14 @@ class EmbeddingIndex:
             vals, idx = topk_scores_twopass(
                 q, self._corpus, k=k, block_n=self.cfg.block_rows,
                 corpus_swizzled=self._corpus_swizzled,
+            )
+        elif use_pallas:
+            # the segment kernel supports k < 128; deeper candidate lists
+            # (e.g. hybrid depth 4*k) fall back to the fused kernel, which
+            # pads k to any width
+            vals, idx = topk_scores_pallas(
+                q, self._corpus, k=k,
+                block_q=self.cfg.query_batch, block_n=self.cfg.block_rows,
             )
         else:
             vals, idx = topk_scores_ref(q, self._corpus, k=k)

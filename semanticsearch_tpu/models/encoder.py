@@ -251,7 +251,23 @@ class SentenceEncoder:
         for L, idxs in buckets.items():
             eff_batch = batch_size
             s = 0
-            while s < len(idxs):
+            # loop continues until the last in-flight batch is FETCHED too:
+            # with async dispatch, a device OOM surfaces at the blocking
+            # fetch, which must also hit the batch-halving retry below
+            while s < len(idxs) or pending is not None:
+                if s >= len(idxs):
+                    try:
+                        _drain()
+                    except Exception as exc:
+                        msg = str(exc).lower()
+                        if ("resource_exhausted" in msg
+                                or "out of memory" in msg) and eff_batch > n_dev:
+                            s = pending[3]
+                            pending = None
+                            eff_batch = max(n_dev, eff_batch // 2)
+                            continue
+                        raise
+                    continue
                 sel = idxs[s: s + eff_batch]
                 b = len(sel)
                 # pad the batch so it divides the data axis
@@ -283,7 +299,6 @@ class SentenceEncoder:
                         continue
                     raise
                 s += b
-            _drain()  # flush before switching buckets (offsets are per-bucket)
         return out
 
 

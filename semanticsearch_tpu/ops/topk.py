@@ -285,11 +285,16 @@ def topk_scores_pallas(
 # Pass-B traffic is Q * k * L rows, independent of N.
 # --------------------------------------------------------------------------
 
-def swizzle_corpus(corpus: jax.Array, block_n: int = 16384) -> jax.Array:
+def swizzle_corpus(corpus: jax.Array, block_n: int = 8192) -> jax.Array:
     """Precompute the pass-A layout: within each block_n-row block, position
     j*128 + s holds natural row s*L + j (L = block_n/128). Pad to a block
     multiple first (zero rows). One transpose-copy; build it once per index
-    (EmbeddingIndex stores it) and pass to ``topk_scores_twopass``."""
+    (EmbeddingIndex stores it) and pass to ``topk_scores_twopass``.
+
+    block_n MUST match the block_n later passed to ``topk_scores_twopass``
+    (same default here) — the layout is block-size-specific and a mismatch
+    reads wrong segments. The search asserts the padded shape, which
+    catches every mismatch where the two paddings differ."""
     n = corpus.shape[0]
     d = corpus.shape[1]
     n_pad = _round_up(n, block_n)
@@ -412,6 +417,13 @@ def topk_scores_twopass(
         )
     elif corpus_swizzled is None:
         corpus_swizzled = swizzle_corpus(corpus, block_n)
+    else:
+        assert corpus_swizzled.shape[0] == n_pad, (
+            f"corpus_swizzled has {corpus_swizzled.shape[0]} rows but this "
+            f"block_n={block_n} pads the corpus to {n_pad} — it was built "
+            "with a different block_n (swizzle_corpus and "
+            "topk_scores_twopass must use the same value)"
+        )
     if not gather_from_swizzled and n_pad != corpus.shape[0]:
         corpus = jnp.pad(corpus, ((0, n_pad - corpus.shape[0]), (0, 0)))
 

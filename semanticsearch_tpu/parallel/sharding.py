@@ -80,10 +80,11 @@ def sharded_topk(
         # c_local: (shard_rows, D) — this device's corpus rows.
         my_shard = jax.lax.axis_index("data")
         base = my_shard * shard_rows
-        if use_pallas and impl == "twopass":
+        if use_pallas and impl == "twopass" and k_local < 128:
             # the per-shard swizzled copy is built inside the call (one
             # transpose per search); shard-resident indexes that search
-            # repeatedly should precompute it (ROADMAP round-3)
+            # repeatedly should precompute it (ROADMAP round-3). k_local >=
+            # 128 exceeds the segment kernel's width -> fused fallback.
             vals, idx = topk_scores_twopass(q, c_local, k=k_local,
                                             interpret=interpret)
         elif use_pallas:

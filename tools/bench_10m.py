@@ -25,20 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _hash_rows_np(nat_ids: np.ndarray, d: int) -> np.ndarray:
-    """Host replica of the on-device corpus hash: (len(ids), d) f32 rows."""
-    i = nat_ids.astype(np.uint32)[:, None]
-    j = np.arange(d, dtype=np.uint32)[None, :]
-    h = i * np.uint32(2654435761) + j * np.uint32(40503) + np.uint32(977)
-    h = h ^ (h >> np.uint32(13))
-    h = h * np.uint32(0x5BD1E995)
-    h = h ^ (h >> np.uint32(15))
-    x = h.astype(np.float32) / np.float32(2**32) - 0.5
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    # round through bf16 exactly as the device corpus is stored
-    import ml_dtypes
+from synth_corpus import device_unit_rows, host_unit_rows
 
-    return x.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+def _hash_rows_np(nat_ids: np.ndarray, d: int) -> np.ndarray:
+    """Host replica of the on-device corpus hash (bf16-rounded like the
+    device corpus)."""
+    return host_unit_rows(nat_ids, d, bf16_round=True)
 
 
 def main():
@@ -68,18 +61,11 @@ def main():
 
     @jax.jit
     def make_swizzled():
-        r = jax.lax.broadcasted_iota(jnp.uint32, (n_pad, d), 0)
+        r = jax.lax.broadcasted_iota(jnp.uint32, (n_pad, 1), 0)
         o = r % jnp.uint32(T)
         nat = (r // jnp.uint32(T)) * jnp.uint32(T) \
             + (o % jnp.uint32(128)) * jnp.uint32(L) + o // jnp.uint32(128)
-        j = jax.lax.broadcasted_iota(jnp.uint32, (n_pad, d), 1)
-        h = nat * jnp.uint32(2654435761) + j * jnp.uint32(40503) + jnp.uint32(977)
-        h = h ^ (h >> 13)
-        h = h * jnp.uint32(0x5BD1E995)
-        h = h ^ (h >> 15)
-        x = h.astype(jnp.float32) / jnp.float32(2**32) - 0.5
-        norm = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
-        return (x / norm).astype(jnp.bfloat16)
+        return device_unit_rows(nat, d, dtype=jnp.bfloat16)
 
     print("STAGE corpus gen (swizzled, 7.7GB)...", file=sys.stderr, flush=True)
     corpus_sw = make_swizzled()

@@ -92,16 +92,12 @@ def main():
     rows, d, qn = 1_250_000, 384, 2048
     block_n = 8192
 
+    from synth_corpus import device_unit_rows
+
     @jax.jit
     def make_corpus():
-        i = jax.lax.broadcasted_iota(jnp.uint32, (rows, d), 0)
-        j = jax.lax.broadcasted_iota(jnp.uint32, (rows, d), 1)
-        h = i * jnp.uint32(2654435761) + j * jnp.uint32(40503) + jnp.uint32(977)
-        h = (h ^ (h >> 13)) * jnp.uint32(0x5BD1E995)
-        x = (h ^ (h >> 15)).astype(jnp.float32) / jnp.float32(2**32) - 0.5
-        return (x / jnp.linalg.norm(x, axis=1, keepdims=True)).astype(
-            jnp.bfloat16
-        )
+        i = jax.lax.broadcasted_iota(jnp.uint32, (rows, 1), 0)
+        return device_unit_rows(i, d, dtype=jnp.bfloat16)
 
     corpus = make_corpus()
     _ = float(corpus[0, 0])

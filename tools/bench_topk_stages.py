@@ -43,17 +43,12 @@ def main():
 
     dtype = jnp.bfloat16
 
+    from synth_corpus import device_unit_rows
+
     @jax.jit
     def make_corpus():
-        i = jax.lax.broadcasted_iota(jnp.uint32, (rows, d), 0)
-        j = jax.lax.broadcasted_iota(jnp.uint32, (rows, d), 1)
-        h = i * jnp.uint32(2654435761) + j * jnp.uint32(40503) + jnp.uint32(977)
-        h = h ^ (h >> 13)
-        h = h * jnp.uint32(0x5BD1E995)
-        h = h ^ (h >> 15)
-        x = h.astype(jnp.float32) / jnp.float32(2**32) - 0.5
-        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-        return x.astype(dtype)
+        i = jax.lax.broadcasted_iota(jnp.uint32, (rows, 1), 0)
+        return device_unit_rows(i, d, dtype=dtype)
 
     corpus = make_corpus()
     _ = float(corpus[0, 0])
