@@ -95,12 +95,29 @@ def cmd_rank(args) -> int:
     encoder = _make_encoder(cfg, args)
 
     # Stream query groups: rows for one query are processed and written as
-    # soon as the next query starts, so host memory holds ONE group, never
-    # the whole chunk TSV (the reference chunk-reads with a RAM estimator,
-    # ``rank_chunks_optimized.py:28-50,373-378``; a 10M-chunk file would not
-    # fit as QueryGroup dicts). Requires the input grouped by query_id —
-    # which the chunking pipeline emits — and fails loudly otherwise.
+    # soon as the next query starts, so host memory holds one BATCH of
+    # groups, never the whole chunk TSV (the reference chunk-reads with a
+    # RAM estimator, ``rank_chunks_optimized.py:28-50,373-378``; a 10M-chunk
+    # file would not fit as QueryGroup dicts). Requires the input grouped by
+    # query_id — which the chunking pipeline emits — and fails loudly
+    # otherwise (use --in-memory for unsorted files).
     def stream_groups():
+        if args.in_memory:
+            groups: Dict[str, QueryGroup] = {}
+            for row in read_tsv(args.input):
+                qid = row.get("query_id", "")
+                qtext = row.get("query_text") or qmap.get(qid, "")
+                if not qtext:
+                    continue
+                g = groups.setdefault(
+                    qid, QueryGroup(query_id=qid, query_text=qtext)
+                )
+                g.chunk_ids.append(
+                    row.get("chunk_id", f"{qid}_{len(g.chunk_ids)}")
+                )
+                g.chunk_texts.append(row.get("chunk_text", ""))
+            yield from groups.values()
+            return
         seen: set = set()
         cur: QueryGroup | None = None
         for row in read_tsv(args.input):
@@ -114,7 +131,8 @@ def cmd_rank(args) -> int:
                 if qid in seen:
                     raise ValueError(
                         f"input is not grouped by query_id ({qid!r} "
-                        "reappears); sort the chunk TSV by query_id first"
+                        "reappears); sort the chunk TSV by query_id first "
+                        "or pass --in-memory"
                     )
                 seen.add(qid)
                 cur = QueryGroup(query_id=qid, query_text=qtext)
@@ -124,8 +142,19 @@ def cmd_rank(args) -> int:
             yield cur
 
     def ranked_rows():
+        # micro-batch groups so each device call embeds MANY queries' texts
+        # (deduplicated across the batch) — one encode round trip per query
+        # would dominate through remote links
+        batch: List[QueryGroup] = []
+        texts = 0
         for group in stream_groups():
-            yield from rank_and_filter_groups([group], encoder.encode, rcfg)
+            batch.append(group)
+            texts += len(group.chunk_texts) + 1
+            if len(batch) >= args.group_batch or texts >= 8192:
+                yield from rank_and_filter_groups(batch, encoder.encode, rcfg)
+                batch, texts = [], 0
+        if batch:
+            yield from rank_and_filter_groups(batch, encoder.encode, rcfg)
 
     full = args.output.replace(".tsv", "") + "_rrf_filtered_full.tsv"
     n_rows = 0
@@ -376,6 +405,11 @@ def main(argv=None) -> int:
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--original", help="5-col TSV for query_id->text mapping")
+    p.add_argument("--group-batch", type=int, default=32,
+                   help="query groups ranked per device batch")
+    p.add_argument("--in-memory", action="store_true",
+                   help="accept inputs NOT grouped by query_id (loads all "
+                        "groups into host memory, like round 1)")
     _add_config_args(p)
     p.set_defaults(fn=cmd_rank)
 

@@ -84,7 +84,7 @@ def create_cv_folds(
 
     # Pass 2: stream every row into its fold's test file.
     counts = [0] * num_folds
-    test_files = [open(p, "w") for p in test_paths]
+    test_files = [open(p, "w", encoding="utf-8") for p in test_paths]
     try:
         for f in test_files:
             f.write(header)
@@ -100,12 +100,12 @@ def create_cv_folds(
 
     # Train files: streamed concat of the other K-1 test files (skip headers).
     for k in range(num_folds):
-        with open(train_paths[k], "w") as out_f:
+        with open(train_paths[k], "w", encoding="utf-8") as out_f:
             out_f.write(header)
             for j in range(num_folds):
                 if j == k:
                     continue
-                with open(test_paths[j]) as in_f:
+                with open(test_paths[j], encoding="utf-8") as in_f:
                     next(in_f)  # header
                     for line in in_f:
                         out_f.write(line)

@@ -127,6 +127,7 @@ class BM25Okapi:
             1.0 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9)
         )
         touched_parts = []
+        total_postings = 0
         for tok, c in Counter(query_tokens).items():
             tid = self.vocab.get(tok)
             if tid is None:
@@ -138,27 +139,45 @@ class BM25Okapi:
                 c * self.idf[tid] * tf * (self.k1 + 1.0) / (tf + norm[docs])
             )
             touched_parts.append(docs)
+            total_postings += docs.size
         if not touched_parts:
             idx = np.arange(k, dtype=np.int64)
             return idx, np.zeros(k, np.float32)
-        touched = np.unique(np.concatenate(touched_parts))  # ascending ids
-        scores_t = acc[touched].copy()
-        acc[touched] = 0.0  # reset for the next query
-        # stable ordering by (-score, doc id): mergesort on -score over the
-        # ascending-id candidate list preserves id order within ties
-        order_t = np.argsort(-scores_t, kind="stable")[:k]
-        idx = touched[order_t].astype(np.int64)
-        scores = scores_t[order_t]
-        if idx.size < k:
-            # fewer matching docs than k: fill with the lowest-id zero-score
-            # docs, as a stable argsort over the full array would
-            fill = np.setdiff1d(
-                np.arange(k, dtype=np.int64), idx, assume_unique=False
-            )[: k - idx.size]
-            idx = np.concatenate([idx, fill])
-            scores = np.concatenate(
-                [scores, np.zeros(k - scores.size, np.float32)]
-            )
+
+        if total_postings * 4 < self.n_docs:
+            # SPARSE path: selective query — sort only the touched docs
+            touched = np.unique(np.concatenate(touched_parts))  # asc ids
+            scores_t = acc[touched].copy()
+            acc[touched] = 0.0  # reset for the next query
+            # stable -score sort over the ascending-id candidates keeps
+            # lower ids first within ties
+            order_t = np.argsort(-scores_t, kind="stable")[:k]
+            idx = touched[order_t].astype(np.int64)
+            scores = scores_t[order_t]
+            if idx.size < k:
+                # fewer matching docs than k: fill with the lowest-id
+                # zero-score docs, as a stable full argsort would
+                fill = np.setdiff1d(
+                    np.arange(k, dtype=np.int64), idx, assume_unique=False
+                )[: k - idx.size]
+                idx = np.concatenate([idx, fill])
+                scores = np.concatenate(
+                    [scores, np.zeros(k - scores.size, np.float32)]
+                )
+            return idx, scores
+
+        # DENSE path: stopword-class query touching much of the corpus —
+        # np.unique over the postings would cost more than one linear pass.
+        # argpartition + exact boundary-tie repair (lower ids win).
+        part = np.argpartition(-acc, k - 1)[:k]
+        vk = float(acc[part].min())
+        above = np.nonzero(acc > vk)[0]          # ascending ids
+        ties = np.nonzero(acc == vk)[0]          # ascending ids
+        sel = np.concatenate([above, ties[: k - above.size]])
+        order_s = np.argsort(-acc[sel], kind="stable")
+        idx = sel[order_s].astype(np.int64)
+        scores = acc[sel][order_s].astype(np.float32)
+        acc.fill(0.0)
         return idx, scores
 
     def get_scores(self, query_tokens: Sequence[str]) -> np.ndarray:

@@ -181,13 +181,22 @@ class SentenceEncoder:
             # vocab_size x hidden_dim), which execute pathologically slowly
             # through remote-device links (~minutes per encoder). The
             # one-time device_put of the finished params is cheap.
+            # Init uses a STOCK-attention twin of the model: the flash
+            # attention_fn hook does not change the parameter tree (tested),
+            # and the Pallas kernel cannot execute compiled on the CPU
+            # device this init is pinned to.
+            import dataclasses
+
+            init_model = SentenceTransformerModel(
+                dataclasses.replace(cfg, attention="stock")
+            )
             rng = jax.random.PRNGKey(seed)
             dummy_ids = jnp.zeros((1, cfg.max_len), jnp.int32)
             dummy_mask = jnp.ones((1, cfg.max_len), jnp.int32)
             with jax.default_device(jax.devices("cpu")[0]):
                 params = jax.tree.map(
                     np.asarray,
-                    self.model.init(rng, dummy_ids, dummy_mask)["params"],
+                    init_model.init(rng, dummy_ids, dummy_mask)["params"],
                 )
         if mesh is not None:
             params = jax.device_put(params, NamedSharding(mesh, P()))

@@ -57,7 +57,9 @@ def kill_processes_on_port(port: int, timeout_s: float = 5.0) -> int:
     victims = []
     for proc in psutil.process_iter(["pid"]):
         try:
-            conns = proc.net_connections(kind="inet")
+            # psutil >= 6 renamed connections() -> net_connections()
+            conns_fn = getattr(proc, "net_connections", None) or proc.connections
+            conns = conns_fn(kind="inet")
         except (psutil.AccessDenied, psutil.NoSuchProcess):
             continue
         for c in conns:

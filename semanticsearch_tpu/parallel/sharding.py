@@ -57,7 +57,7 @@ def sharded_topk(
     k: int = 10,
     valid_n: int = -1,
     use_pallas: bool = False,
-    impl: str = "twopass",
+    impl: str = "fused",
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over a row-sharded corpus. Returns (values, global indices).
@@ -81,10 +81,11 @@ def sharded_topk(
         my_shard = jax.lax.axis_index("data")
         base = my_shard * shard_rows
         if use_pallas and impl == "twopass" and k_local < 128:
-            # the per-shard swizzled copy is built inside the call (one
-            # transpose per search); shard-resident indexes that search
-            # repeatedly should precompute it (ROADMAP round-3). k_local >=
-            # 128 exceeds the segment kernel's width -> fused fallback.
+            # OPT-IN for now: the per-shard swizzled copy is rebuilt inside
+            # every call (one full-shard transpose per search), so the fused
+            # kernel stays the sharded default until per-shard swizzle
+            # caching lands (ROADMAP round-3). k_local >= 128 exceeds the
+            # segment kernel's width -> fused fallback.
             vals, idx = topk_scores_twopass(q, c_local, k=k_local,
                                             interpret=interpret)
         elif use_pallas:
