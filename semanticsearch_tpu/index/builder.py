@@ -115,7 +115,11 @@ def load_index(
     if mesh is None:
         mesh = local_mesh()
     n_shards = mesh.shape["data"]
-    n_pad = ((n + n_shards - 1) // n_shards) * n_shards
+    # align shards to the kernel block (multi-device) so the cached
+    # per-shard swizzled layout is buildable — see engine.search
+    align = cfg.block_rows if n_shards > 1 else 1
+    step = n_shards * align
+    n_pad = ((n + step - 1) // step) * step
     sharding = NamedSharding(mesh, P("data", None))
 
     def _shard_slice(index: Tuple[slice, ...]) -> np.ndarray:

@@ -74,7 +74,9 @@ class EmbeddingIndex:
             mesh = local_mesh()
         n_shards = mesh.shape["data"]
         if n_shards > 1:
-            emb, valid_n = pad_to_shards(emb, mesh)
+            # align shards to the kernel block so the cached per-shard
+            # swizzled layout is buildable without cross-shard traffic
+            emb, valid_n = pad_to_shards(emb, mesh, align=cfg.block_rows)
             emb = shard_corpus(emb, mesh)
         else:
             valid_n = emb.shape[0]
@@ -91,9 +93,27 @@ class EmbeddingIndex:
         n_shards = self._mesh.shape["data"] if self._mesh is not None else 1
         use_pallas = jax.default_backend() == "tpu"
         if n_shards > 1:
+            shard_rows = self._corpus.shape[0] // n_shards
+            use_twopass = (
+                use_pallas
+                and shard_rows % self.cfg.block_rows == 0
+                and min(shard_rows,
+                        k + self._corpus.shape[0] - self._valid_n) < 128
+            )
+            if use_twopass and self._corpus_swizzled is None:
+                from ..parallel.sharding import swizzle_corpus_sharded
+
+                self._corpus_swizzled = swizzle_corpus_sharded(
+                    self._corpus, self._mesh, self.cfg.block_rows
+                )
             vals, idx = sharded_topk(
                 q, self._corpus, self._mesh, k=k,
                 valid_n=self._valid_n, use_pallas=use_pallas,
+                impl="twopass" if use_twopass else "fused",
+                corpus_swizzled_sharded=(
+                    self._corpus_swizzled if use_twopass else None
+                ),
+                block_n=self.cfg.block_rows,
             )
         elif use_pallas and k < 128:
             if self._corpus_swizzled is None:

@@ -11,7 +11,7 @@ never the corpus.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,19 +36,53 @@ def shard_corpus(emb: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.device_put(emb, NamedSharding(mesh, P("data", None)))
 
 
-def pad_to_shards(emb: jax.Array, mesh: Mesh) -> Tuple[jax.Array, int]:
+def pad_to_shards(emb: jax.Array, mesh: Mesh,
+                  align: int = 1) -> Tuple[jax.Array, int]:
+    """Zero-pad to a multiple of n_shards (and of n_shards*align when
+    ``align`` > 1, so every shard's row count is align-divisible — required
+    for the cached per-shard swizzled layout to equal the global swizzle)."""
     n_shards = mesh.shape["data"]
+    step = n_shards * max(1, align)
     n = emb.shape[0]
-    pad = (-n) % n_shards
+    pad = (-n) % step
     if pad:
         emb = jnp.pad(emb, ((0, pad), (0, 0)))
     return emb, n
 
 
+def swizzle_corpus_sharded(corpus_sharded: jax.Array, mesh: Mesh,
+                           block_n: int = 8192) -> jax.Array:
+    """Per-shard pass-A layout for the two-pass kernel, kept row-sharded.
+
+    Requires shard_rows % block_n == 0 (use ``pad_to_shards(align=block_n)``)
+    so swizzle blocks never cross shard boundaries — then each device
+    transposes only its local rows (no collectives) and the cached result
+    feeds ``sharded_topk(..., corpus_swizzled_sharded=...)``.
+    """
+    from ..ops.topk import swizzle_corpus
+
+    n_total = corpus_sharded.shape[0]
+    n_shards = mesh.shape["data"]
+    shard_rows = n_total // n_shards
+    assert shard_rows % block_n == 0, (
+        f"shard_rows={shard_rows} must divide block_n={block_n}; pad with "
+        "pad_to_shards(align=block_n)"
+    )
+
+    def local(c_local):
+        return swizzle_corpus(c_local, block_n)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=P("data", None), out_specs=P("data", None),
+        check_vma=False,
+    ))(corpus_sharded)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "k", "valid_n", "use_pallas", "impl",
-                     "interpret"),
+                     "interpret", "block_n"),
 )
 def sharded_topk(
     queries: jax.Array,
@@ -59,6 +93,8 @@ def sharded_topk(
     use_pallas: bool = False,
     impl: str = "fused",
     interpret: bool = False,
+    corpus_swizzled_sharded: Optional[jax.Array] = None,
+    block_n: int = 8192,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over a row-sharded corpus. Returns (values, global indices).
 
@@ -66,6 +102,10 @@ def sharded_topk(
     corpus_sharded: (N, D) with N divisible by the data-axis size, sharded
                     with PartitionSpec("data", None).
     valid_n:        true corpus size if the corpus was padded (-1: no padding).
+    corpus_swizzled_sharded: cached per-shard pass-A layout from
+                    :func:`swizzle_corpus_sharded` — when given (with
+                    impl="twopass"), each shard runs the faster two-pass
+                    segment kernel with no per-call transpose.
     """
     n_total = corpus_sharded.shape[0]
     shard_rows = n_total // mesh.shape["data"]
@@ -75,19 +115,21 @@ def sharded_topk(
     # shard still contributes its true local top-k.
     n_pad = 0 if valid_n < 0 else n_total - valid_n
     k_local = min(shard_rows, k + n_pad)
+    use_twopass = use_pallas and impl == "twopass" and k_local < 128
+    have_cached_swz = corpus_swizzled_sharded is not None
 
-    def local_search(q, c_local):
+    def local_search(q, c_local, *c_swz):
         # c_local: (shard_rows, D) — this device's corpus rows.
         my_shard = jax.lax.axis_index("data")
         base = my_shard * shard_rows
-        if use_pallas and impl == "twopass" and k_local < 128:
-            # OPT-IN for now: the per-shard swizzled copy is rebuilt inside
-            # every call (one full-shard transpose per search), so the fused
-            # kernel stays the sharded default until per-shard swizzle
-            # caching lands (ROADMAP round-3). k_local >= 128 exceeds the
-            # segment kernel's width -> fused fallback.
-            vals, idx = topk_scores_twopass(q, c_local, k=k_local,
-                                            interpret=interpret)
+        if use_twopass:
+            # with a cached per-shard swizzle this is transpose-free; else
+            # the swizzle is rebuilt per call (opt-in cost)
+            vals, idx = topk_scores_twopass(
+                q, c_local, k=k_local, block_n=block_n,
+                interpret=interpret,
+                corpus_swizzled=c_swz[0] if have_cached_swz else None,
+            )
         elif use_pallas:
             vals, idx = topk_scores_pallas(q, c_local, k=k_local,
                                            interpret=interpret)
@@ -106,10 +148,15 @@ def sharded_topk(
         best_i = jnp.take_along_axis(all_idx, sel, axis=1)
         return best_v, best_i
 
+    args = (queries, corpus_sharded)
+    in_specs = [P(), P("data", None)]
+    if have_cached_swz:
+        args = args + (corpus_swizzled_sharded,)
+        in_specs.append(P("data", None))
     return shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(), P("data", None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P()),
         check_vma=False,
-    )(queries, corpus_sharded)
+    )(*args)

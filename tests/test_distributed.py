@@ -37,3 +37,34 @@ def test_sharded_topk_twopass_kernel_under_shard_map(mesh8, rng):
     brute = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
     for got, want in zip(np.asarray(idx), brute):
         assert set(got.tolist()) == set(want.tolist())
+
+
+def test_sharded_topk_cached_swizzle(mesh8, rng):
+    """The cached per-shard swizzled layout (block-aligned shards) must give
+    the same exact results as the on-the-fly path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from semanticsearch_tpu.parallel.sharding import (
+        pad_to_shards,
+        sharded_topk,
+        swizzle_corpus_sharded,
+    )
+
+    n, d, k, block_n = 500, 64, 6, 128
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((3, d)).astype(np.float32)
+    emb, valid_n = pad_to_shards(jnp.asarray(corpus), mesh8, align=block_n)
+    assert emb.shape[0] % (8 * block_n) == 0
+    emb = jax.device_put(emb, NamedSharding(mesh8, P("data", None)))
+    swz = swizzle_corpus_sharded(emb, mesh8, block_n)
+    vals, idx = sharded_topk(
+        jnp.asarray(queries), emb, mesh8, k=k, valid_n=valid_n,
+        use_pallas=True, impl="twopass", interpret=True,
+        corpus_swizzled_sharded=swz, block_n=block_n,
+    )
+    brute = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
+    for got, want in zip(np.asarray(idx), brute):
+        assert set(got.tolist()) == set(want.tolist())
