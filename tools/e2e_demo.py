@@ -41,13 +41,26 @@ FILLER = ("the report describes several findings and notes that further "
 
 
 def _make_corpus(path: str, n_queries: int, docs_per_q: int, seed: int = 0):
-    from semanticsearch_tpu.data.tsv import write_tsv
+    """Stage 0: write RAW TREC-format inputs (topics file, qrels, one file
+    per document — the reference's Robust04 input shape) and run the
+    integrator to produce the 5-column TSV, exactly like
+    ``semsearch integrate`` (reference ``data_process/integrate_data.py``).
+    """
+    from semanticsearch_tpu.data.integrate import integrate_corpus
 
+    base = os.path.dirname(path)
+    docs_dir = os.path.join(base, "raw_docs")
+    os.makedirs(docs_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
-    rows = []
+    topic_blocks = []
+    qrel_lines = []
     for qi in range(n_queries):
         qtext, vocab = TOPICS[qi % len(TOPICS)]
         topic_words = vocab.split()
+        topic_blocks.append(
+            f"<top>\n<num> Number: {301 + qi}\n<title> {qtext}\n"
+            f"<desc> Description:\n{qtext}.\n</top>\n"
+        )
         for d in range(docs_per_q):
             relevant = d < docs_per_q // 2
             sents = []
@@ -56,15 +69,21 @@ def _make_corpus(path: str, n_queries: int, docs_per_q: int, seed: int = 0):
                 if relevant and s % 2 == 0:
                     words = list(rng.choice(topic_words, size=4)) + words[:3]
                 sents.append(" ".join(words).capitalize() + ".")
-            rows.append({
-                "query_id": f"q{qi}",
-                "query_text": qtext,
-                "document_id": f"q{qi}_d{d}",
-                "document": " ".join(sents),
-                "label": str(int(relevant)),
-            })
-    write_tsv(path, rows,
-              ["query_id", "query_text", "document_id", "document", "label"])
+            doc_id = f"D{qi}_{d}"
+            with open(os.path.join(docs_dir, doc_id), "w") as f:
+                f.write(" ".join(sents))
+            qrel_lines.append(f"{301 + qi} 0 {doc_id} {int(relevant)}")
+    topics_path = os.path.join(base, "topics.txt")
+    qrels_path = os.path.join(base, "qrels.txt")
+    with open(topics_path, "w") as f:
+        f.write("\n".join(topic_blocks))
+    with open(qrels_path, "w") as f:
+        f.write("\n".join(qrel_lines) + "\n")
+
+    stats = integrate_corpus(qrels_path, topics_path, docs_dir, path)
+    assert stats.written == n_queries * docs_per_q, (
+        f"integrate wrote {stats.written}, expected {n_queries * docs_per_q}"
+    )
     return path
 
 
