@@ -31,7 +31,7 @@ def main() -> int:
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--query-batch", type=int, default=16384,
                         help="large batches amortize tunnel round-trips")
-    parser.add_argument("--block-n", type=int, default=8192)
+    parser.add_argument("--block-n", type=int, default=32768)
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--recall-sample", type=int, default=32)
     parser.add_argument("--impl", choices=["twopass", "fused"],
@@ -39,6 +39,14 @@ def main() -> int:
                         help="twopass = segment-max streaming kernel + "
                              "candidate rescore (fastest); fused = single "
                              "kernel with in-VMEM selection")
+    parser.add_argument("--seg-split", type=int, default=8,
+                        help="fine-segment factor: pass-B candidates shrink "
+                             "seg_split x (rows/segment = block_n/128/this); "
+                             "32768/8 measured best on v5e (100.9k QPS)")
+    parser.add_argument("--q-chunk", type=int, default=256,
+                        help="pass-B rescore chunk rows")
+    parser.add_argument("--block-q", type=int, default=256,
+                        help="pass-A query block rows")
     args = parser.parse_args()
 
     import jax
@@ -96,8 +104,10 @@ def main() -> int:
         if args.impl == "twopass":
             return topk_scores_twopass(
                 q, corpus, k=args.k,
-                block_q=min(args.query_batch, 256), block_n=args.block_n,
-                corpus_swizzled=corpus_sw,
+                block_q=min(args.query_batch, args.block_q),
+                block_n=args.block_n,
+                corpus_swizzled=corpus_sw, seg_split=args.seg_split,
+                q_chunk=args.q_chunk,
             )
         return topk_scores_pallas(
             q, corpus, k=args.k,

@@ -127,8 +127,11 @@ class IndexConfig:
     shard_axis: str = "data"
     top_k: int = 10
     query_batch: int = 128   # fused-kernel block_q (sharded path)
-    block_rows: int = 8192   # corpus rows per kernel block; also sets the
-    # two-pass segment size (block_rows/128 rows/segment) — measured on v5e
+    block_rows: int = 16384  # corpus rows per kernel block (pass-A tile)
+    seg_split: int = 4       # fine-segment factor: rows/segment =
+    # block_rows/128/seg_split. 16384/4 measured 97-99k QPS/chip on v5e at
+    # 1.25M rows; 32768/8 peaks at ~101k (bench.py default) but pads small
+    # corpora harder. Exact at any setting.
     dtype: str = "bfloat16"
 
 

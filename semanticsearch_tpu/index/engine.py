@@ -114,6 +114,7 @@ class EmbeddingIndex:
                     self._corpus_swizzled if use_twopass else None
                 ),
                 block_n=self.cfg.block_rows,
+                seg_split=self.cfg.seg_split,
             )
         elif use_pallas and k < 128:
             if self._corpus_swizzled is None:
@@ -123,6 +124,7 @@ class EmbeddingIndex:
             vals, idx = topk_scores_twopass(
                 q, self._corpus, k=k, block_n=self.cfg.block_rows,
                 corpus_swizzled=self._corpus_swizzled,
+                seg_split=self.cfg.seg_split,
             )
         elif use_pallas:
             # the segment kernel supports k < 128; deeper candidate lists

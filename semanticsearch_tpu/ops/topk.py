@@ -310,17 +310,25 @@ def swizzle_corpus(corpus: jax.Array, block_n: int = 8192) -> jax.Array:
 
 
 def _segtopk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *,
-                    k_sel: int, block_q: int, block_n: int, n_valid_segs: int):
+                    k_sel: int, block_q: int, block_n: int, n_valid_segs: int,
+                    seg_split: int):
     """Grid (c_blocks, q_blocks), corpus-major. c_ref holds the SWIZZLED
-    block; lane s of the score tile = segment cb*128 + s. Maintains the
+    block; lane s of the score tile = lane-group cb*128 + s. Maintains the
     running top-k_sel (segmax value, segment id) per query in VMEM scratch.
+
+    ``seg_split`` subdivides each lane-group of L rows into ``seg_split``
+    FINE segments of L/seg_split rows. Under the swizzle, fine segment
+    f = seg_split*s + h of block cb covers natural rows
+    [f*(L/seg_split), (f+1)*(L/seg_split)) — still contiguous — so pass B's
+    per-query candidate traffic shrinks by seg_split× at the cost of a
+    seg_split×-wider merge strip here (VPU, cheap next to the matmul).
 
     Padding needs NO per-element mask pass (a full-tile VPU add would cost
     ~4B of VMEM traffic per score): pad rows are zeros, which can only
     inflate the maximum of the ONE partial segment straddling n — covered
     by over-selecting one extra segment (k_sel = k+1) — while fully-fake
-    segments (id >= n_valid_segs) are killed with a (B, 128) segment-level
-    mask, 1/L the traffic of an element mask.
+    segments (id >= n_valid_segs) are killed with a (B, 128*seg_split)
+    segment-level mask, 1/(L/seg_split) the traffic of an element mask.
     """
     cb = pl.program_id(0)
     qb = pl.program_id(1)
@@ -344,12 +352,21 @@ def _segtopk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *,
         preferred_element_type=jnp.float32,
     )
     L = block_n // _LANE
-    # segment max: elementwise max across the L vreg-rows at each lane
-    segmax = jnp.max(scores.reshape(block_q, L, _LANE), axis=1)
+    L2 = L // seg_split
+    # fine-segment max: elementwise max across the L2 vreg-rows of each
+    # (h, lane) pair; swizzled tile column j*128+s with j = h*L2+j2 scores
+    # natural row (cb*128+s)*L + h*L2 + j2 = fine segment seg_split*s+h of
+    # this block, element j2
+    segmax = jnp.max(
+        scores.reshape(block_q, seg_split, L2, _LANE), axis=2
+    ).reshape(block_q, seg_split * _LANE)
     seg_ids = (
-        jax.lax.broadcasted_iota(jnp.int32, (block_q, _LANE), 1)
-        + cb * _LANE
-    )
+        seg_split * jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, seg_split, _LANE), 2)
+        + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, seg_split, _LANE), 1)
+        + cb * (seg_split * _LANE)
+    ).reshape(block_q, seg_split * _LANE)
     segmax = jnp.where(seg_ids < n_valid_segs, segmax, NEG_INF)
 
     cur_v = acc_v[pl.ds(row0, block_q), :]
@@ -369,7 +386,7 @@ def _segtopk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_q", "block_n", "q_chunk", "interpret",
-                     "gather_from_swizzled", "valid_n"),
+                     "gather_from_swizzled", "valid_n", "seg_split"),
 )
 def topk_scores_twopass(
     queries: jax.Array,
@@ -382,6 +399,7 @@ def topk_scores_twopass(
     corpus_swizzled: Optional[jax.Array] = None,
     gather_from_swizzled: bool = False,
     valid_n: int = -1,
+    seg_split: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k inner-product search, two-pass: (values, indices), (Q, k).
 
@@ -401,6 +419,12 @@ def topk_scores_twopass(
     zero-padded partial segment can carry an inflated (score 0) maximum; the
     true top-k segments therefore all survive, and the pass-B rescore masks
     individual pad columns exactly.
+
+    ``seg_split`` (1, 2, 4, ...) subdivides each lane-group into finer
+    segments of block_n/128/seg_split rows: pass-B candidate traffic drops
+    seg_split× for a slightly wider in-kernel merge. Exact for any value
+    (the top-k-in-top-k-segments argument holds for every segmentation,
+    and exactly one fine segment straddles n).
     """
     assert k < _LANE, f"segment top-k supports k < {_LANE}, got {k}"
     q, d = queries.shape
@@ -428,15 +452,19 @@ def topk_scores_twopass(
         corpus = jnp.pad(corpus, ((0, n_pad - corpus.shape[0]), (0, 0)))
 
     L = block_n // _LANE
+    assert L % seg_split == 0 and L >= seg_split, (
+        f"seg_split={seg_split} must divide block_n/128={L}"
+    )
+    L2 = L // seg_split  # rows per (fine) segment
     c_blocks = n_pad // block_n
-    n_valid_segs = -(-n // L)  # segments containing at least one real row
+    n_valid_segs = -(-n // L2)  # segments containing at least one real row
     k_sel = min(k + 1, _LANE)
 
     grid = (c_blocks, q_pad // block_q)
     _, seg_ids_full = pl.pallas_call(
         functools.partial(
             _segtopk_kernel, k_sel=k_sel, block_q=block_q, block_n=block_n,
-            n_valid_segs=n_valid_segs,
+            n_valid_segs=n_valid_segs, seg_split=seg_split,
         ),
         grid=grid,
         in_specs=[
@@ -473,25 +501,27 @@ def topk_scores_twopass(
     seg_ids = seg_ids_full[:, :k_sel]  # (q_pad, k_sel) top segment ids
 
     # ---- pass B: candidate gather + exact rescore (XLA) ----
-    # segment s covers natural rows [s*L, (s+1)*L); ids < 0 are "fewer than
-    # k_sel real segments" placeholders (only when n <= ~k*L)
+    # segment s covers natural rows [s*L2, (s+1)*L2); ids < 0 are "fewer than
+    # k_sel real segments" placeholders (only when n <= ~k*L2)
     seg_safe = jnp.maximum(seg_ids, 0)
-    j_off = jnp.arange(L, dtype=jnp.int32)[None, None, :]
-    cand_cols = (seg_safe[:, :, None] * L + j_off).reshape(q_pad, k_sel * L)
+    j_off = jnp.arange(L2, dtype=jnp.int32)[None, None, :]
+    cand_rows = seg_safe[:, :, None] * L2 + j_off  # natural row ids
+    cand_cols = cand_rows.reshape(q_pad, k_sel * L2)
     cand_valid = (
-        (seg_ids[:, :, None] >= 0)
-        & ((seg_safe[:, :, None] * L + j_off) < n)
-    ).reshape(q_pad, k_sel * L)
+        (seg_ids[:, :, None] >= 0) & (cand_rows < n)
+    ).reshape(q_pad, k_sel * L2)
     if not gather_from_swizzled:
-        corpus_segs = corpus.reshape(c_blocks * _LANE, L, d)
+        corpus_segs = corpus.reshape(n_pad // L2, L2, d)
     else:
-        # natural row seg*L + j lives at swizzled position
-        # (seg//128)*block_n + j*128 + (seg%128)
+        # natural row r sits at swizzled position
+        # (r//block_n)*block_n + (w % L)*128 + w//L with w = r % block_n
+        # (within each block, position j*128+s holds natural row s*L+j)
+        w = cand_rows % block_n
         cand_swz = (
-            (seg_safe[:, :, None] // _LANE) * block_n
-            + j_off * _LANE
-            + (seg_safe[:, :, None] % _LANE)
-        ).reshape(q_pad, k_sel * L)
+            (cand_rows // block_n) * block_n
+            + (w % L) * _LANE
+            + w // L
+        ).reshape(q_pad, k_sel * L2)
 
     out_v = []
     out_i = []
@@ -508,7 +538,7 @@ def topk_scores_twopass(
             scores = jnp.einsum(
                 "qkld,qd->qkl", blocks, queries[s:e],
                 preferred_element_type=jnp.float32,
-            ).reshape(e - s, k_sel * L)
+            ).reshape(e - s, k_sel * L2)
         scores = jnp.where(cand_valid[s:e], scores, NEG_INF)
         v, sel = jax.lax.top_k(scores, k)
         out_v.append(v)

@@ -82,7 +82,7 @@ def swizzle_corpus_sharded(corpus_sharded: jax.Array, mesh: Mesh,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "k", "valid_n", "use_pallas", "impl",
-                     "interpret", "block_n"),
+                     "interpret", "block_n", "seg_split"),
 )
 def sharded_topk(
     queries: jax.Array,
@@ -95,6 +95,7 @@ def sharded_topk(
     interpret: bool = False,
     corpus_swizzled_sharded: Optional[jax.Array] = None,
     block_n: int = 8192,
+    seg_split: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over a row-sharded corpus. Returns (values, global indices).
 
@@ -127,7 +128,7 @@ def sharded_topk(
             # the swizzle is rebuilt per call (opt-in cost)
             vals, idx = topk_scores_twopass(
                 q, c_local, k=k_local, block_n=block_n,
-                interpret=interpret,
+                interpret=interpret, seg_split=seg_split,
                 corpus_swizzled=c_swz[0] if have_cached_swz else None,
             )
         elif use_pallas:

@@ -97,6 +97,39 @@ def test_topk_twopass_single_copy_matches(rng):
     np.testing.assert_array_equal(np.asarray(idx), bi)
 
 
+@pytest.mark.parametrize("seg_split,block_n", [(2, 256), (2, 512), (4, 512)])
+def test_topk_twopass_seg_split_matches_bruteforce(rng, seg_split, block_n):
+    """Fine segments (seg_split > 1) must stay exact: same swizzle, finer
+    pass-B candidates. Covers n not a multiple of the fine segment size."""
+    q, n, d, k = 6, 1111, 128, 10
+    Q = rng.standard_normal((q, d)).astype(np.float32)
+    C = rng.standard_normal((n, d)).astype(np.float32)
+    vals, idx = topk_scores_twopass(
+        jnp.asarray(Q), jnp.asarray(C), k=k, block_q=8, block_n=block_n,
+        q_chunk=8, interpret=True, seg_split=seg_split,
+    )
+    bv, bi = _brute_force(Q, C, k)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx), bi)
+
+
+def test_topk_twopass_seg_split_single_copy_matches(rng):
+    """seg_split composed with the single-copy swizzled gather."""
+    from semanticsearch_tpu.ops.topk import swizzle_corpus
+
+    q, n, d, k, block_n = 5, 700, 128, 10, 256
+    Q = rng.standard_normal((q, d)).astype(np.float32)
+    C = rng.standard_normal((n, d)).astype(np.float32)
+    sw = swizzle_corpus(jnp.asarray(C), block_n)
+    vals, idx = topk_scores_twopass(
+        jnp.asarray(Q), sw, k=k, block_q=8, block_n=block_n, q_chunk=8,
+        interpret=True, gather_from_swizzled=True, valid_n=n, seg_split=2,
+    )
+    bv, bi = _brute_force(Q, C, k)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx), bi)
+
+
 def test_topk_dispatch_runs_on_cpu(rng):
     Q = rng.standard_normal((2, 128)).astype(np.float32)
     C = rng.standard_normal((50, 128)).astype(np.float32)
