@@ -21,16 +21,49 @@ def _to_pytree_of_numpy(tree: Any) -> Any:
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None) -> str:
-    """Save a pytree checkpoint. Uses orbax when available, else a .npz flat dump."""
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every in-flight async checkpoint save has committed.
+
+    Call before relying on checkpoint durability (end of training, before
+    process exit). No-op when no async saves were issued.
+    """
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None,
+                    async_save: bool = False) -> str:
+    """Save a pytree checkpoint. Uses orbax when available, else a .npz flat dump.
+
+    ``async_save=True`` returns as soon as the device arrays are snapshotted
+    to host; the disk write proceeds in a background thread (orbax
+    AsyncCheckpointer) so the train loop overlaps I/O with the next steps.
+    Call :func:`wait_for_checkpoints` before depending on the file.
+    """
     os.makedirs(path, exist_ok=True)
     try:
         import orbax.checkpoint as ocp
 
         ckpt_dir = os.path.join(os.path.abspath(path), "state")
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(ckpt_dir, _to_pytree_of_numpy(state), force=True)
-        ckptr.wait_until_finished()
+        if async_save:
+            ckptr = _async_checkpointer()
+            ckptr.save(ckpt_dir, _to_pytree_of_numpy(state), force=True)
+        else:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(ckpt_dir, _to_pytree_of_numpy(state), force=True)
+            ckptr.wait_until_finished()
     except Exception:
         flat, treedef = jax.tree.flatten(state)
         np.savez(

@@ -164,29 +164,44 @@ class RerankTrainer:
         checkpoint_dir: Optional[str] = None,
         resume_from: Optional[str] = None,
         checkpoint_every: Optional[int] = None,
+        checkpoint_every_steps: Optional[int] = None,
     ) -> TrainResult:
-        """Train; optionally checkpoint every N epochs and resume mid-run.
+        """Train; optionally checkpoint every N epochs (or every N steps with
+        ``checkpoint_every_steps``) and resume mid-run.
 
         Unlike the reference (final-artifact-only checkpoints,
         ``train_controller.py:497-498``), resume restores params + optimizer
-        state + epoch, so an interrupted run continues exactly.
+        state + the DATA-ITERATOR CURSOR (epoch, step-in-epoch): the pair
+        sampler is deterministic in (seed, epoch), so the cursor alone
+        reproduces the exact remaining batch stream — step checkpoints land
+        mid-epoch and resume continues from the next batch. Periodic saves
+        are async (orbax background write) so the loop overlaps I/O with the
+        next steps; the final save blocks until everything is committed.
         """
         cfg = self.cfg
         params = self.init_params(train_ds)
         opt_state = self.tx.init(params)
         start_epoch = 0
+        resume_step_in_epoch = -1  # last completed step of start_epoch
         if resume_from:
-            from ..core.checkpoint import restore_checkpoint
+            from ..core.checkpoint import load_metadata, restore_checkpoint
 
-            state = restore_checkpoint(
-                resume_from,
-                {"params": params, "opt_state": opt_state, "epoch": 0},
-            )
+            meta = load_metadata(resume_from) or {}
+            has_cursor = "step_in_epoch" in meta
+            target = {"params": params, "opt_state": opt_state, "epoch": 0}
+            if has_cursor:
+                target["step_in_epoch"] = 0
+            state = restore_checkpoint(resume_from, target)
             params = state["params"]
             opt_state = jax.tree.unflatten(
                 jax.tree.structure(opt_state), jax.tree.leaves(state["opt_state"])
             )
-            start_epoch = int(np.asarray(state["epoch"])) + 1
+            if has_cursor:
+                # mid-epoch cursor: continue the SAME epoch after this step
+                start_epoch = int(np.asarray(state["epoch"]))
+                resume_step_in_epoch = int(np.asarray(state["step_in_epoch"]))
+            else:
+                start_epoch = int(np.asarray(state["epoch"])) + 1
         history: List[Dict[str, float]] = []
         best: Dict[str, float] = {}
         step = 0
@@ -200,19 +215,24 @@ class RerankTrainer:
             epoch_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
             # OOM batch-halving retry (reference: train_controller.py:429-494);
             # on TPU a smaller batch is a new static shape -> recompile once.
+            skip_through = (
+                resume_step_in_epoch if epoch == start_epoch else -1
+            )
             while True:
                 try:
-                    step_in_epoch = 0
-                    for batch in train_ds.iter_pair_batches(
-                        batch_size=batch_size,
-                        num_dup=cfg.num_dup,
-                        num_neg=cfg.num_neg,
-                        seed=cfg.seed,
-                        epoch=epoch,
-                        resample=True,
+                    for step_in_epoch, batch in enumerate(
+                        train_ds.iter_pair_batches(
+                            batch_size=batch_size,
+                            num_dup=cfg.num_dup,
+                            num_neg=cfg.num_neg,
+                            seed=cfg.seed,
+                            epoch=epoch,
+                            resample=True,
+                        )
                     ):
+                        if step_in_epoch <= skip_through:
+                            continue  # already trained before the resume
                         sub = jax.random.fold_in(epoch_rng, step_in_epoch)
-                        step_in_epoch += 1
                         params, opt_state, loss_val = self._train_step(
                             params, opt_state,
                             jnp.asarray(batch["left"]),
@@ -221,6 +241,21 @@ class RerankTrainer:
                         )
                         losses.append(float(loss_val))
                         step += 1
+                        if checkpoint_dir and checkpoint_every_steps and (
+                            step % checkpoint_every_steps == 0
+                        ):
+                            save_checkpoint(
+                                os.path.join(checkpoint_dir, f"step_{step}"),
+                                {"params": params, "opt_state": opt_state,
+                                 "epoch": epoch,
+                                 "step_in_epoch": step_in_epoch},
+                                metadata={
+                                    "model": type(self.model).__name__,
+                                    "epoch": epoch,
+                                    "step_in_epoch": step_in_epoch,
+                                },
+                                async_save=True,
+                            )
                     break
                 except Exception as exc:
                     msg = str(exc).lower()
@@ -235,6 +270,9 @@ class RerankTrainer:
                         continue
                     raise
             if not losses:
+                if skip_through >= 0:
+                    # resumed exactly at this epoch's end: nothing left to do
+                    continue
                 raise RuntimeError(
                     "epoch ran 0 training steps: the dataset has no pairable "
                     "queries (every query needs at least one positive and one "
@@ -259,6 +297,7 @@ class RerankTrainer:
                     os.path.join(checkpoint_dir, f"epoch_{epoch}"),
                     {"params": params, "opt_state": opt_state, "epoch": epoch},
                     metadata={"model": type(self.model).__name__, "epoch": epoch},
+                    async_save=True,
                 )
         if checkpoint_dir:
             save_checkpoint(
@@ -267,4 +306,7 @@ class RerankTrainer:
                 metadata={"model": type(self.model).__name__,
                           "config": cfg.__dict__ | {"eval_metrics": list(cfg.eval_metrics)}},
             )
+            from ..core.checkpoint import wait_for_checkpoints
+
+            wait_for_checkpoints()  # async epoch/step saves are durable now
         return TrainResult(params=params, history=history, best_metrics=best)

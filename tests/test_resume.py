@@ -45,3 +45,35 @@ def test_resume_matches_uninterrupted(tmp_path):
     s_full = t1.predict(full.params, ds)
     s_res = t3.predict(resumed.params, ds)
     np.testing.assert_allclose(s_full, s_res, rtol=1e-4, atol=1e-5)
+
+
+def test_mid_epoch_step_resume_matches_uninterrupted(tmp_path):
+    """Step-granular checkpoints carry the data-iterator cursor (epoch,
+    step_in_epoch): resuming mid-epoch replays only the remaining batches
+    with the same rng stream, matching an uninterrupted run exactly."""
+    ds = _ds()
+    cfg = TrainConfig(model="knrm", epochs=3, batch_size=4, num_neg=1,
+                      optimizer="adam", learning_rate=0.01, embedding_dim=8)
+
+    t1 = RerankTrainer("knrm", vocab_size=64, cfg=cfg)
+    full = t1.fit(ds)
+
+    # Checkpoint every 4 steps: with 6 pairable queries / batch 4 the epoch
+    # has >1 step, so step_4 lands mid-epoch (not on an epoch boundary).
+    t2 = RerankTrainer("knrm", vocab_size=64, cfg=cfg)
+    t2.fit(ds, checkpoint_dir=str(tmp_path / "ck"), checkpoint_every_steps=4)
+    import os
+    ckpts = sorted(p for p in os.listdir(tmp_path / "ck")
+                   if p.startswith("step_"))
+    assert ckpts, "no step checkpoints written"
+
+    from semanticsearch_tpu.core.checkpoint import load_metadata
+    meta = load_metadata(str(tmp_path / "ck" / "step_4"))
+    assert "step_in_epoch" in meta
+
+    t3 = RerankTrainer("knrm", vocab_size=64, cfg=cfg)
+    resumed = t3.fit(ds, resume_from=str(tmp_path / "ck" / "step_4"))
+
+    s_full = t1.predict(full.params, ds)
+    s_res = t3.predict(resumed.params, ds)
+    np.testing.assert_allclose(s_full, s_res, rtol=1e-4, atol=1e-5)

@@ -40,7 +40,8 @@ def main():
     ap.add_argument("--dim", type=int, default=384)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--query-batch", type=int, default=8192)
-    ap.add_argument("--block-n", type=int, default=8192)
+    ap.add_argument("--block-n", type=int, default=32768)
+    ap.add_argument("--seg-split", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--recall-sample", type=int, default=16)
     args = ap.parse_args()
@@ -56,8 +57,9 @@ def main():
 
     n, d, T = args.rows, args.dim, args.block_n
     L = T // 128
+    L2 = L // args.seg_split
     n_pad = _round_up(n, T)
-    assert n % L == 0, "rows must divide the segment size for pad-free segs"
+    assert n % L2 == 0, "rows must divide the fine-segment size (pad-free segs)"
 
     @jax.jit
     def make_swizzled():
@@ -80,7 +82,7 @@ def main():
     def search(q):
         return topk_scores_twopass(
             q, corpus_sw, k=args.k, block_q=256, block_n=T,
-            gather_from_swizzled=True, valid_n=n,
+            gather_from_swizzled=True, valid_n=n, seg_split=args.seg_split,
         )
 
     print("STAGE warmup...", file=sys.stderr, flush=True)
