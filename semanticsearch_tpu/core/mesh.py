@@ -52,6 +52,35 @@ def local_mesh() -> Mesh:
     return make_mesh(MeshSpec(data=-1, model=1))
 
 
+def hybrid_mesh(
+    n_slices: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Two-level mesh ("dcn", "data") for multi-slice deployments.
+
+    The outer ``dcn`` axis crosses slice boundaries (data-center network);
+    the inner ``data`` axis stays within a slice (ICI). On real multi-slice
+    TPU hardware the device order from ``mesh_utils.create_hybrid_device_mesh``
+    guarantees that; on virtual/CPU devices a plain reshape stands in (all
+    links are equal there anyway).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    if len(devices) % n_slices:
+        raise ValueError(
+            f"{len(devices)} devices do not split into {n_slices} slices"
+        )
+    per_slice = len(devices) // n_slices
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            (per_slice,), (n_slices,), devices=devices
+        ).reshape(n_slices, per_slice)
+    except Exception:
+        dev_array = np.asarray(devices).reshape(n_slices, per_slice)
+    return Mesh(dev_array, axis_names=("dcn", "data"))
+
+
 def data_sharding(mesh: Mesh, *trailing_none: int) -> NamedSharding:
     """Shard the leading axis over ``data``, replicate everything else."""
     spec = P("data", *([None] * max(0, trailing_none)))

@@ -25,7 +25,13 @@ from ..ops.topk import (
     topk_scores_ref,
     topk_scores_twopass,
 )
-from ..parallel.sharding import pad_to_shards, shard_corpus, sharded_topk
+from ..parallel.sharding import (
+    _n_row_shards,
+    pad_to_shards,
+    shard_corpus,
+    sharded_topk,
+    sharded_topk_2level,
+)
 
 
 @dataclass
@@ -72,7 +78,7 @@ class EmbeddingIndex:
         emb = emb.astype(jnp.dtype(cfg.dtype))
         if mesh is None:
             mesh = local_mesh()
-        n_shards = mesh.shape["data"]
+        n_shards = _n_row_shards(mesh)
         if n_shards > 1:
             # align shards to the kernel block so the cached per-shard
             # swizzled layout is buildable without cross-shard traffic
@@ -90,7 +96,7 @@ class EmbeddingIndex:
     def search(self, queries: np.ndarray, k: Optional[int] = None) -> SearchResult:
         k = k or self.cfg.top_k
         q = jnp.asarray(queries).astype(self._corpus.dtype)
-        n_shards = self._mesh.shape["data"] if self._mesh is not None else 1
+        n_shards = _n_row_shards(self._mesh) if self._mesh is not None else 1
         use_pallas = jax.default_backend() == "tpu"
         if n_shards > 1:
             shard_rows = self._corpus.shape[0] // n_shards
@@ -106,7 +112,13 @@ class EmbeddingIndex:
                 self._corpus_swizzled = swizzle_corpus_sharded(
                     self._corpus, self._mesh, self.cfg.block_rows
                 )
-            vals, idx = sharded_topk(
+            # hybrid ("dcn","data") meshes get the hierarchical merge: DCN
+            # carries only per-slice winners, never per-shard candidates
+            topk_fn = (
+                sharded_topk_2level
+                if "dcn" in self._mesh.axis_names else sharded_topk
+            )
+            vals, idx = topk_fn(
                 q, self._corpus, self._mesh, k=k,
                 valid_n=self._valid_n, use_pallas=use_pallas,
                 impl="twopass" if use_twopass else "fused",

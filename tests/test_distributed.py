@@ -39,6 +39,53 @@ def test_sharded_topk_twopass_kernel_under_shard_map(mesh8, rng):
         assert set(got.tolist()) == set(want.tolist())
 
 
+def test_sharded_topk_2level_dcn_merge(rng):
+    """Hierarchical (ICI-then-DCN) merge on a 2x4 hybrid mesh must equal
+    brute force and the flat single-axis merge, padding included."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from semanticsearch_tpu.core.mesh import hybrid_mesh, local_mesh
+    from semanticsearch_tpu.parallel.sharding import (
+        pad_to_shards,
+        shard_corpus,
+        sharded_topk,
+        sharded_topk_2level,
+        swizzle_corpus_sharded,
+    )
+
+    mesh2d = hybrid_mesh(2)
+    assert mesh2d.shape == {"dcn": 2, "data": 4}
+    n, d, k, block_n = 777, 64, 7, 128
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((3, d)).astype(np.float32)
+    emb, valid_n = pad_to_shards(jnp.asarray(corpus), mesh2d, align=block_n)
+    assert emb.shape[0] % (8 * block_n) == 0
+    emb = shard_corpus(emb, mesh2d)
+    swz = swizzle_corpus_sharded(emb, mesh2d, block_n)
+    vals, idx = sharded_topk_2level(
+        jnp.asarray(queries), emb, mesh2d, k=k, valid_n=valid_n,
+        use_pallas=True, impl="twopass", interpret=True,
+        corpus_swizzled_sharded=swz, block_n=block_n, seg_split=2,
+    )
+    brute = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
+    for got, want in zip(np.asarray(idx), brute):
+        assert set(got.tolist()) == set(want.tolist())
+
+    # flat merge on a single-axis mesh agrees bit-for-bit
+    mesh1d = local_mesh()
+    emb1, valid_n1 = pad_to_shards(jnp.asarray(corpus), mesh1d, align=block_n)
+    emb1 = shard_corpus(emb1, mesh1d)
+    vflat, iflat = sharded_topk(
+        jnp.asarray(queries), emb1, mesh1d, k=k, valid_n=valid_n1,
+        use_pallas=True, impl="twopass", interpret=True, block_n=block_n,
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(iflat))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(vflat),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_topk_cached_swizzle(mesh8, rng):
     """The cached per-shard swizzled layout (block-aligned shards) must give
     the same exact results as the on-the-fly path."""

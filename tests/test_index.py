@@ -184,6 +184,25 @@ def test_embedding_index_recall_parity_sharded(mesh8, rng, n, d, k):
         assert recall == 1.0
 
 
+def test_embedding_index_recall_parity_hybrid_mesh(rng):
+    """EmbeddingIndex on a ("dcn","data") hybrid mesh routes through the
+    hierarchical 2-level merge and stays exact."""
+    from semanticsearch_tpu.core.mesh import hybrid_mesh
+
+    n, d, k = 230, 128, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((4, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    idx = EmbeddingIndex.build(corpus, mesh=hybrid_mesh(2))
+    res = idx.search(queries, k=k)
+
+    brute = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
+    for row_got, row_want in zip(res.indices, brute):
+        assert len(set(row_got) & set(row_want)) / k == 1.0
+
+
 def test_sharded_topk_negative_scores_with_padding(mesh8, rng):
     """Zero pad rows (score 0) must not displace real candidates with
     negative cosine inside the padded shard's local top-k (ADVICE round 1).
