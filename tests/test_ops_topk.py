@@ -130,6 +130,46 @@ def test_topk_twopass_seg_split_single_copy_matches(rng):
     np.testing.assert_array_equal(np.asarray(idx), bi)
 
 
+def test_topk_twopass_randomized_config_sweep(rng):
+    """Seeded fuzz over awkward (n, block_n, seg_split, k, mode) combos —
+    every configuration must agree exactly with brute force."""
+    from semanticsearch_tpu.ops.topk import swizzle_corpus
+
+    d = 128
+    combos = [
+        # n, block_n, seg_split, k, single_copy
+        (97, 128, 1, 3, False),
+        (129, 128, 1, 10, True),
+        (255, 256, 2, 7, False),
+        (511, 256, 2, 12, True),
+        (640, 512, 4, 10, False),
+        (1000, 512, 4, 5, True),
+        (1024, 512, 2, 31, False),
+        (300, 256, 1, 10, True),
+    ]
+    for n, block_n, seg_split, k, single in combos:
+        Q = rng.standard_normal((5, d)).astype(np.float32)
+        C = rng.standard_normal((n, d)).astype(np.float32)
+        if single:
+            sw = swizzle_corpus(jnp.asarray(C), block_n)
+            vals, idx = topk_scores_twopass(
+                jnp.asarray(Q), sw, k=k, block_q=8, block_n=block_n,
+                q_chunk=8, interpret=True, gather_from_swizzled=True,
+                valid_n=n, seg_split=seg_split,
+            )
+        else:
+            vals, idx = topk_scores_twopass(
+                jnp.asarray(Q), jnp.asarray(C), k=k, block_q=8,
+                block_n=block_n, q_chunk=8, interpret=True,
+                seg_split=seg_split,
+            )
+        bv, bi = _brute_force(Q, C, k)
+        ctx = f"combo n={n} bn={block_n} split={seg_split} k={k} sc={single}"
+        np.testing.assert_array_equal(np.asarray(idx), bi, err_msg=ctx)
+        np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4,
+                                   atol=1e-4, err_msg=ctx)
+
+
 def test_topk_dispatch_runs_on_cpu(rng):
     Q = rng.standard_normal((2, 128)).astype(np.float32)
     C = rng.standard_normal((50, 128)).astype(np.float32)
