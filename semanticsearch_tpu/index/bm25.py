@@ -180,6 +180,60 @@ class BM25Okapi:
         acc.fill(0.0)
         return idx, scores
 
+    def get_topk_batch(
+        self,
+        queries_tokens: Sequence[Sequence[str]],
+        k: int,
+        n_threads: int = 1,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Serve-time batched top-k: (idx (Q,k) i64, scores (Q,k) f32).
+
+        Uses the native threaded posting-traversal kernel
+        (``native/semsearch_native.cpp::bm25_topk_batch``) when available —
+        queries parallelize across host cores with the GIL released — and
+        falls back to per-query :meth:`get_topk`. Identical results to the
+        fallback on matched-positive-score data (same tie and fill rules).
+        Each native thread allocates ~5 bytes/doc of scratch; keep
+        ``n_threads`` modest at 10M-doc scale.
+        """
+        k = min(k, self.n_docs)
+        nq = len(queries_tokens)
+        if nq == 0 or k == 0:
+            return np.zeros((nq, k), np.int64), np.zeros((nq, k), np.float32)
+        try:
+            from ..native import bm25_topk_batch
+
+            self._ensure_inverted()
+            q_ids: List[int] = []
+            q_wts: List[float] = []
+            q_indptr = [0]
+            for toks in queries_tokens:
+                cnt = Counter(self.vocab[t] for t in toks if t in self.vocab)
+                for tid in sorted(cnt):
+                    q_ids.append(tid)
+                    q_wts.append(float(cnt[tid]))
+                q_indptr.append(len(q_ids))
+            norm = self.k1 * (
+                1.0 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9)
+            )
+            native = bm25_topk_batch(
+                self._inv_indptr, self._inv_docs,
+                self._inv_tf.astype(np.float32),
+                self.idf.astype(np.float32), norm.astype(np.float32),
+                self.n_docs,
+                np.asarray(q_indptr, np.int64), np.asarray(q_ids, np.int64),
+                np.asarray(q_wts, np.float32), self.k1, k, n_threads,
+            )
+            if native is not None:
+                return native
+        except Exception:
+            pass
+        idx = np.zeros((nq, k), np.int64)
+        scores = np.zeros((nq, k), np.float32)
+        for qi, toks in enumerate(queries_tokens):
+            idx[qi], scores[qi] = self.get_topk(toks, k)
+        return idx, scores
+
     def get_scores(self, query_tokens: Sequence[str]) -> np.ndarray:
         """BM25 score of the query against every document: (n_docs,) f32."""
         scores = np.zeros(self.n_docs, dtype=np.float32)

@@ -118,6 +118,14 @@ class HybridQueryEngine:
         dense = self.index.search(q_emb, k=min(depth, self.index.size))
 
         use_bm25 = hybrid and self.bm25 is not None
+        if use_bm25:
+            # batched native top-k (threaded posting traversal, GIL
+            # released); one call for the whole query batch
+            bm_depth = min(depth, self.index.size)
+            bm_idx, bm_scores = self.bm25.get_topk_batch(
+                [tokenize(q) for q in queries], bm_depth,
+                n_threads=self.cfg.bm25_threads,
+            )
 
         out: List[List[Hit]] = []
         for qi in range(len(queries)):
@@ -131,7 +139,7 @@ class HybridQueryEngine:
             if use_bm25:
                 # inverted-index top-depth: per-query cost is the query
                 # terms' posting sizes, not the corpus size
-                top, scores = self.bm25.get_topk(tokenize(queries[qi]), depth)
+                top, scores = bm_idx[qi], bm_scores[qi]
                 for rank, (row, sc) in enumerate(zip(top, scores), start=1):
                     if sc <= 0:
                         break

@@ -21,13 +21,16 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def ensure_built(quiet: bool = True) -> bool:
-    """Build the shared library if missing. Returns availability."""
-    if os.path.exists(_LIB_PATH):
+_ABI_VERSION = 3
+
+
+def ensure_built(quiet: bool = True, force: bool = False) -> bool:
+    """Build the shared library if missing (or ``force``). Returns availability."""
+    if os.path.exists(_LIB_PATH) and not force:
         return True
     try:
         subprocess.run(
-            ["make", "-C", _DIR],
+            ["make", "-C", _DIR] + (["-B"] if force else []),
             check=True,
             capture_output=quiet,
         )
@@ -49,6 +52,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    lib.semsearch_native_abi_version.restype = ctypes.c_int32
+    if lib.semsearch_native_abi_version() != _ABI_VERSION:
+        # stale binary from an older source revision: rebuild in place
+        del lib
+        if not ensure_built(force=True):
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.semsearch_native_abi_version.restype = ctypes.c_int32
     lib.hash_tokenize_batch.argtypes = [
         ctypes.POINTER(ctypes.c_ubyte),
         ctypes.POINTER(ctypes.c_int64),
@@ -63,8 +77,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.c_float, ctypes.POINTER(ctypes.c_float),
     ]
-    lib.semsearch_native_abi_version.restype = ctypes.c_int32
-    if lib.semsearch_native_abi_version() != 2:
+    lib.bm25_topk_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+    ]
+    if lib.semsearch_native_abi_version() != _ABI_VERSION:
         return None
     _lib = lib
     return _lib
@@ -134,3 +156,38 @@ def bm25_score_batch(
         ctypes.c_float(k1), _f32p(out),
     )
     return out
+
+
+def bm25_topk_batch(
+    inv_indptr: np.ndarray,
+    inv_docs: np.ndarray,
+    inv_tf: np.ndarray,
+    idf: np.ndarray,
+    norm: np.ndarray,
+    n_docs: int,
+    q_indptr: np.ndarray,
+    q_termids: np.ndarray,
+    q_weights: np.ndarray,
+    k1: float,
+    k: int,
+    n_threads: int = 1,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native threaded serve-time BM25 top-k over term-major postings;
+    None if the library is unavailable. Returns (idx (Q,k) i64,
+    scores (Q,k) f32). Semantics match BM25Okapi.get_topk's sparse path
+    (ties to lower doc id, lowest-id zero-score fill). Each thread
+    allocates ~5*n_docs bytes of scratch — cap n_threads at large corpora.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_queries = len(q_indptr) - 1
+    idx = np.zeros((n_queries, k), np.int64)
+    scores = np.zeros((n_queries, k), np.float32)
+    lib.bm25_topk_batch(
+        _i64p(inv_indptr), _i64p(inv_docs), _f32p(inv_tf),
+        _f32p(idf), _f32p(norm), n_docs,
+        _i64p(q_indptr), _i64p(q_termids), _f32p(q_weights), n_queries,
+        ctypes.c_float(k1), k, n_threads, _i64p(idx), _f32p(scores),
+    )
+    return idx, scores

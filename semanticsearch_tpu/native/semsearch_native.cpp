@@ -16,6 +16,8 @@
 #include <cctype>
 #include <cmath>
 #include <algorithm>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -132,6 +134,122 @@ void bm25_score_batch(
     }
 }
 
-int32_t semsearch_native_abi_version() { return 2; }
+// ---------------------------------------------------------------------------
+// Serve-time BM25 top-k over an inverted index (term-major postings),
+// threaded across queries. Matches index/bm25.py::BM25Okapi.get_topk's
+// sparse-path semantics exactly: touched docs ranked by (-score, doc id);
+// when fewer than k docs match, filled with the lowest ids in [0, k) not
+// already selected (score 0). Per-query cost is O(sum_t df(t) +
+// touched * log k), never O(n_docs).
+//
+// Each thread owns an acc (f32, n_docs) + seen (u8, n_docs) scratch —
+// ~5 bytes * n_docs per thread; cap n_threads accordingly at 10M docs.
+// ---------------------------------------------------------------------------
+
+static void bm25_topk_range(
+    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_tf,
+    const float* idf, const float* norm, int64_t n_docs,
+    const int64_t* q_indptr, const int64_t* q_termids, const float* q_weights,
+    float k1, int32_t k,
+    int64_t q_begin, int64_t q_end,
+    int64_t* idx_out, float* scores_out) {
+    std::vector<float> acc((size_t)n_docs, 0.0f);
+    std::vector<uint8_t> seen((size_t)n_docs, 0);
+    std::vector<int64_t> touched;
+    touched.reserve(4096);
+    for (int64_t q = q_begin; q < q_end; ++q) {
+        touched.clear();
+        for (int64_t j = q_indptr[q]; j < q_indptr[q + 1]; ++j) {
+            const int64_t t = q_termids[j];
+            const float w = q_weights[j] * idf[t] * (k1 + 1.0f);
+            for (int64_t p = inv_indptr[t]; p < inv_indptr[t + 1]; ++p) {
+                const int64_t d = inv_docs[p];
+                const float f = inv_tf[p];
+                acc[d] += w * f / (f + norm[d]);
+                if (!seen[d]) {
+                    seen[d] = 1;
+                    touched.push_back(d);
+                }
+            }
+        }
+        // rank touched by (-score, doc id); touched ids are NOT sorted, so
+        // the comparator breaks score ties by id explicitly
+        const int64_t kk = std::min<int64_t>(k, n_docs);
+        const int64_t top = std::min<int64_t>(kk, (int64_t)touched.size());
+        auto by_score = [&acc](int64_t a, int64_t b) {
+            if (acc[a] != acc[b]) return acc[a] > acc[b];
+            return a < b;
+        };
+        std::partial_sort(touched.begin(), touched.begin() + top,
+                          touched.end(), by_score);
+        int64_t* idx = idx_out + q * k;
+        float* sc = scores_out + q * k;
+        int64_t pos = 0;
+        for (; pos < top; ++pos) {
+            idx[pos] = touched[pos];
+            sc[pos] = acc[touched[pos]];
+        }
+        // fill with the lowest ids in [0, kk) not already selected (score 0)
+        for (int64_t d = 0; pos < kk && d < n_docs; ++d) {
+            bool taken = false;
+            for (int64_t i = 0; i < top; ++i) {
+                if (idx[i] == d) { taken = true; break; }
+            }
+            if (!taken) {
+                idx[pos] = d;
+                sc[pos] = 0.0f;
+                ++pos;
+            }
+        }
+        for (; pos < k; ++pos) {  // k > n_docs: pad deterministically
+            idx[pos] = 0;
+            sc[pos] = 0.0f;
+        }
+        for (int64_t d : touched) {
+            acc[d] = 0.0f;
+            seen[d] = 0;
+        }
+    }
+}
+
+void bm25_topk_batch(
+    const int64_t* inv_indptr,    // (n_terms+1) postings boundaries
+    const int64_t* inv_docs,      // (nnz) doc ids, term-major
+    const float* inv_tf,          // (nnz) term frequencies
+    const float* idf,             // (n_terms)
+    const float* norm,            // (n_docs): k1*(1-b+b*dl/avgdl)
+    int64_t n_docs,
+    const int64_t* q_indptr,      // (n_queries+1)
+    const int64_t* q_termids,     // (q_nnz) unique term ids per query
+    const float* q_weights,       // (q_nnz) occurrence counts
+    int64_t n_queries,
+    float k1,
+    int32_t k,
+    int32_t n_threads,
+    int64_t* idx_out,             // (n_queries, k)
+    float* scores_out) {          // (n_queries, k)
+    int64_t nt = n_threads > 0 ? n_threads : 1;
+    nt = std::min<int64_t>(nt, n_queries > 0 ? n_queries : 1);
+    if (nt <= 1) {
+        bm25_topk_range(inv_indptr, inv_docs, inv_tf, idf, norm, n_docs,
+                        q_indptr, q_termids, q_weights, k1, k,
+                        0, n_queries, idx_out, scores_out);
+        return;
+    }
+    std::vector<std::thread> threads;
+    threads.reserve((size_t)nt);
+    const int64_t per = (n_queries + nt - 1) / nt;
+    for (int64_t t = 0; t < nt; ++t) {
+        const int64_t b = t * per;
+        const int64_t e = std::min(n_queries, b + per);
+        if (b >= e) break;
+        threads.emplace_back(
+            bm25_topk_range, inv_indptr, inv_docs, inv_tf, idf, norm, n_docs,
+            q_indptr, q_termids, q_weights, k1, k, b, e, idx_out, scores_out);
+    }
+    for (auto& th : threads) th.join();
+}
+
+int32_t semsearch_native_abi_version() { return 3; }
 
 }  // extern "C"

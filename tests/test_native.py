@@ -56,7 +56,42 @@ def test_native_bm25_matches_python():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_native_bm25_topk_batch_matches_python():
+    """Threaded native serve-time top-k == per-query Python get_topk
+    (tie and zero-fill rules included); skips when no compiler."""
+    import numpy as np
+
+    from semanticsearch_tpu.index.bm25 import BM25Okapi
+    from semanticsearch_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = [
+        [vocab[j] for j in rng.integers(0, 300, size=rng.integers(3, 40))]
+        for _ in range(800)
+    ]
+    bm = BM25Okapi(docs)
+    queries = [
+        [vocab[j] for j in rng.integers(0, 300, size=rng.integers(1, 6))]
+        for _ in range(25)
+    ]
+    # include an all-OOV query (pure zero-fill path) and repeated terms
+    queries.append(["zzz_not_in_vocab"])
+    queries.append([vocab[0], vocab[0], vocab[1]])
+    bi, bs = bm.get_topk_batch(queries, 10, n_threads=2)
+    for qi, q in enumerate(queries):
+        pi, ps = bm.get_topk(q, 10)
+        np.testing.assert_array_equal(bi[qi], pi, err_msg=f"query {qi}")
+        np.testing.assert_allclose(bs[qi], ps, rtol=1e-5, atol=1e-5)
+
+
 def test_native_lib_abi():
     lib = get_lib()
     assert lib is not None
-    assert lib.semsearch_native_abi_version() == 2
+    from semanticsearch_tpu.native import _ABI_VERSION
+    assert lib.semsearch_native_abi_version() == _ABI_VERSION
