@@ -207,14 +207,20 @@ def cmd_search(args) -> int:
     engine = HybridQueryEngine.load(
         args.index_dir, enc, mesh=local_mesh(),
         index_cfg=cfg.index, rank_cfg=cfg.ranking,
+        reranker_dir=getattr(args, "rerank", None),
     )
-    results = engine.search(args.query, k=args.k, hybrid=not args.dense_only)
+    results = engine.search(
+        args.query, k=args.k, hybrid=not args.dense_only,
+        rerank_top=args.rerank_top if getattr(args, "rerank", None) else 0,
+    )
     out = [
         {
             "query": query,
             "hits": [
                 {"chunk_id": h.chunk_id, "rrf_score": h.score,
-                 "dense_rank": h.dense_rank, "lexical_rank": h.lexical_rank}
+                 "dense_rank": h.dense_rank, "lexical_rank": h.lexical_rank,
+                 **({"rerank_score": h.rerank_score}
+                    if h.rerank_score is not None else {})}
                 for h in hits
             ],
         }
@@ -427,6 +433,10 @@ def main(argv=None) -> int:
     p.add_argument("--index-dir", required=True)
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--dense-only", action="store_true")
+    p.add_argument("--rerank", metavar="CKPT_DIR",
+                   help="trained reranker checkpoint dir: rescore the "
+                        "top --rerank-top RRF candidates on device")
+    p.add_argument("--rerank-top", type=int, default=20)
     p.add_argument("query", nargs="+")
     _add_config_args(p)
     p.set_defaults(fn=cmd_search)

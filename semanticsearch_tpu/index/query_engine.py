@@ -37,6 +37,7 @@ class Hit:
     score: float
     dense_rank: int = 0
     lexical_rank: int = 0
+    rerank_score: Optional[float] = None
 
 
 class HybridQueryEngine:
@@ -49,12 +50,16 @@ class HybridQueryEngine:
         encoder,
         bm25: Optional[BM25Okapi] = None,
         cfg: RankingConfig = RankingConfig(),
+        texts: Optional[List[str]] = None,
+        reranker=None,
     ) -> None:
         self.index = index
         self.chunk_ids = chunk_ids
         self.encoder = encoder
         self.bm25 = bm25
         self.cfg = cfg
+        self.texts = texts
+        self.reranker = reranker
 
     # ------------------------------------------------------------- build/load
     @classmethod
@@ -83,8 +88,18 @@ class HybridQueryEngine:
         )
         with open(os.path.join(output_dir, BM25_FILE), "wb") as f:
             pickle.dump(bm25, f)
+        # persist row-aligned chunk texts: the serve-time reranker needs them
+        # (the reference keeps chunk_text in every stage TSV for the same
+        # reason, rank_chunks_optimized.py:161-199)
+        from ..data.tsv import write_tsv
+
+        write_tsv(
+            os.path.join(output_dir, TEXTS_FILE),
+            ({"text": t} for t in texts), ["text"],
+        )
         index, chunk_ids = load_index(output_dir, mesh=mesh, cfg=index_cfg)
-        return cls(index, chunk_ids, encoder, bm25=bm25, cfg=rank_cfg)
+        return cls(index, chunk_ids, encoder, bm25=bm25, cfg=rank_cfg,
+                   texts=texts)
 
     @classmethod
     def load(
@@ -94,14 +109,28 @@ class HybridQueryEngine:
         mesh=None,
         index_cfg: IndexConfig = IndexConfig(),
         rank_cfg: RankingConfig = RankingConfig(),
+        reranker_dir: Optional[str] = None,
     ) -> "HybridQueryEngine":
+        """``reranker_dir``: a trained checkpoint directory (as written by
+        ``CVEvaluator.run_model`` / the ``train`` CLI) enabling the neural
+        rerank stage of :meth:`search`."""
         index, chunk_ids = load_index(index_dir, mesh=mesh, cfg=index_cfg)
         bm25 = None
         bm25_path = os.path.join(index_dir, BM25_FILE)
         if os.path.exists(bm25_path):
             with open(bm25_path, "rb") as f:
                 bm25 = pickle.load(f)
-        return cls(index, chunk_ids, encoder, bm25=bm25, cfg=rank_cfg)
+        texts = None
+        texts_path = os.path.join(index_dir, TEXTS_FILE)
+        if os.path.exists(texts_path):
+            texts = [r.get("text", "") for r in read_tsv(texts_path)]
+        reranker = None
+        if reranker_dir:
+            from .rerank_service import RerankService
+
+            reranker = RerankService.load(reranker_dir)
+        return cls(index, chunk_ids, encoder, bm25=bm25, cfg=rank_cfg,
+                   texts=texts, reranker=reranker)
 
     # ------------------------------------------------------------------ query
     def search(
@@ -110,9 +139,19 @@ class HybridQueryEngine:
         k: int = 10,
         candidates: Optional[int] = None,
         hybrid: bool = True,
+        rerank_top: int = 0,
     ) -> List[List[Hit]]:
         """Top-k hits per query. ``candidates`` is the per-leg depth before
-        fusion (default 4k)."""
+        fusion (default 4k).
+
+        ``rerank_top`` > 0 rescores each query's top-``rerank_top`` RRF
+        candidates with the loaded neural reranker (one packed device batch
+        for the whole query batch) and reorders that head; the RRF tail keeps
+        its order after the head — the shape of the reference pipeline
+        (rank_chunks output fed to a trained MatchZoo model). Requires the
+        engine to have been loaded with ``reranker_dir`` and the index to
+        ship ``texts.tsv``.
+        """
         depth = candidates or max(4 * k, 20)
         q_emb = self.encoder.encode(list(queries))
         dense = self.index.search(q_emb, k=min(depth, self.index.size))
@@ -127,7 +166,20 @@ class HybridQueryEngine:
                 n_threads=self.cfg.bm25_threads,
             )
 
-        out: List[List[Hit]] = []
+        if rerank_top > 0:
+            if self.reranker is None:
+                raise ValueError(
+                    "rerank_top > 0 but no reranker loaded "
+                    "(pass reranker_dir to HybridQueryEngine.load)"
+                )
+            if self.texts is None:
+                raise ValueError(
+                    "rerank_top > 0 but the index has no texts.tsv "
+                    "(rebuild the index with HybridQueryEngine.build)"
+                )
+
+        per_query: List[List[Hit]] = []
+        rows_per_query: List[List[int]] = []
         for qi in range(len(queries)):
             rrf: Dict[int, float] = {}
             dense_rank: Dict[int, int] = {}
@@ -146,8 +198,9 @@ class HybridQueryEngine:
                     row = int(row)
                     rrf[row] = rrf.get(row, 0.0) + 1.0 / (self.cfg.rrf_k + rank)
                     lex_rank[row] = rank
-            ranked = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-            out.append([
+            keep = max(k, rerank_top)
+            ranked = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:keep]
+            per_query.append([
                 Hit(
                     chunk_id=self.chunk_ids[row],
                     score=score,
@@ -156,4 +209,27 @@ class HybridQueryEngine:
                 )
                 for row, score in ranked
             ])
-        return out
+            rows_per_query.append([row for row, _ in ranked])
+
+        if rerank_top > 0:
+            # one packed device batch scores every query's head candidates
+            cand_texts = [
+                [self.texts[row] for row in rows[:rerank_top]]
+                for rows in rows_per_query
+            ]
+            flat_scores = self.reranker.score_pairs(
+                [q for q, c in zip(queries, cand_texts) for _ in c],
+                [t for c in cand_texts for t in c],
+            )
+            off = 0
+            for qi, hits in enumerate(per_query):
+                n_head = len(cand_texts[qi])
+                head = hits[:n_head]
+                for j, h in enumerate(head):
+                    h.rerank_score = float(flat_scores[off + j])
+                off += n_head
+                # stable sort: ties keep RRF order
+                order = sorted(range(n_head),
+                               key=lambda j: -head[j].rerank_score)
+                per_query[qi] = [head[j] for j in order] + hits[n_head:]
+        return [hits[:k] for hits in per_query]

@@ -1,0 +1,150 @@
+"""Serve-time neural reranking: load a trained reranker, score candidates.
+
+The reference trains and evaluates its seven rerankers offline
+(``MatchZoo_Tool/train_controller.py``, ``evaluate_models.py:122-350``) but has
+no serving path that puts them behind retrieval; this module closes the loop
+the reference's architecture implies (rank_chunks -> matchzoo rerank): the
+hybrid engine's top-N RRF candidates are rescored on-device by a trained
+reranker checkpoint and reordered.
+
+TPU shape discipline: one jitted predict signature — all (query, chunk) pairs
+for a whole query batch are packed into fixed-size (SCORE_BATCH, L) id
+blocks, padded with PAD rows whose scores are discarded, so serving never
+triggers a recompile regardless of query count or candidate depth.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..core.checkpoint import load_metadata, restore_checkpoint
+from ..core.config import TrainConfig
+from ..core.logging import get_logger
+from ..train.vocab import Preprocessor
+
+logger = get_logger("rerank")
+
+SCORE_BATCH = 256
+
+
+class RerankService:
+    """A trained reranker checkpoint + preprocessor, ready to score pairs."""
+
+    def __init__(
+        self,
+        model_name: str,
+        params,
+        preprocessor: Preprocessor,
+        cfg: Optional[TrainConfig] = None,
+    ) -> None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.rerankers import make_model
+
+        self.model_name = model_name
+        self.pp = preprocessor
+        self.cfg = cfg or TrainConfig(model=model_name)
+        self.model = make_model(
+            model_name, vocab_size=preprocessor.vocab_size,
+            embed_dim=self.cfg.embedding_dim,
+        )
+        self.params = params
+
+        @functools.partial(jax.jit)
+        def predict(params, left, right):
+            return self.model.apply({"params": params}, left, right,
+                                    deterministic=True)
+
+        self._predict = predict
+        self._jnp = jnp
+
+    # ---------------------------------------------------------------- loading
+    @classmethod
+    def load(cls, checkpoint_dir: str) -> "RerankService":
+        """Restore model name/config from checkpoint metadata, the vocab from
+        ``preprocessor.json``, and the trained params (the artifact layout
+        ``CVEvaluator.run_model`` writes; the reference reloads the analogous
+        model.pt + preprocessor pair, ``evaluate_models.py:157-210``)."""
+        import jax
+
+        meta = load_metadata(checkpoint_dir) or {}
+        cfg_dict = dict(meta.get("config", {}))
+        if "eval_metrics" in cfg_dict:
+            cfg_dict["eval_metrics"] = tuple(cfg_dict["eval_metrics"])
+        cfg = TrainConfig(**cfg_dict) if cfg_dict else TrainConfig()
+        pp = Preprocessor.load(os.path.join(checkpoint_dir, "preprocessor.json"))
+        from ..models.rerankers import make_model
+
+        model = make_model(cfg.model, vocab_size=pp.vocab_size,
+                           embed_dim=cfg.embedding_dim)
+        dummy_l = np.zeros((2, pp.fixed_length_left), np.int32)
+        dummy_r = np.zeros((2, pp.fixed_length_right), np.int32)
+        template = {
+            "params": model.init(jax.random.PRNGKey(0), dummy_l, dummy_r)[
+                "params"
+            ]
+        }
+        params = restore_checkpoint(checkpoint_dir, template)["params"]
+        logger.info("loaded %s reranker from %s (vocab %d)",
+                    cfg.model, checkpoint_dir, pp.vocab_size)
+        return cls(cfg.model, params, pp, cfg=cfg)
+
+    # ---------------------------------------------------------------- scoring
+    def score_pairs(
+        self,
+        query_texts: Sequence[str],
+        chunk_texts: Sequence[str],
+    ) -> np.ndarray:
+        """Score aligned (query, chunk) text pairs: (N,) float32.
+
+        Pairs are packed into fixed SCORE_BATCH-row blocks (last block padded
+        with PAD-id rows, scores discarded) so every call reuses the single
+        compiled predict signature.
+        """
+        n = len(query_texts)
+        assert len(chunk_texts) == n
+        if n == 0:
+            return np.zeros(0, np.float32)
+        enc = self.pp.transform_pair(list(query_texts), list(chunk_texts))
+        left, right = enc["left"], enc["right"]
+        out = np.zeros(n, np.float32)
+        for s in range(0, n, SCORE_BATCH):
+            e = min(s + SCORE_BATCH, n)
+            lb = np.zeros((SCORE_BATCH, left.shape[1]), np.int32)
+            rb = np.zeros((SCORE_BATCH, right.shape[1]), np.int32)
+            lb[: e - s] = left[s:e]
+            rb[: e - s] = right[s:e]
+            scores = np.asarray(
+                self._predict(self.params, self._jnp.asarray(lb),
+                              self._jnp.asarray(rb))
+            )
+            out[s:e] = scores[: e - s]
+        return out
+
+    def rerank(
+        self,
+        query_texts: Sequence[str],
+        candidate_texts: Sequence[Sequence[str]],
+    ) -> List[np.ndarray]:
+        """Per-query candidate reordering: returns, for each query, the
+        argsort (descending score, ties to lower original rank) over its
+        candidate list. All queries' pairs run as one packed score call."""
+        flat_q: List[str] = []
+        flat_c: List[str] = []
+        for q, cands in zip(query_texts, candidate_texts):
+            flat_q.extend([q] * len(cands))
+            flat_c.extend(cands)
+        scores = self.score_pairs(flat_q, flat_c)
+        orders: List[np.ndarray] = []
+        off = 0
+        for cands in candidate_texts:
+            sc = scores[off: off + len(cands)]
+            off += len(cands)
+            # stable sort on -score keeps the incoming (RRF) order for ties
+            orders.append(np.argsort(-sc, kind="stable"))
+        return orders
