@@ -116,8 +116,8 @@ class RankingConfig:
     bm25_b: float = 0.75
     bm25_epsilon: float = 0.25
     min_group_size: int = 2
-    bm25_threads: int = 1   # serve-time native top-k host threads; each
-    # thread allocates ~5 bytes/doc of scratch — keep modest at 10M docs
+    bm25_threads: int = 4   # serve-time native top-k host threads (MaxScore
+    # kernel: per-thread scratch is O(query terms + k), not O(corpus))
 
 
 @dataclass(frozen=True)

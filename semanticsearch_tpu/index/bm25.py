@@ -74,6 +74,31 @@ class BM25Okapi:
         idf = np.where(idf < 0, self.epsilon * avg_idf, idf)
         self.idf = idf.astype(np.float32)
 
+    def _norm(self) -> np.ndarray:
+        """Per-doc length normalizer k1*(1-b+b*dl/avgdl): (n_docs,) f32."""
+        return (
+            self.k1
+            * (1.0 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9))
+        ).astype(np.float32)
+
+    def _ensure_doc_quot(self) -> None:
+        """Doc-major per-entry quotient tf/(tf+norm[d]), precomputed once.
+
+        The BM25 contribution factors as w * idf * (k1+1) * QUOT where QUOT
+        depends only on the posting entry — precomputing it removes the
+        division from every scoring inner loop (a ~2x win on the host
+        kernels; scoring becomes one multiply-add per posting entry).
+        """
+        if getattr(self, "_doc_quot", None) is not None:
+            return
+        norm = self._norm()
+        doc_of_entry = np.repeat(
+            np.arange(self.n_docs, dtype=np.int64), np.diff(self._indptr)
+        )
+        self._doc_quot = (
+            self._data / (self._data + norm[doc_of_entry])
+        ).astype(np.float32)
+
     def __getstate__(self):
         # the top-k scratch accumulator is pure per-process state — keep it
         # out of persisted indexes (40MB at the 10M north star)
@@ -89,8 +114,12 @@ class BM25Okapi:
         sets; serve-time top-k over a 10M-chunk corpus must not scan every
         document per query (the reference's rank_bm25 does, and so did the
         round-1 engine). Postings make per-query cost O(sum_t df(t))."""
-        if getattr(self, "_inv_indptr", None) is not None:
+        if (getattr(self, "_inv_indptr", None) is not None
+                and getattr(self, "_inv_ub", None) is not None):
+            # _inv_ub checked too: pickled pre-MaxScore indexes carry the
+            # postings but not the pruning bounds — rebuild both
             return
+        self._ensure_doc_quot()
         doc_of_entry = np.repeat(
             np.arange(self.n_docs, dtype=np.int64), np.diff(self._indptr)
         )
@@ -102,6 +131,21 @@ class BM25Okapi:
         ).astype(np.int64)
         self._inv_docs = doc_of_entry[order]
         self._inv_tf = self._data[order]
+        self._inv_quot = self._doc_quot[order]
+        # Per-term MAX possible score contribution, for optional MaxScore
+        # pruning in the native serve kernel. Exact: (idf*(k1+1)) * max
+        # (idf>=0) / min (idf<0, possible under the epsilon floor) over the
+        # term's posting quotients.
+        if self._inv_docs.size:
+            starts = self._inv_indptr[:-1]
+            hi = np.maximum.reduceat(self._inv_quot, starts)
+            lo = np.minimum.reduceat(self._inv_quot, starts)
+            base = (self.idf * (self.k1 + 1.0)).astype(np.float32)
+            self._inv_ub = np.where(
+                self.idf >= 0, base * hi, base * lo
+            ).astype(np.float32)
+        else:
+            self._inv_ub = np.zeros(len(self.vocab), np.float32)
 
     def get_topk(self, query_tokens: Sequence[str], k: int
                  ) -> Tuple[np.ndarray, np.ndarray]:
@@ -123,21 +167,21 @@ class BM25Okapi:
         if getattr(self, "_acc", None) is None or self._acc.size != self.n_docs:
             self._acc = np.zeros(self.n_docs, dtype=np.float32)
         acc = self._acc
-        norm = self.k1 * (
-            1.0 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9)
-        )
         touched_parts = []
         total_postings = 0
-        for tok, c in Counter(query_tokens).items():
-            tid = self.vocab.get(tok)
-            if tid is None:
-                continue
+        # accumulate in sorted-term-id order with the factored contribution
+        # ((c*idf)*(k1+1)) * quot — the SAME f32 operation order as
+        # get_scores and the native batch kernels, so boundary ties order
+        # bit-identically across every path
+        cnt = Counter(
+            self.vocab[t] for t in query_tokens if t in self.vocab
+        )
+        for tid, c in sorted(cnt.items()):
             s, e = self._inv_indptr[tid], self._inv_indptr[tid + 1]
             docs = self._inv_docs[s:e]
-            tf = self._inv_tf[s:e]
             acc[docs] += (
-                c * self.idf[tid] * tf * (self.k1 + 1.0) / (tf + norm[docs])
-            )
+                (c * self.idf[tid]) * np.float32(self.k1 + 1.0)
+            ) * self._inv_quot[s:e]
             touched_parts.append(docs)
             total_postings += docs.size
         if not touched_parts:
@@ -185,23 +229,32 @@ class BM25Okapi:
         queries_tokens: Sequence[Sequence[str]],
         k: int,
         n_threads: int = 1,
+        method: str = "unpruned",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Serve-time batched top-k: (idx (Q,k) i64, scores (Q,k) f32).
 
-        Uses the native threaded posting-traversal kernel
-        (``native/semsearch_native.cpp::bm25_topk_batch``) when available —
-        queries parallelize across host cores with the GIL released — and
-        falls back to per-query :meth:`get_topk`. Identical results to the
-        fallback on matched-positive-score data (same tie and fill rules).
-        Each native thread allocates ~5 bytes/doc of scratch; keep
-        ``n_threads`` modest at 10M-doc scale.
+        Uses the native posting-traversal kernels
+        (``native/semsearch_native.cpp``) when available — queries
+        parallelize across host cores with the GIL released — and falls
+        back to per-query :meth:`get_topk`. Bit-identical results to the
+        fallback (same scores, tie and fill rules; asserted in
+        tests/test_native.py).
+
+        ``method``: "unpruned" streams every query-term posting (one
+        multiply-add per entry on the precomputed quotients); "maxscore"
+        adds Turtle-Flood upper-bound pruning. MEASURED (tools/bench_bm25.py,
+        Zipf synthetic corpora): maxscore only breaks even or wins (~1.1x)
+        at small k with mixed rare+common terms, and LOSES up to 2x at
+        k>=100 on stopword-heavy queries — the DAAT merge overhead outweighs
+        the skipped postings — so unpruned is the default; real-text corpora
+        with longer documents may tip the balance, hence the option.
         """
         k = min(k, self.n_docs)
         nq = len(queries_tokens)
         if nq == 0 or k == 0:
             return np.zeros((nq, k), np.int64), np.zeros((nq, k), np.float32)
         try:
-            from ..native import bm25_topk_batch
+            from ..native import bm25_topk_batch, bm25_topk_maxscore_batch
 
             self._ensure_inverted()
             q_ids: List[int] = []
@@ -213,17 +266,21 @@ class BM25Okapi:
                     q_ids.append(tid)
                     q_wts.append(float(cnt[tid]))
                 q_indptr.append(len(q_ids))
-            norm = self.k1 * (
-                1.0 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9)
+            common = (
+                self._inv_indptr, self._inv_docs, self._inv_quot,
+                self.idf.astype(np.float32),
             )
-            native = bm25_topk_batch(
-                self._inv_indptr, self._inv_docs,
-                self._inv_tf.astype(np.float32),
-                self.idf.astype(np.float32), norm.astype(np.float32),
+            tail = (
                 self.n_docs,
                 np.asarray(q_indptr, np.int64), np.asarray(q_ids, np.int64),
                 np.asarray(q_wts, np.float32), self.k1, k, n_threads,
             )
+            if method == "maxscore":
+                native = bm25_topk_maxscore_batch(
+                    *common, self._inv_ub, *tail
+                )
+            else:
+                native = bm25_topk_batch(*common, *tail)
             if native is not None:
                 return native
         except Exception:
@@ -247,19 +304,18 @@ class BM25Okapi:
         cnt = Counter(qids)
         qset = np.array(sorted(cnt), dtype=np.int64)
         qmul = np.array([cnt[t] for t in qset], dtype=np.float32)
-        norm = self.k1 * (1.0 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9))
+        self._ensure_doc_quot()
+        k1p1 = np.float32(self.k1 + 1.0)
         for d in range(self.n_docs):
             s, e = self._indptr[d], self._indptr[d + 1]
             ids = self._indices[s:e]
-            tfs = self._data[s:e]
             hit = np.isin(ids, qset)
             if not hit.any():
                 continue
-            f = tfs[hit]
             hit_ids = ids[hit]
-            w = self.idf[hit_ids] * qmul[np.searchsorted(qset, hit_ids)]
+            w = qmul[np.searchsorted(qset, hit_ids)] * self.idf[hit_ids]
             scores[d] = float(
-                np.sum(w * f * (self.k1 + 1.0) / (f + norm[d]))
+                np.sum((w * k1p1) * self._doc_quot[s:e][hit])
             )
         return scores
 
@@ -274,7 +330,7 @@ class BM25Okapi:
         out = np.zeros((nq, self.n_docs), dtype=np.float32)
         if not self.n_docs or not nq:
             return out
-        norm = self.k1 * (1.0 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9))
+        self._ensure_doc_quot()
 
         # Native merge-join scorer (C++ via ctypes) when available.
         try:
@@ -292,8 +348,8 @@ class BM25Okapi:
                     q_wts.append(float(cnt[tid]))
                 q_indptr.append(len(q_ids))
             native = bm25_score_batch(
-                self._indptr, self._indices, self._data,
-                self.idf.astype(np.float32), norm.astype(np.float32),
+                self._indptr, self._indices, self._doc_quot,
+                self.idf.astype(np.float32),
                 np.asarray(q_indptr, np.int64), np.asarray(q_ids, np.int64),
                 np.asarray(q_wts, np.float32), self.k1,
             )
@@ -309,6 +365,7 @@ class BM25Okapi:
                 tid = self.vocab.get(t)
                 if tid is not None:
                     term_to_rows.setdefault(tid, []).append((qi, float(c)))
+        k1p1 = np.float32(self.k1 + 1.0)
         for d in range(self.n_docs):
             s, e = self._indptr[d], self._indptr[d + 1]
             for ids_pos in range(s, e):
@@ -316,8 +373,9 @@ class BM25Okapi:
                 rows = term_to_rows.get(tid)
                 if not rows:
                     continue
-                f = float(self._data[ids_pos])
-                contrib = self.idf[tid] * f * (self.k1 + 1.0) / (f + norm[d])
+                contrib = (
+                    self.idf[tid] * k1p1 * self._doc_quot[ids_pos]
+                )
                 for qi, c in rows:
                     out[qi, d] += c * contrib
         return out

@@ -21,7 +21,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-_ABI_VERSION = 3
+_ABI_VERSION = 5
 
 
 def ensure_built(quiet: bool = True, force: bool = False) -> bool:
@@ -72,12 +72,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.bm25_score_batch.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.c_float, ctypes.POINTER(ctypes.c_float),
     ]
     lib.bm25_topk_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.bm25_topk_maxscore_batch.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -128,9 +137,8 @@ def hash_tokenize_batch(
 def bm25_score_batch(
     doc_indptr: np.ndarray,
     doc_termids: np.ndarray,
-    doc_tf: np.ndarray,
+    doc_quot: np.ndarray,
     idf: np.ndarray,
-    norm: np.ndarray,
     q_indptr: np.ndarray,
     q_termids: np.ndarray,
     q_weights: np.ndarray,
@@ -150,8 +158,8 @@ def bm25_score_batch(
     n_queries = len(q_indptr) - 1
     out = np.zeros((n_queries, n_docs), np.float32)
     lib.bm25_score_batch(
-        _i64p(doc_indptr), _i64p(doc_termids), _f32p(doc_tf),
-        _f32p(idf), _f32p(norm), n_docs,
+        _i64p(doc_indptr), _i64p(doc_termids), _f32p(doc_quot),
+        _f32p(idf), n_docs,
         _i64p(q_indptr), _i64p(q_termids), _f32p(q_weights), n_queries,
         ctypes.c_float(k1), _f32p(out),
     )
@@ -161,9 +169,8 @@ def bm25_score_batch(
 def bm25_topk_batch(
     inv_indptr: np.ndarray,
     inv_docs: np.ndarray,
-    inv_tf: np.ndarray,
+    inv_quot: np.ndarray,
     idf: np.ndarray,
-    norm: np.ndarray,
     n_docs: int,
     q_indptr: np.ndarray,
     q_termids: np.ndarray,
@@ -175,8 +182,10 @@ def bm25_topk_batch(
     """Native threaded serve-time BM25 top-k over term-major postings;
     None if the library is unavailable. Returns (idx (Q,k) i64,
     scores (Q,k) f32). Semantics match BM25Okapi.get_topk's sparse path
-    (ties to lower doc id, lowest-id zero-score fill). Each thread
-    allocates ~5*n_docs bytes of scratch — cap n_threads at large corpora.
+    (ties to lower doc id, lowest-id zero-score fill); scoring runs on the
+    precomputed per-entry quotients (one multiply-add per posting). Each
+    thread allocates ~5*n_docs bytes of scratch — cap n_threads at large
+    corpora.
     """
     lib = get_lib()
     if lib is None:
@@ -185,8 +194,43 @@ def bm25_topk_batch(
     idx = np.zeros((n_queries, k), np.int64)
     scores = np.zeros((n_queries, k), np.float32)
     lib.bm25_topk_batch(
-        _i64p(inv_indptr), _i64p(inv_docs), _f32p(inv_tf),
-        _f32p(idf), _f32p(norm), n_docs,
+        _i64p(inv_indptr), _i64p(inv_docs), _f32p(inv_quot),
+        _f32p(idf), n_docs,
+        _i64p(q_indptr), _i64p(q_termids), _f32p(q_weights), n_queries,
+        ctypes.c_float(k1), k, n_threads, _i64p(idx), _f32p(scores),
+    )
+    return idx, scores
+
+
+def bm25_topk_maxscore_batch(
+    inv_indptr: np.ndarray,
+    inv_docs: np.ndarray,
+    inv_quot: np.ndarray,
+    idf: np.ndarray,
+    term_ub: np.ndarray,
+    n_docs: int,
+    q_indptr: np.ndarray,
+    q_termids: np.ndarray,
+    q_weights: np.ndarray,
+    k1: float,
+    k: int,
+    n_threads: int = 1,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """MaxScore-pruned serve-time BM25 top-k (threaded across queries);
+    None if the library is unavailable. EXACTLY the same results as
+    :func:`bm25_topk_batch` but skips documents whose term upper bounds
+    (``term_ub``, per-term max contribution, precomputed at invert time)
+    prove they cannot enter the top-k — stopword postings stop being
+    streamed once the k-th best score rises above their bound."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_queries = len(q_indptr) - 1
+    idx = np.zeros((n_queries, k), np.int64)
+    scores = np.zeros((n_queries, k), np.float32)
+    lib.bm25_topk_maxscore_batch(
+        _i64p(inv_indptr), _i64p(inv_docs), _f32p(inv_quot),
+        _f32p(idf), _f32p(term_ub), n_docs,
         _i64p(q_indptr), _i64p(q_termids), _f32p(q_weights), n_queries,
         ctypes.c_float(k1), k, n_threads, _i64p(idx), _f32p(scores),
     )

@@ -16,6 +16,8 @@
 #include <cctype>
 #include <cmath>
 #include <algorithm>
+#include <cfloat>
+#include <cstdint>
 #include <thread>
 #include <vector>
 
@@ -90,18 +92,18 @@ void hash_tokenize_batch(
 // Batched BM25 Okapi scoring over CSR document term statistics.
 //
 // Scoring contract matches index/bm25.py::BM25Okapi.get_scores_batch:
-// score(q, d) = sum_{t in q∩d} w_q[t] * idf[t] * tf * (k1+1) / (tf + norm[d])
-// with norm[d] = k1 * (1 - b + b * dl[d] / avgdl) and w_q[t] the term's
-// occurrence count in the query (rank_bm25 accumulates once per occurrence).
-// idf precomputed by caller.
+// score(q, d) = sum_{t in q∩d} ((w_q[t]*idf[t])*(k1+1)) * quot with the
+// per-entry quotient quot = tf/(tf+norm[d]) PRECOMPUTED at index build
+// (index/bm25.py::_ensure_doc_quot) — one multiply-add per entry, no
+// division in the inner loop. w_q[t] is the term's occurrence count in the
+// query (rank_bm25 accumulates once per occurrence).
 // ---------------------------------------------------------------------------
 
 void bm25_score_batch(
     const int64_t* doc_indptr,    // (n_docs+1)
     const int64_t* doc_termids,   // (nnz)
-    const float* doc_tf,          // (nnz)
+    const float* doc_quot,        // (nnz): tf/(tf+norm[doc])
     const float* idf,             // (n_terms)
-    const float* norm,            // (n_docs): k1*(1-b+b*dl/avgdl)
     int64_t n_docs,
     const int64_t* q_indptr,      // (n_queries+1) into q_termids
     const int64_t* q_termids,     // (q_nnz) sorted unique term ids per query
@@ -112,7 +114,6 @@ void bm25_score_batch(
     std::memset(scores_out, 0, sizeof(float) * (size_t)n_queries * n_docs);
     for (int64_t d = 0; d < n_docs; ++d) {
         const int64_t s = doc_indptr[d], e = doc_indptr[d + 1];
-        const float nd = norm[d];
         for (int64_t q = 0; q < n_queries; ++q) {
             const int64_t qs = q_indptr[q], qe = q_indptr[q + 1];
             // merge-join the sorted doc term list with the sorted query list
@@ -124,8 +125,8 @@ void bm25_score_batch(
                 if (td < tq) ++i;
                 else if (td > tq) ++j;
                 else {
-                    const float f = doc_tf[i];
-                    acc += q_weights[j] * idf[td] * f * (k1 + 1.0f) / (f + nd);
+                    acc += ((q_weights[j] * idf[td]) * (k1 + 1.0f))
+                           * doc_quot[i];
                     ++i; ++j;
                 }
             }
@@ -147,8 +148,8 @@ void bm25_score_batch(
 // ---------------------------------------------------------------------------
 
 static void bm25_topk_range(
-    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_tf,
-    const float* idf, const float* norm, int64_t n_docs,
+    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_quot,
+    const float* idf, int64_t n_docs,
     const int64_t* q_indptr, const int64_t* q_termids, const float* q_weights,
     float k1, int32_t k,
     int64_t q_begin, int64_t q_end,
@@ -161,11 +162,13 @@ static void bm25_topk_range(
         touched.clear();
         for (int64_t j = q_indptr[q]; j < q_indptr[q + 1]; ++j) {
             const int64_t t = q_termids[j];
-            const float w = q_weights[j] * idf[t] * (k1 + 1.0f);
+            // bit-identical to the numpy path's evaluation order
+            // ((w*idf)*(k1+1)) * quot — boundary ties must not be
+            // reshuffled by ulp differences (index/bm25.py::get_topk)
+            const float w = (q_weights[j] * idf[t]) * (k1 + 1.0f);
             for (int64_t p = inv_indptr[t]; p < inv_indptr[t + 1]; ++p) {
                 const int64_t d = inv_docs[p];
-                const float f = inv_tf[p];
-                acc[d] += w * f / (f + norm[d]);
+                acc[d] += w * inv_quot[p];
                 if (!seen[d]) {
                     seen[d] = 1;
                     touched.push_back(d);
@@ -215,9 +218,8 @@ static void bm25_topk_range(
 void bm25_topk_batch(
     const int64_t* inv_indptr,    // (n_terms+1) postings boundaries
     const int64_t* inv_docs,      // (nnz) doc ids, term-major
-    const float* inv_tf,          // (nnz) term frequencies
+    const float* inv_quot,        // (nnz): tf/(tf+norm[doc])
     const float* idf,             // (n_terms)
-    const float* norm,            // (n_docs): k1*(1-b+b*dl/avgdl)
     int64_t n_docs,
     const int64_t* q_indptr,      // (n_queries+1)
     const int64_t* q_termids,     // (q_nnz) unique term ids per query
@@ -231,7 +233,7 @@ void bm25_topk_batch(
     int64_t nt = n_threads > 0 ? n_threads : 1;
     nt = std::min<int64_t>(nt, n_queries > 0 ? n_queries : 1);
     if (nt <= 1) {
-        bm25_topk_range(inv_indptr, inv_docs, inv_tf, idf, norm, n_docs,
+        bm25_topk_range(inv_indptr, inv_docs, inv_quot, idf, n_docs,
                         q_indptr, q_termids, q_weights, k1, k,
                         0, n_queries, idx_out, scores_out);
         return;
@@ -244,12 +246,271 @@ void bm25_topk_batch(
         const int64_t e = std::min(n_queries, b + per);
         if (b >= e) break;
         threads.emplace_back(
-            bm25_topk_range, inv_indptr, inv_docs, inv_tf, idf, norm, n_docs,
+            bm25_topk_range, inv_indptr, inv_docs, inv_quot, idf, n_docs,
             q_indptr, q_termids, q_weights, k1, k, b, e, idx_out, scores_out);
     }
     for (auto& th : threads) th.join();
 }
 
-int32_t semsearch_native_abi_version() { return 3; }
+// ---------------------------------------------------------------------------
+// MaxScore-pruned BM25 top-k (Turtle & Flood document-at-a-time pruning).
+//
+// EXACTLY the same results as bm25_topk_batch (same ranking, tie and fill
+// rules — asserted by tests/test_native.py), but skips documents that
+// provably cannot enter the top-k: query terms are sorted by their maximum
+// possible score contribution ub(t) = w * max_d contribution(t, d)
+// (precomputed per term at invert time, index/bm25.py::_ensure_inverted);
+// once the running k-th best score theta exceeds the prefix sum of the
+// smallest ubs, those terms become NON-ESSENTIAL — their (huge, stopword-
+// class) posting lists are never traversed, only galloped into for
+// candidates surfaced by the remaining essential lists. This is what makes
+// Zipf-distributed serve traffic cheap: the head terms' million-entry
+// postings stop being streamed as soon as theta rises above their ub.
+//
+// Pruning correctness under ties: every skip condition is STRICT
+// (bound < theta); candidates that could tie theta are always evaluated,
+// and the heap's worst element is ordered by (score asc, doc id desc) so a
+// tying lower doc id displaces a higher one — identical ordering to the
+// unpruned kernel's (-score, doc id) partial sort.
+//
+// Negative term upper bounds (possible only when the epsilon-floored IDF
+// goes negative on pathological stopword-heavy corpora) break the prefix-
+// bound monotonicity, so such queries fall back to the exact unpruned
+// kernel (rare; allocates its own scratch).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct QTerm {
+    float ub;            // w * term_ub[tid]
+    float wik;           // (w*idf[tid])*(k1+1); contribution = wik * quot —
+                         // bit-identical to numpy's evaluation order
+                         // (index/bm25.py::get_topk)
+    const int64_t* docs;
+    const float* quots;
+    int64_t len;
+    int64_t pos;
+    int64_t slot;        // original sorted-by-term-id position in the query
+};
+
+// heap ordering: "a is worse than b" — worst element at the root
+static inline bool heap_worse(float sa, int64_t da, float sb, int64_t db) {
+    if (sa != sb) return sa < sb;
+    return da > db;
+}
+
+}  // namespace
+
+static void bm25_topk_maxscore_range(
+    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_quot,
+    const float* idf, const float* term_ub, int64_t n_docs,
+    const int64_t* q_indptr, const int64_t* q_termids, const float* q_weights,
+    float k1, int32_t k,
+    int64_t q_begin, int64_t q_end,
+    int64_t* idx_out, float* scores_out) {
+    const int64_t kk = std::min<int64_t>(k, n_docs);
+    std::vector<QTerm> terms;
+    std::vector<float> prefix;
+    std::vector<float> cslots;           // per-candidate term contributions
+    std::vector<float> hs((size_t)kk);   // heap scores
+    std::vector<int64_t> hd((size_t)kk); // heap doc ids
+    std::vector<std::pair<float, int64_t>> fin;
+    for (int64_t q = q_begin; q < q_end; ++q) {
+        terms.clear();
+        bool neg_ub = false;
+        for (int64_t j = q_indptr[q]; j < q_indptr[q + 1]; ++j) {
+            const int64_t t = q_termids[j];
+            const int64_t s = inv_indptr[t], e = inv_indptr[t + 1];
+            if (s == e) continue;
+            const float w = q_weights[j];
+            const float ub = w * term_ub[t];
+            if (ub < 0.0f) neg_ub = true;
+            terms.push_back({ub, (w * idf[t]) * (k1 + 1.0f),
+                             inv_docs + s, inv_quot + s, e - s, 0,
+                             (int64_t)terms.size()});
+        }
+        int64_t* idx = idx_out + q * k;
+        float* sc = scores_out + q * k;
+        if (terms.empty() || kk == 0) {
+            for (int64_t p = 0; p < k; ++p) {
+                idx[p] = p < n_docs ? p : 0;
+                sc[p] = 0.0f;
+            }
+            continue;
+        }
+        if (neg_ub) {
+            // exact unpruned fallback for this query (own scratch; rare)
+            bm25_topk_range(inv_indptr, inv_docs, inv_quot, idf, n_docs,
+                            q_indptr, q_termids, q_weights, k1, k,
+                            q, q + 1, idx_out, scores_out);
+            continue;
+        }
+        std::sort(terms.begin(), terms.end(),
+                  [](const QTerm& a, const QTerm& b) { return a.ub < b.ub; });
+        const int64_t m = (int64_t)terms.size();
+        prefix.assign((size_t)m + 1, 0.0f);
+        for (int64_t i = 0; i < m; ++i) prefix[i + 1] = prefix[i] + terms[i].ub;
+        cslots.assign((size_t)m, 0.0f);
+
+        int64_t hn = 0;           // heap size
+        float theta = -FLT_MAX;   // valid once hn == kk
+        // Pruning threshold with slack: the running `score` accumulates in
+        // pruning (ub-sorted) order while the FINAL score sums the per-term
+        // slots in term-id order (bit-identical to the Python/unpruned
+        // paths), and the numpy-computed ubs differ from the C++
+        // contributions by ulps — strict comparisons against theta could
+        // wrongly skip a boundary tie. theta_lo absorbs both (scores are
+        // O(1..1e2) sums of few floats; 1e-4 relative dwarfs the error).
+        float theta_lo = -FLT_MAX;
+        int64_t e = 0;            // terms [0, e) are non-essential
+
+        for (;;) {
+            int64_t d = INT64_MAX;
+            for (int64_t i = e; i < m; ++i) {
+                if (terms[i].pos < terms[i].len) {
+                    d = std::min(d, terms[i].docs[terms[i].pos]);
+                }
+            }
+            if (d == INT64_MAX) break;
+            float score = 0.0f;
+            for (int64_t i = e; i < m; ++i) {
+                QTerm& t = terms[i];
+                if (t.pos < t.len && t.docs[t.pos] == d) {
+                    const float c = t.wik * t.quots[t.pos];
+                    cslots[(size_t)t.slot] = c;
+                    score += c;
+                    ++t.pos;
+                }
+            }
+            bool viable = hn < kk || score + prefix[e] >= theta_lo;
+            if (viable) {
+                for (int64_t i = e - 1; i >= 0; --i) {
+                    if (hn == kk && score + prefix[i + 1] < theta_lo) {
+                        viable = false;
+                        break;
+                    }
+                    QTerm& t = terms[i];
+                    t.pos = std::lower_bound(t.docs + t.pos, t.docs + t.len,
+                                             d) - t.docs;
+                    if (t.pos < t.len && t.docs[t.pos] == d) {
+                        const float c = t.wik * t.quots[t.pos];
+                        cslots[(size_t)t.slot] = c;
+                        score += c;
+                        ++t.pos;
+                    }
+                }
+            }
+            if (viable) {
+                // final score in term-id order: bit-identical to the
+                // unpruned kernel's accumulation
+                score = 0.0f;
+                for (int64_t j = 0; j < m; ++j) score += cslots[(size_t)j];
+                if (hn < kk) {
+                    // sift up: worst bubbles toward the root
+                    int64_t i = hn++;
+                    hs[i] = score;
+                    hd[i] = d;
+                    while (i > 0) {
+                        const int64_t p = (i - 1) / 2;
+                        if (!heap_worse(hs[i], hd[i], hs[p], hd[p])) break;
+                        std::swap(hs[i], hs[p]);
+                        std::swap(hd[i], hd[p]);
+                        i = p;
+                    }
+                    if (hn == kk) {
+                        theta = hs[0];
+                        theta_lo = theta - (1e-4f * std::fabs(theta) + 1e-6f);
+                    }
+                } else if (heap_worse(hs[0], hd[0], score, d)) {
+                    // replace the worst, sift down
+                    hs[0] = score;
+                    hd[0] = d;
+                    int64_t i = 0;
+                    for (;;) {
+                        const int64_t l = 2 * i + 1, r = l + 1;
+                        int64_t w2 = i;
+                        if (l < kk && heap_worse(hs[l], hd[l], hs[w2], hd[w2]))
+                            w2 = l;
+                        if (r < kk && heap_worse(hs[r], hd[r], hs[w2], hd[w2]))
+                            w2 = r;
+                        if (w2 == i) break;
+                        std::swap(hs[i], hs[w2]);
+                        std::swap(hd[i], hd[w2]);
+                        i = w2;
+                    }
+                    theta = hs[0];
+                    theta_lo = theta - (1e-4f * std::fabs(theta) + 1e-6f);
+                }
+                // advance the essential boundary as theta rises
+                while (e < m && hn == kk && prefix[e + 1] < theta_lo) ++e;
+            }
+            for (int64_t j = 0; j < m; ++j) cslots[(size_t)j] = 0.0f;
+        }
+        // emit: heap -> (-score, doc id) order, then the unpruned kernel's
+        // lowest-id zero-score fill
+        fin.clear();
+        for (int64_t i = 0; i < hn; ++i) fin.emplace_back(hs[i], hd[i]);
+        std::sort(fin.begin(), fin.end(),
+                  [](const std::pair<float, int64_t>& a,
+                     const std::pair<float, int64_t>& b) {
+                      if (a.first != b.first) return a.first > b.first;
+                      return a.second < b.second;
+                  });
+        int64_t pos = 0;
+        for (; pos < hn; ++pos) {
+            idx[pos] = fin[(size_t)pos].second;
+            sc[pos] = fin[(size_t)pos].first;
+        }
+        for (int64_t dd = 0; pos < kk && dd < n_docs; ++dd) {
+            bool taken = false;
+            for (int64_t i = 0; i < hn; ++i) {
+                if (idx[i] == dd) { taken = true; break; }
+            }
+            if (!taken) {
+                idx[pos] = dd;
+                sc[pos] = 0.0f;
+                ++pos;
+            }
+        }
+        for (; pos < k; ++pos) {
+            idx[pos] = 0;
+            sc[pos] = 0.0f;
+        }
+    }
+}
+
+void bm25_topk_maxscore_batch(
+    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_quot,
+    const float* idf,
+    const float* term_ub,         // (n_terms) max possible contribution
+    int64_t n_docs,
+    const int64_t* q_indptr, const int64_t* q_termids, const float* q_weights,
+    int64_t n_queries, float k1, int32_t k, int32_t n_threads,
+    int64_t* idx_out, float* scores_out) {
+    int64_t nt = n_threads > 0 ? n_threads : 1;
+    nt = std::min<int64_t>(nt, n_queries > 0 ? n_queries : 1);
+    if (nt <= 1) {
+        bm25_topk_maxscore_range(
+            inv_indptr, inv_docs, inv_quot, idf, term_ub, n_docs,
+            q_indptr, q_termids, q_weights, k1, k, 0, n_queries,
+            idx_out, scores_out);
+        return;
+    }
+    std::vector<std::thread> threads;
+    threads.reserve((size_t)nt);
+    const int64_t per = (n_queries + nt - 1) / nt;
+    for (int64_t t = 0; t < nt; ++t) {
+        const int64_t b = t * per;
+        const int64_t e = std::min(n_queries, b + per);
+        if (b >= e) break;
+        threads.emplace_back(
+            bm25_topk_maxscore_range, inv_indptr, inv_docs, inv_quot, idf,
+            term_ub, n_docs, q_indptr, q_termids, q_weights, k1, k,
+            b, e, idx_out, scores_out);
+    }
+    for (auto& th : threads) th.join();
+}
+
+int32_t semsearch_native_abi_version() { return 5; }
 
 }  // extern "C"

@@ -55,11 +55,17 @@ def main():
         bm.get_topk(q, args.k)
     topk_qps = args.queries / (time.perf_counter() - t0)
 
-    # native threaded batch top-k (C++ posting traversal)
+    # native batch top-k: unpruned posting traversal (the serve default,
+    # one multiply-add per entry on precomputed quotients) vs MaxScore
     _ = bm.get_topk_batch(queries[:2], args.k)
     t0 = time.perf_counter()
     bm.get_topk_batch(queries, args.k, n_threads=1)
     native_qps = args.queries / (time.perf_counter() - t0)
+
+    _ = bm.get_topk_batch(queries[:2], args.k, method="maxscore")
+    t0 = time.perf_counter()
+    bm.get_topk_batch(queries, args.k, n_threads=1, method="maxscore")
+    maxscore_qps = args.queries / (time.perf_counter() - t0)
 
     # full scan for comparison (single queries, few reps)
     reps = min(10, args.queries)
@@ -71,7 +77,8 @@ def main():
     print(json.dumps({
         "metric": f"bm25_serve_topk_{args.docs}docs",
         "topk_qps": round(topk_qps, 1),
-        "native_topk_qps_1thread": round(native_qps, 1),
+        "native_unpruned_qps_1thread": round(native_qps, 1),
+        "native_maxscore_qps_1thread": round(maxscore_qps, 1),
         "full_scan_qps": round(scan_qps, 2),
         "speedup": round(topk_qps / max(scan_qps, 1e-9), 1),
         "build_s": round(build_s, 1),

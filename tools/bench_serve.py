@@ -1,0 +1,166 @@
+"""End-to-end SERVE benchmark: text queries -> encode -> dense top-k ->
+BM25 -> RRF (-> optional neural rerank), the full HybridQueryEngine path.
+
+The kernel bench (bench.py) isolates the dense leg; this measures what a
+user of the serving API actually gets, including query tokenization +
+encoding, the native BM25 lexical leg, fusion, and (with --rerank-top) the
+packed reranker rescore. The reference has no serve path at all (its hybrid
+scoring exists only inside training-label generation,
+Tool/rank_chunks_optimized.py:201-250).
+
+Prints ONE JSON line on stdout; stage timings go to stderr.
+
+TPU notes (CLAUDE.md): timings are wall-clock per search() call and include
+one tunnel round-trip per device leg — amortized by large query batches;
+compiled programs: encoder forward (query bucket, shared with the corpus
+encode when lengths bucket together) + the two-pass top-k + optionally the
+reranker predict.
+"""
+from __future__ import annotations
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_compile_cache")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import tempfile
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--doc-len", type=int, default=12)
+    ap.add_argument("--vocab", type=int, default=20_000)
+    ap.add_argument("--qbatch", type=int, default=512)
+    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--depth", type=int, default=40,
+                    help="per-leg candidate depth before fusion")
+    ap.add_argument("--rerank-top", type=int, default=0,
+                    help=">0: add the neural rerank stage (random-init KNRM "
+                         "— serving throughput does not depend on weights)")
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu for a smoke run)")
+    ap.add_argument("--output-dir", default=None)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from semanticsearch_tpu.core.config import EncoderConfig, RankingConfig
+    from semanticsearch_tpu.index.query_engine import HybridQueryEngine
+    from semanticsearch_tpu.models.encoder import SentenceEncoder
+
+    rng = np.random.default_rng(0)
+    probs = 1.0 / np.arange(1, args.vocab + 1) ** 1.1
+    probs /= probs.sum()
+    words = np.array([f"w{i}" for i in range(args.vocab)])
+
+    t0 = time.perf_counter()
+    term_ids = rng.choice(args.vocab, size=(args.docs, args.doc_len), p=probs)
+    doc_texts = [" ".join(words[row]) for row in term_ids]
+    log(f"[gen] {args.docs} docs in {time.perf_counter() - t0:.1f}s")
+
+    out_dir = args.output_dir or tempfile.mkdtemp(prefix="bench_serve_")
+    chunks_tsv = os.path.join(out_dir, "chunks.tsv")
+    with open(chunks_tsv, "w") as f:
+        f.write("chunk_id\tquery_id\tdocument_id\tchunk_text\n")
+        for i, t in enumerate(doc_texts):
+            f.write(f"c{i}\t\td{i}\t{t}\n")
+
+    enc = SentenceEncoder(EncoderConfig(max_len=128), seed=0)
+    t0 = time.perf_counter()
+    engine = HybridQueryEngine.build(
+        chunks_tsv, enc, os.path.join(out_dir, "idx"),
+        rank_cfg=RankingConfig(bm25_threads=4),
+    )
+    log(f"[build] index+bm25+texts in {time.perf_counter() - t0:.1f}s")
+
+    if args.rerank_top > 0:
+        from semanticsearch_tpu.core.config import TrainConfig
+        from semanticsearch_tpu.index.rerank_service import RerankService
+        from semanticsearch_tpu.models.rerankers import make_model
+        from semanticsearch_tpu.train.vocab import Preprocessor
+
+        import jax
+
+        pp = Preprocessor(fixed_length_left=8, fixed_length_right=24,
+                          filter_low_freq=2)
+        pp.fit(doc_texts[:20_000])
+        model = make_model("knrm", vocab_size=pp.vocab_size, embed_dim=100)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            np.zeros((2, 8), np.int32), np.zeros((2, 24), np.int32),
+        )["params"]
+        engine.reranker = RerankService(
+            "knrm", params, pp, cfg=TrainConfig(model="knrm"))
+
+    # query stream: 4 Zipf terms each (lexical leg exercises real postings)
+    n_q = args.qbatch * (args.batches + 1)
+    q_ids = rng.choice(args.vocab, size=(n_q, 4), p=probs)
+    queries = [" ".join(words[row]) for row in q_ids]
+
+    t0 = time.perf_counter()
+    _ = engine.search(queries[: args.qbatch], k=args.k,
+                      candidates=args.depth, rerank_top=args.rerank_top)
+    log(f"[warmup] first search (compiles) {time.perf_counter() - t0:.1f}s")
+
+    # --- timed end-to-end ---
+    t0 = time.perf_counter()
+    for b in range(1, args.batches + 1):
+        batch = queries[b * args.qbatch: (b + 1) * args.qbatch]
+        _ = engine.search(batch, k=args.k, candidates=args.depth,
+                          rerank_top=args.rerank_top)
+    e2e_dt = time.perf_counter() - t0
+    e2e_qps = args.qbatch * args.batches / e2e_dt
+
+    # --- per-leg breakdown (same shapes -> cached programs) ---
+    batch = queries[args.qbatch: 2 * args.qbatch]
+    t0 = time.perf_counter()
+    q_emb = enc.encode(batch)
+    enc_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dense = engine.index.search(q_emb, k=args.depth)
+    _ = np.asarray(dense.indices)
+    dense_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    from semanticsearch_tpu.index.bm25 import tokenize
+
+    engine.bm25.get_topk_batch([tokenize(q) for q in batch], args.depth,
+                               n_threads=4)
+    bm25_dt = time.perf_counter() - t0
+
+    result = {
+        "metric": f"serve_hybrid_qps_{args.docs}docs",
+        "value": round(e2e_qps, 1),
+        "unit": "QPS",
+        "qbatch": args.qbatch,
+        "k": args.k,
+        "depth": args.depth,
+        "rerank_top": args.rerank_top,
+        "leg_ms_per_batch": {
+            "encode": round(enc_dt * 1e3, 1),
+            "dense_topk": round(dense_dt * 1e3, 1),
+            "bm25": round(bm25_dt * 1e3, 1),
+        },
+        "platform": __import__("jax").default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
