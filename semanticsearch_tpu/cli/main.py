@@ -234,7 +234,8 @@ def cmd_oie(args) -> int:
     from ..oie.client import enrich_chunk_tsv
 
     n = enrich_chunk_tsv(args.input, args.output, port=args.port,
-                         json_sidecar=args.sidecar)
+                         json_sidecar=args.sidecar,
+                         extractor=args.extractor)
     print(json.dumps({"enriched_rows": n, "output": args.output}))
     return 0
 
@@ -446,6 +447,10 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--port", type=int, default=9000)
     p.add_argument("--sidecar")
+    p.add_argument("--extractor", default="auto",
+                   choices=["auto", "server", "heuristic"],
+                   help="OpenIE5 sidecar, in-repo rule-based SVO extractor, "
+                        "or auto (server when its port answers)")
     p.set_defaults(fn=cmd_oie)
 
     p = sub.add_parser("validate", help="validate/clean a labeled TSV")

@@ -227,14 +227,32 @@ def enrich_chunk_tsv(
     port: int = DEFAULT_PORT,
     text_column: str = "chunk_text",
     json_sidecar: Optional[str] = None,
+    extractor: str = "auto",
 ) -> int:
-    """Add raw_oie_data + raw_oie_data_plus_chunk_text columns to a chunk TSV."""
+    """Add raw_oie_data + raw_oie_data_plus_chunk_text columns to a chunk TSV.
+
+    ``extractor``: "server" uses the OpenIE5 sidecar (reference behavior —
+    empty triples when it is down); "heuristic" uses the in-repo rule-based
+    SVO extractor (``oie/heuristic.py`` — functional with zero external
+    dependencies, lower extraction quality than OpenIE5); "auto" (default)
+    picks the server when its port answers, else the heuristic.
+    """
     sidecar: List[Dict] = []
+    if extractor == "auto":
+        extractor = "server" if is_port_open(port) else "heuristic"
+        logger.info("OIE extractor resolved to %r", extractor)
+
+    def extract(text: str) -> List[Triple]:
+        if extractor == "heuristic":
+            from .heuristic import extract_triples_heuristic
+
+            return extract_triples_heuristic(text)
+        return extract_relations_from_paragraph(text, port=port)
 
     def rows():
         for row in read_tsv(input_path):
             text = row.get(text_column, "")
-            triples = extract_relations_from_paragraph(text, port=port)
+            triples = extract(text)
             formatted = format_oie_triples_to_string(triples)
             out = dict(row)
             out["raw_oie_data"] = formatted

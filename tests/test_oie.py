@@ -109,3 +109,69 @@ def test_terminate_openie_processes():
             if p.poll() is None:
                 p.kill()
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_heuristic_extractor_contract():
+    """Rule-based fallback: correct SVO on clear sentences, exact-duplicate
+    filtering, every triple word present in the input, [] on empty."""
+    from semanticsearch_tpu.oie.heuristic import extract_triples_heuristic
+
+    t = extract_triples_heuristic(
+        "The ancient aqueduct carried water to the Roman city.")
+    assert t == [{"subject": "ancient aqueduct", "relation": "carried",
+                  "object": "water to the Roman city"}]
+
+    t = extract_triples_heuristic(
+        "The committee, which met on Tuesday, approved the new budget.")
+    subjects = {x["subject"] for x in t}
+    relations = {x["relation"] for x in t}
+    assert "committee" in subjects
+    assert {"approved", "met"} <= relations
+
+    # passive voice: auxiliary chain becomes the relation
+    t = extract_triples_heuristic(
+        "The fishing quota for trawlers was reduced this season.")
+    assert t[0]["relation"] == "was reduced"
+
+    # no invented tokens: every triple word appears in the source text
+    text = ("Solar panels convert sunlight into electricity. "
+            "Bees pollinate flowers and produce honey in the hive.")
+    words = set(text.replace(".", "").split())
+    for triple in extract_triples_heuristic(text):
+        for field in ("subject", "relation", "object"):
+            assert set(triple[field].split()) <= words, triple
+
+    # exact-duplicate filter + degenerate inputs
+    dup = extract_triples_heuristic(
+        "IBM acquired the startup. IBM acquired the startup.")
+    assert len(dup) == 1
+    assert extract_triples_heuristic("") == []
+    assert extract_triples_heuristic("word") == []
+
+
+def test_enrich_tsv_heuristic_extractor(tmp_path):
+    """enrich_chunk_tsv with the in-repo extractor fills the OIE columns
+    without any server (the zero-dependency path the reference lacks)."""
+    from semanticsearch_tpu.data.tsv import read_tsv, write_tsv
+    from semanticsearch_tpu.oie.client import enrich_chunk_tsv
+
+    rows = [
+        {"chunk_id": "c0", "chunk_text":
+         "The ancient aqueduct carried water to the Roman city."},
+        {"chunk_id": "c1", "chunk_text": ""},
+    ]
+    src = tmp_path / "chunks.tsv"
+    out = tmp_path / "enriched.tsv"
+    write_tsv(str(src), rows, ["chunk_id", "chunk_text"])
+    n = enrich_chunk_tsv(str(src), str(out), extractor="heuristic",
+                         json_sidecar=str(tmp_path / "oie.json"))
+    assert n == 2
+    got = list(read_tsv(str(out)))
+    assert "carried" in got[0]["raw_oie_data"]
+    assert got[0]["raw_oie_data_plus_chunk_text"].endswith(
+        rows[0]["chunk_text"])
+    assert got[1]["raw_oie_data"] == ""
+    import json as _json
+
+    sidecar = _json.load(open(tmp_path / "oie.json"))
+    assert sidecar[0]["triples"][0]["subject"] == "ancient aqueduct"
