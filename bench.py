@@ -29,8 +29,10 @@ def main() -> int:
                         help="corpus rows; default = 10M / 8 chips")
     parser.add_argument("--dim", type=int, default=384)
     parser.add_argument("--k", type=int, default=10)
-    parser.add_argument("--query-batch", type=int, default=16384,
-                        help="large batches amortize tunnel round-trips")
+    parser.add_argument("--query-batch", type=int, default=32768,
+                        help="large batches amortize tunnel round-trips and "
+                             "per-call dispatch (16384 -> 32768 measured "
+                             "102.3k -> 113.8k QPS)")
     parser.add_argument("--block-n", type=int, default=32768)
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--recall-sample", type=int, default=32)
