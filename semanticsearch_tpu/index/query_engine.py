@@ -60,6 +60,12 @@ class HybridQueryEngine:
         self.cfg = cfg
         self.texts = texts
         self.reranker = reranker
+        # serve-time incremental adds: delta searched next to the main
+        # index (index/delta.py); compact() folds it into the persisted
+        # layout. Delta global row ids start at the main index size.
+        self._delta = None
+        self._delta_bm25 = None
+        self._index_dir: Optional[str] = None
 
     # ------------------------------------------------------------- build/load
     @classmethod
@@ -98,8 +104,10 @@ class HybridQueryEngine:
             ({"text": t} for t in texts), ["text"],
         )
         index, chunk_ids = load_index(output_dir, mesh=mesh, cfg=index_cfg)
-        return cls(index, chunk_ids, encoder, bm25=bm25, cfg=rank_cfg,
-                   texts=texts)
+        engine = cls(index, chunk_ids, encoder, bm25=bm25, cfg=rank_cfg,
+                     texts=texts)
+        engine._index_dir = output_dir
+        return engine
 
     @classmethod
     def load(
@@ -129,8 +137,109 @@ class HybridQueryEngine:
             from .rerank_service import RerankService
 
             reranker = RerankService.load(reranker_dir)
-        return cls(index, chunk_ids, encoder, bm25=bm25, cfg=rank_cfg,
-                   texts=texts, reranker=reranker)
+        engine = cls(index, chunk_ids, encoder, bm25=bm25, cfg=rank_cfg,
+                     texts=texts, reranker=reranker)
+        engine._index_dir = index_dir
+        return engine
+
+    # ------------------------------------------------- incremental updates
+    def add_documents(
+        self, chunk_ids: Sequence[str], texts: Sequence[str]
+    ) -> None:
+        """Add documents at serve time WITHOUT rebuilding the index.
+
+        New documents are embedded now and land in a device-resident delta
+        buffer searched next to the main index (``index/delta.py``); the
+        lexical leg scores them with the main corpus's frozen BM25
+        statistics so scores stay comparable. Adds are process-local until
+        :meth:`compact` persists them. The reference has no serving path
+        and rebuilds artifacts offline per stage; this is the production
+        freshness story on top of that contract.
+        """
+        assert len(chunk_ids) == len(texts)
+        if not texts:
+            return
+        from .delta import DeltaBM25, DeltaIndex
+
+        emb = np.asarray(self.encoder.encode(list(texts)), np.float32)
+        if self._delta is None:
+            self._delta = DeltaIndex(dim=emb.shape[1])
+        self._delta.add(emb)
+        if self.bm25 is not None:
+            if self._delta_bm25 is None:
+                self._delta_bm25 = DeltaBM25(self.bm25)
+            self._delta_bm25.add([tokenize(t) for t in texts])
+        self.chunk_ids = list(self.chunk_ids) + list(chunk_ids)
+        if self.texts is not None:
+            self.texts = list(self.texts) + list(texts)
+
+    def compact(self, output_dir: Optional[str] = None) -> None:
+        """Fold delta documents into the persisted index layout and reload.
+
+        Rewrites embeddings.f16.npy / ids.tsv / texts.tsv / bm25.pkl at
+        ``output_dir`` (defaults to the directory this engine loaded from)
+        with main + delta rows, rebuilds the BM25 statistics over the full
+        corpus (un-freezing idf/avgdl), and reloads the dense index.
+        """
+        import json as _json
+
+        from .builder import META_FILE as _META
+        from ..data.tsv import write_tsv
+
+        out = output_dir or self._index_dir
+        if out is None:
+            raise ValueError("no output_dir and engine was not loaded from disk")
+        if self.texts is None:
+            raise ValueError("compact requires texts (index built without "
+                             "texts.tsv)")
+        n_delta = self._delta.n if self._delta is not None else 0
+        base = self.index.size
+        old_emb = np.load(os.path.join(self._index_dir, EMB_FILE),
+                          mmap_mode="r") if self._index_dir else None
+        if old_emb is None:
+            raise ValueError("compact requires the on-disk embedding layout")
+        os.makedirs(out, exist_ok=True)
+        dim = old_emb.shape[1]
+        total = base + n_delta
+        mm = np.lib.format.open_memmap(
+            os.path.join(out, EMB_FILE) + ".tmp", mode="w+",
+            dtype=np.float16, shape=(total, dim),
+        )
+        mm[:base] = old_emb[:base]
+        if n_delta:
+            mm[base:] = self._delta._host[:n_delta].astype(np.float16)
+        mm.flush()
+        del mm
+        os.replace(os.path.join(out, EMB_FILE) + ".tmp",
+                   os.path.join(out, EMB_FILE))
+        write_tsv(
+            os.path.join(out, IDS_FILE),
+            ({"row": str(i), "chunk_id": cid, "query_id": "",
+              "document_id": ""} for i, cid in enumerate(self.chunk_ids)),
+            ["row", "chunk_id", "query_id", "document_id"],
+        )
+        write_tsv(os.path.join(out, TEXTS_FILE),
+                  ({"text": t} for t in self.texts), ["text"])
+        meta = {"rows": total, "dim": dim}
+        old_meta_path = os.path.join(self._index_dir, _META)
+        if os.path.exists(old_meta_path):
+            with open(old_meta_path) as f:
+                meta = {**_json.load(f), **meta}
+        with open(os.path.join(out, _META), "w") as f:
+            _json.dump(meta, f)
+        self.bm25 = BM25Okapi(
+            [tokenize(t) for t in self.texts],
+            k1=self.cfg.bm25_k1, b=self.cfg.bm25_b,
+            epsilon=self.cfg.bm25_epsilon,
+        )
+        with open(os.path.join(out, BM25_FILE), "wb") as f:
+            pickle.dump(self.bm25, f)
+        self.index, self.chunk_ids = load_index(
+            out, mesh=self.index._mesh, cfg=self.index.cfg
+        )
+        self._delta = None
+        self._delta_bm25 = None
+        self._index_dir = out
 
     # ------------------------------------------------------------------ query
     def search(
@@ -156,14 +265,28 @@ class HybridQueryEngine:
         q_emb = self.encoder.encode(list(queries))
         dense = self.index.search(q_emb, k=min(depth, self.index.size))
 
+        # serve-time adds: search the delta buffer and merge by score (both
+        # legs' scores are comparable with the main index — cosine, and
+        # frozen-statistics BM25)
+        base = self.index.size
+        n_delta = self._delta.n if self._delta is not None else 0
+        if n_delta:
+            delta_vals, delta_idx = self._delta.search(
+                q_emb, min(depth, n_delta)
+            )
+
         use_bm25 = hybrid and self.bm25 is not None
         if use_bm25:
+            q_tokens = [tokenize(q) for q in queries]
             # batched native top-k (threaded posting traversal, GIL
             # released); one call for the whole query batch
             bm_depth = min(depth, self.index.size)
             bm_idx, bm_scores = self.bm25.get_topk_batch(
-                [tokenize(q) for q in queries], bm_depth,
-                n_threads=self.cfg.bm25_threads,
+                q_tokens, bm_depth, n_threads=self.cfg.bm25_threads,
+            )
+            delta_lex = (
+                self._delta_bm25.score(q_tokens)
+                if n_delta and self._delta_bm25 is not None else None
             )
 
         if rerank_top > 0:
@@ -184,18 +307,36 @@ class HybridQueryEngine:
             rrf: Dict[int, float] = {}
             dense_rank: Dict[int, int] = {}
             lex_rank: Dict[int, int] = {}
-            for rank, row in enumerate(dense.indices[qi], start=1):
-                row = int(row)
+            dense_list = [
+                (float(dense.scores[qi][r]), int(dense.indices[qi][r]))
+                for r in range(len(dense.indices[qi]))
+            ]
+            if n_delta:
+                dense_list += [
+                    (float(delta_vals[qi][j]), base + int(delta_idx[qi][j]))
+                    for j in range(delta_vals.shape[1])
+                ]
+                dense_list.sort(key=lambda sr: (-sr[0], sr[1]))
+                dense_list = dense_list[:depth]
+            for rank, (_, row) in enumerate(dense_list, start=1):
                 rrf[row] = rrf.get(row, 0.0) + 1.0 / (self.cfg.rrf_k + rank)
                 dense_rank[row] = rank
             if use_bm25:
                 # inverted-index top-depth: per-query cost is the query
                 # terms' posting sizes, not the corpus size
-                top, scores = bm_idx[qi], bm_scores[qi]
-                for rank, (row, sc) in enumerate(zip(top, scores), start=1):
-                    if sc <= 0:
-                        break
-                    row = int(row)
+                lex_list = [
+                    (float(sc), int(row))
+                    for row, sc in zip(bm_idx[qi], bm_scores[qi])
+                    if sc > 0
+                ]
+                if n_delta and delta_lex is not None:
+                    lex_list += [
+                        (float(delta_lex[qi][j]), base + j)
+                        for j in range(n_delta) if delta_lex[qi][j] > 0
+                    ]
+                    lex_list.sort(key=lambda sr: (-sr[0], sr[1]))
+                    lex_list = lex_list[:depth]
+                for rank, (sc, row) in enumerate(lex_list, start=1):
                     rrf[row] = rrf.get(row, 0.0) + 1.0 / (self.cfg.rrf_k + rank)
                     lex_rank[row] = rank
             keep = max(k, rerank_top)

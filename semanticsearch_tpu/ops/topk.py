@@ -428,6 +428,26 @@ def topk_scores_twopass(
     """
     assert k < _LANE, f"segment top-k supports k < {_LANE}, got {k}"
     q, d = queries.shape
+    # The all-query-blocks running-top-k scratch is (q_pad, 128) f32+i32 in
+    # VMEM: 65536 queries = 64MB, which blows the 100MB scoped limit once
+    # the corpus window + score tile join it (measured OOM on v5e). Chunk
+    # very large batches; 32768 is the measured sweet spot anyway.
+    max_q = 32768
+    if q > max_q:
+        parts = [
+            topk_scores_twopass(
+                queries[s: s + max_q], corpus, k=k, block_q=block_q,
+                block_n=block_n, q_chunk=q_chunk, interpret=interpret,
+                corpus_swizzled=corpus_swizzled,
+                gather_from_swizzled=gather_from_swizzled,
+                valid_n=valid_n, seg_split=seg_split,
+            )
+            for s in range(0, q, max_q)
+        ]
+        return (
+            jnp.concatenate([p[0] for p in parts], axis=0),
+            jnp.concatenate([p[1] for p in parts], axis=0),
+        )
     n = valid_n if valid_n >= 0 else corpus.shape[0]
     n_pad = _round_up(n, block_n)
     q_pad = _round_up(max(q, 8), block_q)

@@ -1,0 +1,114 @@
+"""Serve-time incremental index updates: delta search, merge, compaction."""
+import numpy as np
+
+from semanticsearch_tpu.core.config import EncoderConfig
+from semanticsearch_tpu.data.tsv import write_tsv
+from semanticsearch_tpu.index.query_engine import HybridQueryEngine
+from semanticsearch_tpu.models.encoder import SentenceEncoder
+
+TINY = EncoderConfig(vocab_size=500, hidden_dim=32, num_layers=1,
+                     num_heads=2, mlp_dim=64, max_len=32, dtype="float32")
+
+BASE_TEXTS = [
+    "volcanic eruption spewed lava and ash across the island",
+    "the fishing quota for trawlers was reduced this season",
+    "solar panels convert sunlight into electricity efficiently",
+    "the ancient aqueduct carried water to the roman city",
+]
+
+
+def _build(tmp_path, mesh8):
+    rows = [
+        {"chunk_id": f"c{i}", "query_id": "", "document_id": f"d{i}",
+         "chunk_text": t}
+        for i, t in enumerate(BASE_TEXTS)
+    ]
+    p = tmp_path / "chunks.tsv"
+    write_tsv(str(p), rows,
+              ["chunk_id", "query_id", "document_id", "chunk_text"])
+    enc = SentenceEncoder(TINY)
+    return HybridQueryEngine.build(str(p), enc, str(tmp_path / "idx"),
+                                   mesh=mesh8)
+
+
+def test_add_documents_and_search(tmp_path, mesh8):
+    engine = _build(tmp_path, mesh8)
+    base = engine.index.size
+
+    # before the add: the new doc's exact words find nothing lexical
+    pre = engine.search(["glacier meltwater feeds mountain lake"], k=3)[0]
+    assert all(h.lexical_rank == 0 for h in pre)
+
+    engine.add_documents(
+        ["new0", "new1"],
+        ["glacier meltwater feeds mountain lake",
+         "honey bees pollinate the orchard flowers"],
+    )
+    assert len(engine.chunk_ids) == base + 2
+    hits = engine.search(["glacier meltwater feeds mountain lake"], k=3)[0]
+    # exact-match doc must surface, found by BOTH legs
+    assert hits[0].chunk_id == "new0"
+    assert hits[0].lexical_rank == 1
+    assert hits[0].dense_rank >= 1
+
+    # main-corpus docs still retrievable, scores unpolluted by the delta
+    hits2 = engine.search(["fishing quota trawlers"], k=2)[0]
+    assert hits2[0].chunk_id == "c1"
+
+    # dense-only path merges the delta too
+    d = engine.search(["honey bees pollinate the orchard flowers"], k=2,
+                      hybrid=False)[0]
+    assert d[0].chunk_id == "new1"
+
+
+def test_compact_folds_delta(tmp_path, mesh8):
+    engine = _build(tmp_path, mesh8)
+    engine.add_documents(["new0"],
+                         ["glacier meltwater feeds mountain lake"])
+    before = engine.search(["glacier meltwater feeds mountain lake"],
+                           k=3)[0]
+    engine.compact()
+    assert engine._delta is None
+    assert engine.index.size == len(BASE_TEXTS) + 1
+    after = engine.search(["glacier meltwater feeds mountain lake"],
+                          k=3)[0]
+    assert after[0].chunk_id == before[0].chunk_id == "new0"
+    # lexical leg now uses UN-frozen stats over the full corpus
+    assert after[0].lexical_rank == 1
+
+    # a fresh engine loads the compacted layout from disk
+    enc = engine.encoder
+    reloaded = HybridQueryEngine.load(str(tmp_path / "idx"), enc, mesh=mesh8)
+    assert len(reloaded.chunk_ids) == len(BASE_TEXTS) + 1
+    again = reloaded.search(["glacier meltwater feeds mountain lake"],
+                            k=3)[0]
+    assert again[0].chunk_id == "new0"
+    # and supports further adds
+    reloaded.add_documents(["new1"], ["honey bees pollinate the orchard"])
+    more = reloaded.search(["honey bees pollinate the orchard"], k=2)[0]
+    assert more[0].chunk_id == "new1"
+
+
+def test_delta_index_growth_and_exactness():
+    """DeltaIndex: capacity doubling keeps all rows searchable and exact."""
+    from semanticsearch_tpu.index.delta import DeltaIndex
+
+    rng = np.random.default_rng(0)
+    d = 16
+    di = DeltaIndex(dim=d, init_capacity=4)
+    all_rows = []
+    for batch in (3, 4, 9):  # forces two capacity doublings
+        emb = rng.standard_normal((batch, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        di.add(emb)
+        all_rows.append(emb)
+    mat = np.concatenate(all_rows)
+    q = rng.standard_normal((5, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    vals, idx = di.search(q, k=4)
+    ref = q @ mat.T
+    ref_idx = np.argsort(-ref, axis=1, kind="stable")[:, :4]
+    np.testing.assert_array_equal(idx, ref_idx)
+    np.testing.assert_allclose(
+        vals, np.take_along_axis(ref, ref_idx, axis=1), rtol=1e-5, atol=1e-5
+    )
