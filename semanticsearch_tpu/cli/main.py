@@ -198,6 +198,32 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_index_add(args) -> int:
+    """Incrementally add documents to a persisted index: embeds ONLY the
+    new rows (a full rebuild re-embeds everything), merges via the delta
+    path, and compacts back to disk."""
+    from ..core.mesh import local_mesh
+    from ..data.tsv import read_tsv
+    from ..index.query_engine import HybridQueryEngine
+
+    cfg = _apply_sets(get_named_config(args.config), args.set)
+    enc = _make_encoder(cfg, args)
+    engine = HybridQueryEngine.load(
+        args.index_dir, enc, mesh=local_mesh(),
+        index_cfg=cfg.index, rank_cfg=cfg.ranking,
+    )
+    before = engine.index.size
+    ids, texts = [], []
+    for i, row in enumerate(read_tsv(args.input)):
+        ids.append(row.get("chunk_id", f"add{before + i}"))
+        texts.append(row.get(args.text_column, ""))
+    engine.add_documents(ids, texts)
+    engine.compact()
+    print(json.dumps({"rows_before": before, "rows_added": len(ids),
+                      "rows_total": engine.index.size}))
+    return 0
+
+
 def cmd_search(args) -> int:
     from ..core.mesh import local_mesh
     from ..index.query_engine import HybridQueryEngine
@@ -429,6 +455,15 @@ def main(argv=None) -> int:
                    help="also persist BM25 term stats for hybrid search")
     _add_config_args(p)
     p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("index-add",
+                       help="incrementally add chunks to a persisted index "
+                            "(embeds only the new rows, then compacts)")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--text-column", default="chunk_text")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_index_add)
 
     p = sub.add_parser("search", help="query a persisted index (hybrid RRF)")
     p.add_argument("--index-dir", required=True)

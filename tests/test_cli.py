@@ -128,3 +128,37 @@ def test_cli_train_then_evaluate_saved(tmp_path, capsys):
     capsys.readouterr()
     assert main(["evaluate", "--model-dirs", str(tmp_path / "nope"),
                  "--folds-dir", str(tmp_path / "cv")]) == 1
+
+
+def test_cli_index_add_and_search(tmp_path, capsys):
+    """index --bm25 -> index-add (incremental embed + compact) -> search
+    finds the added chunk through both retrieval legs."""
+    chunks = tmp_path / "chunks.tsv"
+    write_tsv(
+        str(chunks),
+        [{"chunk_id": f"c{i}", "chunk_text": t}
+         for i, t in enumerate([
+             "solar panels convert sunlight into electricity",
+             "the fishing quota for trawlers was reduced",
+         ])],
+        ["chunk_id", "chunk_text"],
+    )
+    idx = str(tmp_path / "idx")
+    assert main(["index", "-i", str(chunks), "-o", idx, "--bm25"]) == 0
+    capsys.readouterr()
+
+    add = tmp_path / "add.tsv"
+    write_tsv(str(add),
+              [{"chunk_id": "cNEW",
+                "chunk_text": "glacier meltwater feeds mountain lake"}],
+              ["chunk_id", "chunk_text"])
+    assert main(["index-add", "-i", str(add), "--index-dir", idx]) == 0
+    blob = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert blob == {"rows_before": 2, "rows_added": 1, "rows_total": 3}
+
+    assert main(["search", "--index-dir", idx, "-k", "2",
+                 "glacier meltwater mountain"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    top = out[0]["hits"][0]
+    assert top["chunk_id"] == "cNEW"
+    assert top["lexical_rank"] == 1 and top["dense_rank"] == 1
