@@ -212,12 +212,21 @@ class HybridQueryEngine:
         del mm
         os.replace(os.path.join(out, EMB_FILE) + ".tmp",
                    os.path.join(out, EMB_FILE))
-        write_tsv(
-            os.path.join(out, IDS_FILE),
-            ({"row": str(i), "chunk_id": cid, "query_id": "",
-              "document_id": ""} for i, cid in enumerate(self.chunk_ids)),
-            ["row", "chunk_id", "query_id", "document_id"],
-        )
+        # preserve the original ids.tsv metadata columns for main rows;
+        # delta rows get empty query/document ids (no provenance)
+        old_ids = list(read_tsv(os.path.join(self._index_dir, IDS_FILE)))
+
+        def _id_rows():
+            for i, cid in enumerate(self.chunk_ids):
+                old = old_ids[i] if i < len(old_ids) else {}
+                yield {"row": str(i), "chunk_id": cid,
+                       "query_id": old.get("query_id", ""),
+                       "document_id": old.get("document_id", "")}
+
+        ids_tmp = os.path.join(out, IDS_FILE) + ".tmp"
+        write_tsv(ids_tmp, _id_rows(),
+                  ["row", "chunk_id", "query_id", "document_id"])
+        os.replace(ids_tmp, os.path.join(out, IDS_FILE))
         write_tsv(os.path.join(out, TEXTS_FILE),
                   ({"text": t} for t in self.texts), ["text"])
         meta = {"rows": total, "dim": dim}

@@ -76,6 +76,13 @@ def test_compact_folds_delta(tmp_path, mesh8):
     # lexical leg now uses UN-frozen stats over the full corpus
     assert after[0].lexical_rank == 1
 
+    # original ids.tsv metadata columns survive compaction
+    from semanticsearch_tpu.data.tsv import read_tsv
+
+    ids_rows = list(read_tsv(str(tmp_path / "idx" / "ids.tsv")))
+    assert ids_rows[1]["document_id"] == "d1"
+    assert ids_rows[-1]["chunk_id"] == "new0"
+
     # a fresh engine loads the compacted layout from disk
     enc = engine.encoder
     reloaded = HybridQueryEngine.load(str(tmp_path / "idx"), enc, mesh=mesh8)
