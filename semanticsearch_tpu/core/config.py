@@ -116,8 +116,10 @@ class RankingConfig:
     bm25_b: float = 0.75
     bm25_epsilon: float = 0.25
     min_group_size: int = 2
-    bm25_threads: int = 4   # serve-time native top-k host threads (MaxScore
-    # kernel: per-thread scratch is O(query terms + k), not O(corpus))
+    bm25_threads: int = 4   # serve-time native top-k host threads. The
+    # default (unpruned) kernel allocates ~5 bytes/doc of scratch PER
+    # THREAD (~200MB at 4 threads on a 10M-chunk corpus) — lower this on
+    # memory-tight hosts; only the optional MaxScore kernel has O(k) scratch
 
 
 @dataclass(frozen=True)

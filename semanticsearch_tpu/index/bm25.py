@@ -70,8 +70,10 @@ class BM25Okapi:
         for tid, cnt in df_counter.items():
             df[tid] = cnt
         idf = np.log(self.n_docs - df + 0.5) - np.log(df + 0.5)
-        avg_idf = float(idf.mean()) if n_vocab else 0.0
-        idf = np.where(idf < 0, self.epsilon * avg_idf, idf)
+        # the PRE-floor mean (rank_bm25 semantics); kept so DeltaBM25 can
+        # floor provisional new-term idf with the identical quantity
+        self.avg_idf = float(idf.mean()) if n_vocab else 0.0
+        idf = np.where(idf < 0, self.epsilon * self.avg_idf, idf)
         self.idf = idf.astype(np.float32)
 
     def _norm(self) -> np.ndarray:
@@ -130,7 +132,6 @@ class BM25Okapi:
             [[0], np.cumsum(counts)]
         ).astype(np.int64)
         self._inv_docs = doc_of_entry[order]
-        self._inv_tf = self._data[order]
         self._inv_quot = self._doc_quot[order]
         # Per-term MAX possible score contribution, for optional MaxScore
         # pruning in the native serve kernel. Exact: (idf*(k1+1)) * max
@@ -238,7 +239,12 @@ class BM25Okapi:
         parallelize across host cores with the GIL released — and falls
         back to per-query :meth:`get_topk`. Bit-identical results to the
         fallback (same scores, tie and fill rules; asserted in
-        tests/test_native.py).
+        tests/test_native.py) EXCEPT on corpora whose epsilon-floored IDF
+        goes negative: there the native kernels follow get_topk's
+        sparse-path ordering (matched docs before zero-score fillers) while
+        get_topk itself may take its dense path, which orders negative
+        scores after the fillers — the divergence get_topk's own docstring
+        documents.
 
         ``method``: "unpruned" streams every query-term posting (one
         multiply-add per entry on the precomputed quotients); "maxscore"

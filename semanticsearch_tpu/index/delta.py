@@ -157,7 +157,13 @@ class DeltaBM25:
         df = np.asarray(self._new_df, np.float64)
         idf_new = np.log(n_total - df + 0.5) - np.log(df + 0.5)
         if bm.idf.size:
-            floor = float(bm.epsilon) * float(np.mean(bm.idf))
+            # the PRE-floor mean, same quantity BM25Okapi floors with
+            # (post-floor means are inflated on stopword-heavy corpora);
+            # old pickled indexes lack the attribute — fall back
+            avg = getattr(bm, "avg_idf", None)
+            if avg is None:
+                avg = float(np.mean(bm.idf))
+            floor = float(bm.epsilon) * avg
             idf_new = np.where(idf_new < 0, floor, idf_new)
         return np.concatenate(
             [bm.idf.astype(np.float32), idf_new.astype(np.float32)]

@@ -99,9 +99,12 @@ class HybridQueryEngine:
         # reason, rank_chunks_optimized.py:161-199)
         from ..data.tsv import write_tsv
 
+        # NOTE: the column is named chunk_text because read_tsv
+        # canonicalizes every CHUNK_TEXT_KEYS alias (incl. "text") to that
+        # key — reading must use the canonical name
         write_tsv(
             os.path.join(output_dir, TEXTS_FILE),
-            ({"text": t} for t in texts), ["text"],
+            ({"chunk_text": t} for t in texts), ["chunk_text"],
         )
         index, chunk_ids = load_index(output_dir, mesh=mesh, cfg=index_cfg)
         engine = cls(index, chunk_ids, encoder, bm25=bm25, cfg=rank_cfg,
@@ -131,7 +134,8 @@ class HybridQueryEngine:
         texts = None
         texts_path = os.path.join(index_dir, TEXTS_FILE)
         if os.path.exists(texts_path):
-            texts = [r.get("text", "") for r in read_tsv(texts_path)]
+            texts = [r.get("chunk_text", "")
+                     for r in read_tsv(texts_path)]
         reranker = None
         if reranker_dir:
             from .rerank_service import RerankService
@@ -212,13 +216,13 @@ class HybridQueryEngine:
         del mm
         os.replace(os.path.join(out, EMB_FILE) + ".tmp",
                    os.path.join(out, EMB_FILE))
-        # preserve the original ids.tsv metadata columns for main rows;
-        # delta rows get empty query/document ids (no provenance)
-        old_ids = list(read_tsv(os.path.join(self._index_dir, IDS_FILE)))
-
+        # preserve the original ids.tsv metadata columns for main rows
+        # (streamed — never the whole 10M-row table in host memory); delta
+        # rows get empty query/document ids (no provenance)
         def _id_rows():
+            old_iter = read_tsv(os.path.join(self._index_dir, IDS_FILE))
             for i, cid in enumerate(self.chunk_ids):
-                old = old_ids[i] if i < len(old_ids) else {}
+                old = next(old_iter, None) or {}
                 yield {"row": str(i), "chunk_id": cid,
                        "query_id": old.get("query_id", ""),
                        "document_id": old.get("document_id", "")}
@@ -227,22 +231,28 @@ class HybridQueryEngine:
         write_tsv(ids_tmp, _id_rows(),
                   ["row", "chunk_id", "query_id", "document_id"])
         os.replace(ids_tmp, os.path.join(out, IDS_FILE))
-        write_tsv(os.path.join(out, TEXTS_FILE),
-                  ({"text": t} for t in self.texts), ["text"])
+        texts_tmp = os.path.join(out, TEXTS_FILE) + ".tmp"
+        write_tsv(texts_tmp, ({"chunk_text": t} for t in self.texts),
+                  ["chunk_text"])
+        os.replace(texts_tmp, os.path.join(out, TEXTS_FILE))
         meta = {"rows": total, "dim": dim}
         old_meta_path = os.path.join(self._index_dir, _META)
         if os.path.exists(old_meta_path):
             with open(old_meta_path) as f:
                 meta = {**_json.load(f), **meta}
-        with open(os.path.join(out, _META), "w") as f:
+        meta_tmp = os.path.join(out, _META) + ".tmp"
+        with open(meta_tmp, "w") as f:
             _json.dump(meta, f)
+        os.replace(meta_tmp, os.path.join(out, _META))
         self.bm25 = BM25Okapi(
             [tokenize(t) for t in self.texts],
             k1=self.cfg.bm25_k1, b=self.cfg.bm25_b,
             epsilon=self.cfg.bm25_epsilon,
         )
-        with open(os.path.join(out, BM25_FILE), "wb") as f:
+        bm_tmp = os.path.join(out, BM25_FILE) + ".tmp"
+        with open(bm_tmp, "wb") as f:
             pickle.dump(self.bm25, f)
+        os.replace(bm_tmp, os.path.join(out, BM25_FILE))
         self.index, self.chunk_ids = load_index(
             out, mesh=self.index._mesh, cfg=self.index.cfg
         )

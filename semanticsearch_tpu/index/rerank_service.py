@@ -126,25 +126,3 @@ class RerankService:
             out[s:e] = scores[: e - s]
         return out
 
-    def rerank(
-        self,
-        query_texts: Sequence[str],
-        candidate_texts: Sequence[Sequence[str]],
-    ) -> List[np.ndarray]:
-        """Per-query candidate reordering: returns, for each query, the
-        argsort (descending score, ties to lower original rank) over its
-        candidate list. All queries' pairs run as one packed score call."""
-        flat_q: List[str] = []
-        flat_c: List[str] = []
-        for q, cands in zip(query_texts, candidate_texts):
-            flat_q.extend([q] * len(cands))
-            flat_c.extend(cands)
-        scores = self.score_pairs(flat_q, flat_c)
-        orders: List[np.ndarray] = []
-        off = 0
-        for cands in candidate_texts:
-            sc = scores[off: off + len(cands)]
-            off += len(cands)
-            # stable sort on -score keeps the incoming (RRF) order for ties
-            orders.append(np.argsort(-sc, kind="stable"))
-        return orders

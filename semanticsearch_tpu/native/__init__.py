@@ -54,14 +54,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return None
     lib.semsearch_native_abi_version.restype = ctypes.c_int32
     if lib.semsearch_native_abi_version() != _ABI_VERSION:
-        # stale binary from an older source revision: rebuild in place
-        del lib
+        # Stale binary from an older source revision: rebuild, then load
+        # the fresh build through a COPY at a new path — ctypes never
+        # dlcloses, and re-CDLL'ing the original path returns the cached
+        # stale handle (glibc dedups by name), so reloading in place can
+        # never take effect in-process.
         if not ensure_built(force=True):
             return None
+        import shutil
+        import tempfile
+
+        tmp = tempfile.NamedTemporaryFile(
+            suffix=".so", prefix="semsearch_native_", delete=False
+        )
+        tmp.close()
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            shutil.copy2(_LIB_PATH, tmp.name)
+            lib = ctypes.CDLL(tmp.name)
         except OSError:
+            os.unlink(tmp.name)
             return None
+        os.unlink(tmp.name)  # the mapping survives the unlink (Linux)
         lib.semsearch_native_abi_version.restype = ctypes.c_int32
     lib.hash_tokenize_batch.argtypes = [
         ctypes.POINTER(ctypes.c_ubyte),

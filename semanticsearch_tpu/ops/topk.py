@@ -434,6 +434,10 @@ def topk_scores_twopass(
     # very large batches; 32768 is the measured sweet spot anyway.
     max_q = 32768
     if q > max_q:
+        if corpus_swizzled is None and not gather_from_swizzled:
+            # swizzle ONCE here — otherwise every chunk would rebuild the
+            # full-corpus pass-A layout
+            corpus_swizzled = swizzle_corpus(corpus, block_n)
         parts = [
             topk_scores_twopass(
                 queries[s: s + max_q], corpus, k=k, block_q=block_q,

@@ -96,6 +96,9 @@ def test_serve_time_rerank(tmp_path, mesh8):
         str(tmp_path / "idx"), enc, mesh=mesh8,
         reranker_dir=str(tmp_path / "ckpt"),
     )
+    # the loaded texts must be the REAL chunk texts (a header-alias bug once
+    # read them all back as "" — rerank silently scored empty strings)
+    assert engine.texts == corpus_texts
     queries = ["fishing quota trawlers", "bees and honey"]
     plain = engine.search(queries, k=6)
     reranked = engine.search(queries, k=6, rerank_top=4)
