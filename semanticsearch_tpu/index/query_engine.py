@@ -66,6 +66,9 @@ class HybridQueryEngine:
         self._delta = None
         self._delta_bm25 = None
         self._index_dir: Optional[str] = None
+        # tombstoned global rows (remove_documents): filtered at query time
+        # with over-fetch, dropped physically at compact()
+        self._dead: set = set()
 
     # ------------------------------------------------------------- build/load
     @classmethod
@@ -177,13 +180,30 @@ class HybridQueryEngine:
         if self.texts is not None:
             self.texts = list(self.texts) + list(texts)
 
+    def remove_documents(self, chunk_ids: Sequence[str]) -> int:
+        """Tombstone documents by chunk id; returns how many matched.
+
+        Removed rows stop appearing in results immediately (query-time
+        filter with over-fetch so the top-k stays full while tombstones are
+        few); :meth:`compact` drops them physically. Complements
+        :meth:`add_documents` for full serve-time freshness.
+        """
+        targets = set(chunk_ids)
+        hit = 0
+        for row, cid in enumerate(self.chunk_ids):
+            if cid in targets and row not in self._dead:
+                self._dead.add(row)
+                hit += 1
+        return hit
+
     def compact(self, output_dir: Optional[str] = None) -> None:
         """Fold delta documents into the persisted index layout and reload.
 
         Rewrites embeddings.f16.npy / ids.tsv / texts.tsv / bm25.pkl at
         ``output_dir`` (defaults to the directory this engine loaded from)
-        with main + delta rows, rebuilds the BM25 statistics over the full
-        corpus (un-freezing idf/avgdl), and reloads the dense index.
+        with main + delta rows, drops tombstoned rows physically, rebuilds
+        the BM25 statistics over the full corpus (un-freezing idf/avgdl),
+        and reloads the dense index.
         """
         import json as _json
 
@@ -204,35 +224,47 @@ class HybridQueryEngine:
             raise ValueError("compact requires the on-disk embedding layout")
         os.makedirs(out, exist_ok=True)
         dim = old_emb.shape[1]
-        total = base + n_delta
+        # live rows survive; tombstones are dropped and rows renumber
+        live = [i for i in range(base + n_delta) if i not in self._dead]
+        total = len(live)
         mm = np.lib.format.open_memmap(
             os.path.join(out, EMB_FILE) + ".tmp", mode="w+",
             dtype=np.float16, shape=(total, dim),
         )
-        mm[:base] = old_emb[:base]
-        if n_delta:
-            mm[base:] = self._delta._host[:n_delta].astype(np.float16)
+        for pos, row in enumerate(live):
+            if row < base:
+                mm[pos] = old_emb[row]
+            else:
+                mm[pos] = self._delta._host[row - base].astype(np.float16)
         mm.flush()
         del mm
         os.replace(os.path.join(out, EMB_FILE) + ".tmp",
                    os.path.join(out, EMB_FILE))
+        live_texts = [self.texts[i] for i in live]
+
         # preserve the original ids.tsv metadata columns for main rows
         # (streamed — never the whole 10M-row table in host memory); delta
         # rows get empty query/document ids (no provenance)
         def _id_rows():
             old_iter = read_tsv(os.path.join(self._index_dir, IDS_FILE))
-            for i, cid in enumerate(self.chunk_ids):
-                old = next(old_iter, None) or {}
-                yield {"row": str(i), "chunk_id": cid,
-                       "query_id": old.get("query_id", ""),
-                       "document_id": old.get("document_id", "")}
+            old_row = -1
+            old = {}
+            for pos, row in enumerate(live):
+                while old_row < row:
+                    old = next(old_iter, None) or {}
+                    old_row += 1
+                yield {"row": str(pos), "chunk_id": self.chunk_ids[row],
+                       "query_id": old.get("query_id", "") if row < base
+                       else "",
+                       "document_id": old.get("document_id", "")
+                       if row < base else ""}
 
         ids_tmp = os.path.join(out, IDS_FILE) + ".tmp"
         write_tsv(ids_tmp, _id_rows(),
                   ["row", "chunk_id", "query_id", "document_id"])
         os.replace(ids_tmp, os.path.join(out, IDS_FILE))
         texts_tmp = os.path.join(out, TEXTS_FILE) + ".tmp"
-        write_tsv(texts_tmp, ({"chunk_text": t} for t in self.texts),
+        write_tsv(texts_tmp, ({"chunk_text": t} for t in live_texts),
                   ["chunk_text"])
         os.replace(texts_tmp, os.path.join(out, TEXTS_FILE))
         meta = {"rows": total, "dim": dim}
@@ -245,7 +277,7 @@ class HybridQueryEngine:
             _json.dump(meta, f)
         os.replace(meta_tmp, os.path.join(out, _META))
         self.bm25 = BM25Okapi(
-            [tokenize(t) for t in self.texts],
+            [tokenize(t) for t in live_texts],
             k1=self.cfg.bm25_k1, b=self.cfg.bm25_b,
             epsilon=self.cfg.bm25_epsilon,
         )
@@ -253,11 +285,13 @@ class HybridQueryEngine:
         with open(bm_tmp, "wb") as f:
             pickle.dump(self.bm25, f)
         os.replace(bm_tmp, os.path.join(out, BM25_FILE))
+        self.texts = live_texts
         self.index, self.chunk_ids = load_index(
             out, mesh=self.index._mesh, cfg=self.index.cfg
         )
         self._delta = None
         self._delta_bm25 = None
+        self._dead = set()
         self._index_dir = out
 
     # ------------------------------------------------------------------ query
@@ -281,8 +315,12 @@ class HybridQueryEngine:
         ship ``texts.tsv``.
         """
         depth = candidates or max(4 * k, 20)
+        # tombstones: over-fetch so the post-filter candidate lists stay
+        # full while tombstones are few (exact as long as n_dead fits the
+        # over-fetch; compact() resets it to zero)
+        fetch = depth + len(self._dead)
         q_emb = self.encoder.encode(list(queries))
-        dense = self.index.search(q_emb, k=min(depth, self.index.size))
+        dense = self.index.search(q_emb, k=min(fetch, self.index.size))
 
         # serve-time adds: search the delta buffer and merge by score (both
         # legs' scores are comparable with the main index — cosine, and
@@ -291,7 +329,7 @@ class HybridQueryEngine:
         n_delta = self._delta.n if self._delta is not None else 0
         if n_delta:
             delta_vals, delta_idx = self._delta.search(
-                q_emb, min(depth, n_delta)
+                q_emb, min(fetch, n_delta)
             )
 
         use_bm25 = hybrid and self.bm25 is not None
@@ -299,7 +337,7 @@ class HybridQueryEngine:
             q_tokens = [tokenize(q) for q in queries]
             # batched native top-k (threaded posting traversal, GIL
             # released); one call for the whole query batch
-            bm_depth = min(depth, self.index.size)
+            bm_depth = min(fetch, self.index.size)
             bm_idx, bm_scores = self.bm25.get_topk_batch(
                 q_tokens, bm_depth, n_threads=self.cfg.bm25_threads,
             )
@@ -336,7 +374,10 @@ class HybridQueryEngine:
                     for j in range(delta_vals.shape[1])
                 ]
                 dense_list.sort(key=lambda sr: (-sr[0], sr[1]))
-                dense_list = dense_list[:depth]
+            if self._dead:
+                dense_list = [sr for sr in dense_list
+                              if sr[1] not in self._dead]
+            dense_list = dense_list[:depth]
             for rank, (_, row) in enumerate(dense_list, start=1):
                 rrf[row] = rrf.get(row, 0.0) + 1.0 / (self.cfg.rrf_k + rank)
                 dense_rank[row] = rank
@@ -354,7 +395,10 @@ class HybridQueryEngine:
                         for j in range(n_delta) if delta_lex[qi][j] > 0
                     ]
                     lex_list.sort(key=lambda sr: (-sr[0], sr[1]))
-                    lex_list = lex_list[:depth]
+                if self._dead:
+                    lex_list = [sr for sr in lex_list
+                                if sr[1] not in self._dead]
+                lex_list = lex_list[:depth]
                 for rank, (sc, row) in enumerate(lex_list, start=1):
                     rrf[row] = rrf.get(row, 0.0) + 1.0 / (self.cfg.rrf_k + rank)
                     lex_rank[row] = rank

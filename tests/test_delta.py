@@ -119,3 +119,38 @@ def test_delta_index_growth_and_exactness():
     np.testing.assert_allclose(
         vals, np.take_along_axis(ref, ref_idx, axis=1), rtol=1e-5, atol=1e-5
     )
+
+
+def test_remove_documents_and_compact(tmp_path, mesh8):
+    """Tombstoned docs vanish from results immediately (both legs, with
+    over-fetch keeping k full) and are dropped physically by compact."""
+    engine = _build(tmp_path, mesh8)
+    n0 = engine.index.size
+
+    top = engine.search(["fishing quota trawlers"], k=2)[0]
+    assert top[0].chunk_id == "c1"
+    assert engine.remove_documents(["c1"]) == 1
+    assert engine.remove_documents(["c1"]) == 0  # idempotent
+
+    after = engine.search(["fishing quota trawlers"], k=2)[0]
+    ids = [h.chunk_id for h in after]
+    assert "c1" not in ids and len(ids) == 2  # k stays full via over-fetch
+
+    # removal composes with serve-time adds
+    engine.add_documents(["new0"], ["fresh fishing quota rules for trawlers"])
+    mixed = engine.search(["fishing quota trawlers"], k=3)[0]
+    mixed_ids = [h.chunk_id for h in mixed]
+    assert mixed_ids[0] == "new0" and "c1" not in mixed_ids
+
+    engine.compact()
+    assert engine.index.size == n0  # -1 removed +1 added
+    assert "c1" not in engine.chunk_ids
+    final = engine.search(["fishing quota trawlers"], k=3)[0]
+    assert final[0].chunk_id == "new0"
+    assert "c1" not in [h.chunk_id for h in final]
+
+    # reload from disk: the tombstoned doc is physically gone
+    reloaded = HybridQueryEngine.load(str(tmp_path / "idx"), engine.encoder,
+                                     mesh=mesh8)
+    assert "c1" not in reloaded.chunk_ids
+    assert len(reloaded.texts) == n0
