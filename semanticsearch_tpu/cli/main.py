@@ -202,21 +202,53 @@ def cmd_index_add(args) -> int:
     """Incrementally add documents to a persisted index: embeds ONLY the
     new rows (a full rebuild re-embeds everything), merges via the delta
     path, and compacts back to disk."""
+    import dataclasses
+
     from ..core.mesh import local_mesh
-    from ..data.tsv import read_tsv
+    from ..data.tsv import CHUNK_TEXT_KEYS, read_tsv
+    from ..index.builder import META_FILE
     from ..index.query_engine import HybridQueryEngine
 
     cfg = _apply_sets(get_named_config(args.config), args.set)
     enc = _make_encoder(cfg, args)
+
+    # refuse mismatched embedding spaces up front: compare against the
+    # encoder config persisted at build time (meta.json). NOTE: this checks
+    # the architecture/config, not the checkpoint WEIGHTS — pass the same
+    # --encoder-ckpt the index was built with.
+    meta_path = os.path.join(args.index_dir, META_FILE)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            built_cfg = json.load(f).get("encoder_config")
+        if built_cfg and built_cfg != dataclasses.asdict(enc.cfg):
+            print(json.dumps({
+                "error": "encoder config mismatch with the one that built "
+                         "this index — adds would land in a different "
+                         "embedding space",
+                "built": built_cfg,
+                "current": dataclasses.asdict(enc.cfg),
+            }))
+            return 1
+
     engine = HybridQueryEngine.load(
         args.index_dir, enc, mesh=local_mesh(),
         index_cfg=cfg.index, rank_cfg=cfg.ranking,
     )
+    if engine.texts is None:
+        print(json.dumps({
+            "error": "index has no texts.tsv (built without --bm25); "
+                     "index-add needs it to compact — rebuild with "
+                     "`semsearch index --bm25`",
+        }))
+        return 1
     before = engine.index.size
+    # read_tsv canonicalizes every chunk-text alias to 'chunk_text'
+    col = ("chunk_text" if args.text_column.lower() in CHUNK_TEXT_KEYS
+           else args.text_column)
     ids, texts = [], []
     for i, row in enumerate(read_tsv(args.input)):
         ids.append(row.get("chunk_id", f"add{before + i}"))
-        texts.append(row.get(args.text_column, ""))
+        texts.append(row.get(col, ""))
     engine.add_documents(ids, texts)
     engine.compact()
     print(json.dumps({"rows_before": before, "rows_added": len(ids),

@@ -73,18 +73,24 @@ class DeltaIndex:
 
     def search(self, q_emb: np.ndarray, k: int
                ) -> Tuple[np.ndarray, np.ndarray]:
-        """(scores (Q,k'), local indices (Q,k')) with k' = min(k, n)."""
+        """(scores (Q,k''), local indices (Q,k'')) — k'' is k rounded UP to
+        a 64-bucket (capped at capacity), NEVER clamped to the live count:
+        k is a jit-static argument, so tying it to ``n`` would recompile on
+        every add until the buffer fills (minutes per signature on the
+        remote TPU). Rows beyond the live count come back at NEG_INF;
+        callers drop entries with score <= NEG_INF/2.
+        """
         import jax.numpy as jnp
 
-        k = min(k, self.n)
-        if k == 0:
+        if self.n == 0:
             q = np.asarray(q_emb)
             return (np.zeros((q.shape[0], 0), np.float32),
                     np.zeros((q.shape[0], 0), np.int64))
+        k_static = min(self.capacity, ((k + 63) // 64) * 64)
         if self._device is None:
             self._device = jnp.asarray(self._host)
         vals, idx = self._search_jit()(
-            jnp.asarray(q_emb, jnp.float32), self._device, self.n, k
+            jnp.asarray(q_emb, jnp.float32), self._device, self.n, k_static
         )
         return np.asarray(vals), np.asarray(idx).astype(np.int64)
 

@@ -231,15 +231,41 @@ class HybridQueryEngine:
             os.path.join(out, EMB_FILE) + ".tmp", mode="w+",
             dtype=np.float16, shape=(total, dim),
         )
-        for pos, row in enumerate(live):
-            if row < base:
-                mm[pos] = old_emb[row]
-            else:
-                mm[pos] = self._delta._host[row - base].astype(np.float16)
+        # copy CONTIGUOUS live runs as bulk slices (tombstones are sparse;
+        # a per-row Python loop would be O(corpus) interpreter iterations
+        # at the 10M-row scale)
+        pos = 0
+        run_start = None
+        for row in live + [None]:
+            if run_start is not None and (
+                row is None or row != run_end + 1
+            ):
+                n_run = run_end - run_start + 1
+                if run_end < base:
+                    mm[pos: pos + n_run] = old_emb[run_start: run_end + 1]
+                elif run_start >= base:
+                    mm[pos: pos + n_run] = self._delta._host[
+                        run_start - base: run_end + 1 - base
+                    ].astype(np.float16)
+                else:  # run straddles the main/delta boundary
+                    n_main = base - run_start
+                    mm[pos: pos + n_main] = old_emb[run_start: base]
+                    mm[pos + n_main: pos + n_run] = self._delta._host[
+                        : run_end + 1 - base
+                    ].astype(np.float16)
+                pos += n_run
+                run_start = None
+            if row is not None:
+                if run_start is None:
+                    run_start = row
+                run_end = row
         mm.flush()
         del mm
-        os.replace(os.path.join(out, EMB_FILE) + ".tmp",
-                   os.path.join(out, EMB_FILE))
+        # staged commit: every artifact is written to a .tmp first and the
+        # renames happen together at the end (the cross-file inconsistency
+        # window shrinks to microseconds; each rename itself is atomic)
+        replaces = [(os.path.join(out, EMB_FILE) + ".tmp",
+                     os.path.join(out, EMB_FILE))]
         live_texts = [self.texts[i] for i in live]
 
         # preserve the original ids.tsv metadata columns for main rows
@@ -262,11 +288,11 @@ class HybridQueryEngine:
         ids_tmp = os.path.join(out, IDS_FILE) + ".tmp"
         write_tsv(ids_tmp, _id_rows(),
                   ["row", "chunk_id", "query_id", "document_id"])
-        os.replace(ids_tmp, os.path.join(out, IDS_FILE))
+        replaces.append((ids_tmp, os.path.join(out, IDS_FILE)))
         texts_tmp = os.path.join(out, TEXTS_FILE) + ".tmp"
         write_tsv(texts_tmp, ({"chunk_text": t} for t in live_texts),
                   ["chunk_text"])
-        os.replace(texts_tmp, os.path.join(out, TEXTS_FILE))
+        replaces.append((texts_tmp, os.path.join(out, TEXTS_FILE)))
         meta = {"rows": total, "dim": dim}
         old_meta_path = os.path.join(self._index_dir, _META)
         if os.path.exists(old_meta_path):
@@ -275,7 +301,7 @@ class HybridQueryEngine:
         meta_tmp = os.path.join(out, _META) + ".tmp"
         with open(meta_tmp, "w") as f:
             _json.dump(meta, f)
-        os.replace(meta_tmp, os.path.join(out, _META))
+        replaces.append((meta_tmp, os.path.join(out, _META)))
         self.bm25 = BM25Okapi(
             [tokenize(t) for t in live_texts],
             k1=self.cfg.bm25_k1, b=self.cfg.bm25_b,
@@ -284,7 +310,9 @@ class HybridQueryEngine:
         bm_tmp = os.path.join(out, BM25_FILE) + ".tmp"
         with open(bm_tmp, "wb") as f:
             pickle.dump(self.bm25, f)
-        os.replace(bm_tmp, os.path.join(out, BM25_FILE))
+        replaces.append((bm_tmp, os.path.join(out, BM25_FILE)))
+        for tmp, final in replaces:
+            os.replace(tmp, final)
         self.texts = live_texts
         self.index, self.chunk_ids = load_index(
             out, mesh=self.index._mesh, cfg=self.index.cfg
@@ -317,8 +345,12 @@ class HybridQueryEngine:
         depth = candidates or max(4 * k, 20)
         # tombstones: over-fetch so the post-filter candidate lists stay
         # full while tombstones are few (exact as long as n_dead fits the
-        # over-fetch; compact() resets it to zero)
-        fetch = depth + len(self._dead)
+        # over-fetch; compact() resets it to zero). The over-fetch is
+        # BUCKETED to 64s: k is jit-static in the dense kernel, so a raw
+        # depth+len(dead) would recompile on every tombstone-count change
+        fetch = depth
+        if self._dead:
+            fetch = depth + ((len(self._dead) + 63) // 64) * 64
         q_emb = self.encoder.encode(list(queries))
         dense = self.index.search(q_emb, k=min(fetch, self.index.size))
 
@@ -369,9 +401,12 @@ class HybridQueryEngine:
                 for r in range(len(dense.indices[qi]))
             ]
             if n_delta:
+                # entries beyond the delta's live count come back at
+                # NEG_INF (fixed-k search, index/delta.py) — drop them
                 dense_list += [
                     (float(delta_vals[qi][j]), base + int(delta_idx[qi][j]))
                     for j in range(delta_vals.shape[1])
+                    if delta_vals[qi][j] > -1e29
                 ]
                 dense_list.sort(key=lambda sr: (-sr[0], sr[1]))
             if self._dead:

@@ -64,8 +64,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         import shutil
         import tempfile
 
+        # the copy lives NEXT TO the original .so: the package dir is
+        # proven executable (the stale lib just loaded from it), whereas
+        # the system temp dir may be mounted noexec on hardened hosts
         tmp = tempfile.NamedTemporaryFile(
-            suffix=".so", prefix="semsearch_native_", delete=False
+            suffix=".so", prefix="semsearch_native_", dir=_DIR, delete=False
         )
         tmp.close()
         try:

@@ -112,12 +112,19 @@ def test_delta_index_growth_and_exactness():
     mat = np.concatenate(all_rows)
     q = rng.standard_normal((5, d)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # search returns a FIXED 64-bucketed width (jit-static k: adds must not
+    # recompile) with pad entries at NEG_INF; the top-k live entries lead
     vals, idx = di.search(q, k=4)
+    assert vals.shape[1] >= 4
+    assert (vals[:, : di.n] > -1e29).all()  # live entries are real scores
+    if vals.shape[1] > di.n:
+        assert (vals[:, di.n:] <= -1e29).all()  # pad is NEG_INF
     ref = q @ mat.T
     ref_idx = np.argsort(-ref, axis=1, kind="stable")[:, :4]
-    np.testing.assert_array_equal(idx, ref_idx)
+    np.testing.assert_array_equal(idx[:, :4], ref_idx)
     np.testing.assert_allclose(
-        vals, np.take_along_axis(ref, ref_idx, axis=1), rtol=1e-5, atol=1e-5
+        vals[:, :4], np.take_along_axis(ref, ref_idx, axis=1),
+        rtol=1e-5, atol=1e-5,
     )
 
 
