@@ -161,3 +161,74 @@ def test_remove_documents_and_compact(tmp_path, mesh8):
                                      mesh=mesh8)
     assert "c1" not in reloaded.chunk_ids
     assert len(reloaded.texts) == n0
+
+
+def test_randomized_delta_consistency(tmp_path, mesh8):
+    """Property test: an engine mutated through random add/remove/compact
+    steps returns the same hit sets as an engine BUILT from scratch over
+    the equivalent final corpus (delta merge, tombstones, frozen-stats
+    differences must never change WHICH documents surface on clear
+    queries)."""
+    rng = np.random.default_rng(3)
+    vocabs = [[f"topic{t}word{j}" for j in range(6)] for t in range(8)]
+
+    def make_text(t):
+        return " ".join(rng.choice(vocabs[t], size=8))
+
+    live: dict = {}
+    next_id = 0
+    rows = []
+    for t in range(4):
+        cid = f"c{next_id}"
+        next_id += 1
+        live[cid] = (t, make_text(t))
+        rows.append({"chunk_id": cid, "query_id": "", "document_id": cid,
+                     "chunk_text": live[cid][1]})
+    p = tmp_path / "chunks.tsv"
+    write_tsv(str(p), rows,
+              ["chunk_id", "query_id", "document_id", "chunk_text"])
+    enc = SentenceEncoder(TINY)
+    engine = HybridQueryEngine.build(str(p), enc, str(tmp_path / "idx"),
+                                     mesh=mesh8)
+
+    for step in range(6):
+        op = rng.choice(["add", "remove", "compact"])
+        if op == "add" or len(live) < 3:
+            t = int(rng.integers(8))
+            cid = f"c{next_id}"
+            next_id += 1
+            live[cid] = (t, make_text(t))
+            engine.add_documents([cid], [live[cid][1]])
+        elif op == "remove":
+            cid = str(rng.choice(sorted(live)))
+            del live[cid]
+            assert engine.remove_documents([cid]) == 1
+        else:
+            engine.compact()
+
+        # reference: an engine built fresh over the current live corpus
+        ref_rows = [
+            {"chunk_id": cid, "query_id": "", "document_id": cid,
+             "chunk_text": text}
+            for cid, (t, text) in sorted(live.items())
+        ]
+        rp = tmp_path / f"ref{step}.tsv"
+        write_tsv(str(rp), ref_rows,
+                  ["chunk_id", "query_id", "document_id", "chunk_text"])
+        ref = HybridQueryEngine.build(str(rp), enc,
+                                      str(tmp_path / f"ridx{step}"),
+                                      mesh=mesh8)
+        # one clear query per topic that has live docs: the topic's own
+        # vocabulary — top-1 must agree on the DOCUMENT it surfaces
+        by_topic: dict = {}
+        for cid, (t, text) in live.items():
+            by_topic.setdefault(t, []).append(cid)
+        for t, cids in sorted(by_topic.items()):
+            q = " ".join(vocabs[t][:3])
+            got = engine.search([q], k=1)[0][0].chunk_id
+            want = ref.search([q], k=1)[0][0].chunk_id
+            assert got in cids, (
+                f"step {step} topic {t}: mutated engine surfaced {got}, "
+                f"not a live doc of the topic"
+            )
+            assert want in cids
