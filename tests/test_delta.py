@@ -232,3 +232,37 @@ def test_randomized_delta_consistency(tmp_path, mesh8):
                 f"not a live doc of the topic"
             )
             assert want in cids
+
+
+def test_full_serve_stack_integration(tmp_path, mesh8):
+    """Everything at once on the 8-device mesh: sharded main index + delta
+    adds + tombstones + neural rerank of the merged candidates."""
+    from tests.test_query_engine import _train_tiny_reranker
+
+    engine = _build(tmp_path, mesh8)
+    from semanticsearch_tpu.data.tsv import read_tsv
+
+    corpus_texts = [r["chunk_text"]
+                    for r in read_tsv(str(tmp_path / "chunks.tsv"))]
+    _train_tiny_reranker(tmp_path / "ckpt", corpus_texts)
+    engine = HybridQueryEngine.load(
+        str(tmp_path / "idx"), engine.encoder, mesh=mesh8,
+        reranker_dir=str(tmp_path / "ckpt"),
+    )
+    engine.add_documents(["new0"], ["glacier meltwater feeds mountain lake"])
+    engine.remove_documents(["c0"])
+
+    hits = engine.search(
+        ["glacier meltwater feeds mountain lake", "fishing quota trawlers"],
+        k=4, rerank_top=3,
+    )
+    for qh in hits:
+        ids = [h.chunk_id for h in qh]
+        assert "c0" not in ids  # tombstone filtered everywhere
+        # rerank head annotated and sorted
+        head = [h for h in qh if h.rerank_score is not None]
+        assert len(head) == 3
+        scores = [h.rerank_score for h in head]
+        assert scores == sorted(scores, reverse=True)
+    # the delta doc is rerankable (its text exists) and findable
+    assert "new0" in [h.chunk_id for h in hits[0]]
