@@ -230,7 +230,7 @@ class BM25Okapi:
         queries_tokens: Sequence[Sequence[str]],
         k: int,
         n_threads: int = 1,
-        method: str = "unpruned",
+        method: str = "auto",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Serve-time batched top-k: (idx (Q,k) i64, scores (Q,k) f32).
 
@@ -248,17 +248,20 @@ class BM25Okapi:
 
         ``method``: "unpruned" streams every query-term posting (one
         multiply-add per entry on the precomputed quotients); "maxscore"
-        adds Turtle-Flood upper-bound pruning. MEASURED (tools/bench_bm25.py,
-        Zipf synthetic corpora): maxscore only breaks even or wins (~1.1x)
-        at small k with mixed rare+common terms, and LOSES up to 2x at
-        k>=100 on stopword-heavy queries — the DAAT merge overhead outweighs
-        the skipped postings — so unpruned is the default; real-text corpora
-        with longer documents may tip the balance, hence the option.
+        adds Turtle-Flood upper-bound pruning; "auto" (default) picks by
+        corpus size. MEASURED (tools/bench_bm25.py, Zipf synthetic
+        corpora, 1 thread): at <= 1-2M docs maxscore is a wash-to-loss
+        (0.5-1.1x — DAAT merge overhead vs short postings), at 10M docs it
+        WINS at every k (1.47x k=10, 1.39x k=40, 1.23x k=100 — stopword
+        postings are now long enough that skipping them pays), so auto
+        switches to maxscore at >= 4M docs.
         """
         k = min(k, self.n_docs)
         nq = len(queries_tokens)
         if nq == 0 or k == 0:
             return np.zeros((nq, k), np.int64), np.zeros((nq, k), np.float32)
+        if method == "auto":
+            method = "maxscore" if self.n_docs >= 4_000_000 else "unpruned"
         try:
             from ..native import bm25_topk_batch, bm25_topk_maxscore_batch
 

@@ -67,20 +67,25 @@ def main():
     bm.get_topk_batch(queries, args.k, n_threads=1, method="maxscore")
     maxscore_qps = args.queries / (time.perf_counter() - t0)
 
-    # full scan for comparison (single queries, few reps)
-    reps = min(10, args.queries)
-    t0 = time.perf_counter()
-    for q in queries[:reps]:
-        bm.get_scores(q)
-    scan_qps = reps / (time.perf_counter() - t0)
+    # full scan for comparison (single queries, few reps) — skipped at
+    # very large corpora: get_scores is a per-doc Python loop whose single
+    # rep would take minutes-to-hours at 10M docs
+    scan_qps = None
+    if args.docs <= 2_000_000:
+        reps = min(10, args.queries)
+        t0 = time.perf_counter()
+        for q in queries[:reps]:
+            bm.get_scores(q)
+        scan_qps = reps / (time.perf_counter() - t0)
 
     print(json.dumps({
         "metric": f"bm25_serve_topk_{args.docs}docs",
         "topk_qps": round(topk_qps, 1),
         "native_unpruned_qps_1thread": round(native_qps, 1),
         "native_maxscore_qps_1thread": round(maxscore_qps, 1),
-        "full_scan_qps": round(scan_qps, 2),
-        "speedup": round(topk_qps / max(scan_qps, 1e-9), 1),
+        "full_scan_qps": round(scan_qps, 2) if scan_qps else None,
+        "speedup": (round(topk_qps / max(scan_qps, 1e-9), 1)
+                    if scan_qps else None),
         "build_s": round(build_s, 1),
         "invert_s": round(invert_s, 1),
         "gen_s": round(gen_s, 1),
