@@ -116,10 +116,18 @@ class RankingConfig:
     bm25_b: float = 0.75
     bm25_epsilon: float = 0.25
     min_group_size: int = 2
-    bm25_threads: int = 4   # serve-time native top-k host threads. The
-    # default (unpruned) kernel allocates ~5 bytes/doc of scratch PER
-    # THREAD (~200MB at 4 threads on a 10M-chunk corpus) — lower this on
-    # memory-tight hosts; only the optional MaxScore kernel has O(k) scratch
+    bm25_threads: int = 0   # serve-time native top-k host threads; 0 = auto
+    # (min(4, os.cpu_count()), resolved at query time). The default
+    # (unpruned) kernel allocates ~5 bytes/doc of scratch PER THREAD
+    # (~200MB at 4 threads on a 10M-chunk corpus) — auto avoids paying that
+    # on single-core hosts; only the MaxScore kernel has O(k) scratch
+
+    def resolved_bm25_threads(self) -> int:
+        if self.bm25_threads > 0:
+            return self.bm25_threads
+        import os as _os
+
+        return min(4, _os.cpu_count() or 1)
 
 
 @dataclass(frozen=True)

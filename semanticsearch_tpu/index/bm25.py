@@ -14,6 +14,34 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
+from ..core.logging import get_logger
+
+logger = get_logger("bm25")
+
+# one-time flags so a broken native kernel is loud exactly once instead of
+# silently degrading every batch to the orders-of-magnitude-slower Python path
+_NATIVE_IMPORT_NOTED = False
+_NATIVE_FAIL_WARNED = False
+
+
+def _note_native_unavailable(exc: BaseException) -> None:
+    global _NATIVE_IMPORT_NOTED
+    if not _NATIVE_IMPORT_NOTED:
+        _NATIVE_IMPORT_NOTED = True
+        logger.info("native BM25 kernels unavailable (%s); using Python path",
+                    exc)
+
+
+def _warn_native_failure(exc: BaseException) -> None:
+    global _NATIVE_FAIL_WARNED
+    if not _NATIVE_FAIL_WARNED:
+        _NATIVE_FAIL_WARNED = True
+        logger.warning(
+            "native BM25 kernel FAILED (%r); falling back to the Python "
+            "path — serve throughput will drop by orders of magnitude",
+            exc,
+        )
+
 
 def tokenize(text: str) -> List[str]:
     """Reference tokenization: lowercase + whitespace split
@@ -264,7 +292,10 @@ class BM25Okapi:
             method = "maxscore" if self.n_docs >= 4_000_000 else "unpruned"
         try:
             from ..native import bm25_topk_batch, bm25_topk_maxscore_batch
-
+        except (ImportError, OSError) as exc:
+            _note_native_unavailable(exc)
+            bm25_topk_batch = None
+        if bm25_topk_batch is not None:
             self._ensure_inverted()
             q_ids: List[int] = []
             q_wts: List[float] = []
@@ -284,16 +315,18 @@ class BM25Okapi:
                 np.asarray(q_indptr, np.int64), np.asarray(q_ids, np.int64),
                 np.asarray(q_wts, np.float32), self.k1, k, n_threads,
             )
-            if method == "maxscore":
-                native = bm25_topk_maxscore_batch(
-                    *common, self._inv_ub, *tail
-                )
-            else:
-                native = bm25_topk_batch(*common, *tail)
+            try:
+                if method == "maxscore":
+                    native = bm25_topk_maxscore_batch(
+                        *common, self._inv_ub, *tail
+                    )
+                else:
+                    native = bm25_topk_batch(*common, *tail)
+            except Exception as exc:  # e.g. MemoryError at 10M docs
+                _warn_native_failure(exc)
+                native = None
             if native is not None:
                 return native
-        except Exception:
-            pass
         idx = np.zeros((nq, k), np.int64)
         scores = np.zeros((nq, k), np.float32)
         for qi, toks in enumerate(queries_tokens):
@@ -344,7 +377,10 @@ class BM25Okapi:
         # Native merge-join scorer (C++ via ctypes) when available.
         try:
             from ..native import bm25_score_batch
-
+        except (ImportError, OSError) as exc:
+            _note_native_unavailable(exc)
+            bm25_score_batch = None
+        if bm25_score_batch is not None:
             q_ids: List[int] = []
             q_wts: List[float] = []
             q_indptr = [0]
@@ -356,16 +392,19 @@ class BM25Okapi:
                     q_ids.append(tid)
                     q_wts.append(float(cnt[tid]))
                 q_indptr.append(len(q_ids))
-            native = bm25_score_batch(
-                self._indptr, self._indices, self._doc_quot,
-                self.idf.astype(np.float32),
-                np.asarray(q_indptr, np.int64), np.asarray(q_ids, np.int64),
-                np.asarray(q_wts, np.float32), self.k1,
-            )
+            try:
+                native = bm25_score_batch(
+                    self._indptr, self._indices, self._doc_quot,
+                    self.idf.astype(np.float32),
+                    np.asarray(q_indptr, np.int64),
+                    np.asarray(q_ids, np.int64),
+                    np.asarray(q_wts, np.float32), self.k1,
+                )
+            except Exception as exc:
+                _warn_native_failure(exc)
+                native = None
             if native is not None:
                 return native
-        except Exception:
-            pass
         # query term -> list of (query row, occurrence count) pairs;
         # multiplicity matches rank_bm25 (once per query occurrence).
         term_to_rows: Dict[int, List[Tuple[int, float]]] = {}

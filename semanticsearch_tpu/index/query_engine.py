@@ -224,22 +224,31 @@ class HybridQueryEngine:
             raise ValueError("compact requires the on-disk embedding layout")
         os.makedirs(out, exist_ok=True)
         dim = old_emb.shape[1]
-        # live rows survive; tombstones are dropped and rows renumber
-        live = [i for i in range(base + n_delta) if i not in self._dead]
-        total = len(live)
+        # live rows survive; tombstones are dropped and rows renumber.
+        # Computed as a numpy mask, never a Python int list: at the 10M-row
+        # north star a list of int objects costs hundreds of MB on a host
+        # doing an ONLINE compaction (ADVICE r2).
+        live_mask = np.ones(base + n_delta, dtype=bool)
+        if self._dead:
+            live_mask[np.fromiter(self._dead, dtype=np.int64)] = False
+        live = np.flatnonzero(live_mask)  # ascending int64 row ids
+        total = int(live.size)
         mm = np.lib.format.open_memmap(
             os.path.join(out, EMB_FILE) + ".tmp", mode="w+",
             dtype=np.float16, shape=(total, dim),
         )
         # copy CONTIGUOUS live runs as bulk slices (tombstones are sparse;
         # a per-row Python loop would be O(corpus) interpreter iterations
-        # at the 10M-row scale)
-        pos = 0
-        run_start = None
-        for row in live + [None]:
-            if run_start is not None and (
-                row is None or row != run_end + 1
-            ):
+        # at the 10M-row scale). Run boundaries fall where consecutive live
+        # ids differ by more than 1 — O(#tombstones + 1) runs total.
+        if total:
+            breaks = np.flatnonzero(np.diff(live) != 1) + 1
+            run_starts_i = np.concatenate([[0], breaks])
+            run_ends_i = np.concatenate([breaks, [total]])
+            pos = 0
+            for si, ei in zip(run_starts_i, run_ends_i):
+                run_start = int(live[si])
+                run_end = int(live[ei - 1])
                 n_run = run_end - run_start + 1
                 if run_end < base:
                     mm[pos: pos + n_run] = old_emb[run_start: run_end + 1]
@@ -254,11 +263,6 @@ class HybridQueryEngine:
                         : run_end + 1 - base
                     ].astype(np.float16)
                 pos += n_run
-                run_start = None
-            if row is not None:
-                if run_start is None:
-                    run_start = row
-                run_end = row
         mm.flush()
         del mm
         # staged commit: every artifact is written to a .tmp first and the
@@ -311,8 +315,23 @@ class HybridQueryEngine:
         with open(bm_tmp, "wb") as f:
             pickle.dump(self.bm25, f)
         replaces.append((bm_tmp, os.path.join(out, BM25_FILE)))
+        # Durability: fsync every staged file BEFORE any rename — a rename
+        # can persist ahead of its data on power loss, which would commit a
+        # truncated artifact — then fsync the directory so the rename batch
+        # itself is durable (ADVICE r2).
+        for tmp, _ in replaces:
+            fd = os.open(tmp, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
         for tmp, final in replaces:
             os.replace(tmp, final)
+        dfd = os.open(out, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         self.texts = live_texts
         self.index, self.chunk_ids = load_index(
             out, mesh=self.index._mesh, cfg=self.index.cfg
@@ -371,7 +390,8 @@ class HybridQueryEngine:
             # released); one call for the whole query batch
             bm_depth = min(fetch, self.index.size)
             bm_idx, bm_scores = self.bm25.get_topk_batch(
-                q_tokens, bm_depth, n_threads=self.cfg.bm25_threads,
+                q_tokens, bm_depth,
+                n_threads=self.cfg.resolved_bm25_threads(),
             )
             delta_lex = (
                 self._delta_bm25.score(q_tokens)

@@ -183,6 +183,8 @@ class RerankTrainer:
         opt_state = self.tx.init(params)
         start_epoch = 0
         resume_step_in_epoch = -1  # last completed step of start_epoch
+        step = 0
+        batch_size = cfg.batch_size
         if resume_from:
             from ..core.checkpoint import load_metadata, restore_checkpoint
 
@@ -202,10 +204,23 @@ class RerankTrainer:
                 resume_step_in_epoch = int(np.asarray(state["step_in_epoch"]))
             else:
                 start_epoch = int(np.asarray(state["epoch"])) + 1
+            # Restore the global step counter so post-resume periodic saves
+            # continue the step_N numbering instead of overwriting the
+            # original run's checkpoints, and the effective batch size (it
+            # may have been OOM-halved mid-run — the step-in-epoch cursor is
+            # only meaningful at the batch size that produced it).
+            step = int(meta.get("global_step", 0))
+            saved_bs = meta.get("batch_size")
+            if saved_bs is not None and int(saved_bs) != batch_size:
+                logger.warning(
+                    "resume: checkpoint was written at batch_size=%d "
+                    "(config says %d); using the checkpoint's so the "
+                    "step-in-epoch cursor skips the right batches",
+                    int(saved_bs), batch_size,
+                )
+                batch_size = int(saved_bs)
         history: List[Dict[str, float]] = []
         best: Dict[str, float] = {}
-        step = 0
-        batch_size = cfg.batch_size
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.perf_counter()
             losses = []
@@ -253,6 +268,8 @@ class RerankTrainer:
                                     "model": type(self.model).__name__,
                                     "epoch": epoch,
                                     "step_in_epoch": step_in_epoch,
+                                    "global_step": step,
+                                    "batch_size": batch_size,
                                 },
                                 async_save=True,
                             )
@@ -296,7 +313,9 @@ class RerankTrainer:
                 save_checkpoint(
                     os.path.join(checkpoint_dir, f"epoch_{epoch}"),
                     {"params": params, "opt_state": opt_state, "epoch": epoch},
-                    metadata={"model": type(self.model).__name__, "epoch": epoch},
+                    metadata={"model": type(self.model).__name__,
+                              "epoch": epoch, "global_step": step,
+                              "batch_size": batch_size},
                     async_save=True,
                 )
         if checkpoint_dir:
