@@ -201,16 +201,26 @@ class DeltaBM25:
             q_indptr.append(len(q_ids))
         try:
             from ..native import bm25_score_batch
+        except (ImportError, OSError) as exc:
+            from .bm25 import _note_native_unavailable
 
-            native = bm25_score_batch(
-                indptr, termids, quot, idf,
-                np.asarray(q_indptr, np.int64), np.asarray(q_ids, np.int64),
-                np.asarray(q_wts, np.float32), bm.k1,
-            )
+            _note_native_unavailable(exc)
+            bm25_score_batch = None
+        if bm25_score_batch is not None:
+            try:
+                native = bm25_score_batch(
+                    indptr, termids, quot, idf,
+                    np.asarray(q_indptr, np.int64),
+                    np.asarray(q_ids, np.int64),
+                    np.asarray(q_wts, np.float32), bm.k1,
+                )
+            except Exception as exc:
+                from .bm25 import _warn_native_failure
+
+                _warn_native_failure(exc)
+                native = None
             if native is not None:
                 return native
-        except Exception:
-            pass
         out = np.zeros((nq, nd), np.float32)
         k1p1 = np.float32(bm.k1 + 1.0)
         for qi, toks in enumerate(queries_tokens):

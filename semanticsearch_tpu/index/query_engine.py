@@ -29,6 +29,55 @@ logger = get_logger("query")
 
 BM25_FILE = "bm25.pkl"
 TEXTS_FILE = "texts.tsv"
+COMMIT_JOURNAL = "compact.commit.json"
+
+
+def _fsync_path(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def recover_staged_commit(index_dir: str) -> Optional[str]:
+    """Crash recovery for :meth:`HybridQueryEngine.compact`'s staged commit.
+
+    The commit protocol: (1) write every new artifact to ``<name>.tmp`` and
+    fsync it, (2) durably write the :data:`COMMIT_JOURNAL` listing the
+    renames — the commit POINT, (3) rename each tmp over its final name,
+    (4) fsync the directory and delete the journal. A crash anywhere leaves
+    one of two recoverable states: journal absent → the old artifact set is
+    intact (stray tmps are deleted); journal present → every pending rename
+    is rolled FORWARD (renames that already happened left no tmp, so the
+    roll-forward is idempotent). Called automatically by
+    :meth:`HybridQueryEngine.load`.
+
+    Returns "rolled_forward", "rolled_back", or None (clean directory).
+    """
+    journal_path = os.path.join(index_dir, COMMIT_JOURNAL)
+    if os.path.exists(journal_path):
+        with open(journal_path) as f:
+            pending = json.load(f)["replaces"]
+        for tmp, final in pending:
+            if os.path.exists(tmp):
+                os.replace(tmp, final)
+        _fsync_path(index_dir)
+        os.unlink(journal_path)
+        _fsync_path(index_dir)
+        logger.warning("recovered interrupted compact in %s: rolled the "
+                       "staged commit FORWARD (%d artifacts)",
+                       index_dir, len(pending))
+        return "rolled_forward"
+    stray = [n for n in os.listdir(index_dir) if n.endswith(".tmp")]
+    if stray:
+        for n in stray:
+            os.unlink(os.path.join(index_dir, n))
+        logger.warning("recovered interrupted compact in %s: rolled BACK "
+                       "(removed %d pre-commit tmp files)",
+                       index_dir, len(stray))
+        return "rolled_back"
+    return None
 
 
 @dataclass
@@ -128,6 +177,7 @@ class HybridQueryEngine:
         """``reranker_dir``: a trained checkpoint directory (as written by
         ``CVEvaluator.run_model`` / the ``train`` CLI) enabling the neural
         rerank stage of :meth:`search`."""
+        recover_staged_commit(index_dir)  # heal an interrupted compact()
         index, chunk_ids = load_index(index_dir, mesh=mesh, cfg=index_cfg)
         bm25 = None
         bm25_path = os.path.join(index_dir, BM25_FILE)
@@ -315,23 +365,27 @@ class HybridQueryEngine:
         with open(bm_tmp, "wb") as f:
             pickle.dump(self.bm25, f)
         replaces.append((bm_tmp, os.path.join(out, BM25_FILE)))
-        # Durability: fsync every staged file BEFORE any rename — a rename
-        # can persist ahead of its data on power loss, which would commit a
-        # truncated artifact — then fsync the directory so the rename batch
-        # itself is durable (ADVICE r2).
+        # Durability: fsync every staged file BEFORE the commit point — a
+        # rename can persist ahead of its data on power loss, which would
+        # commit a truncated artifact (ADVICE r2). Then write the commit
+        # journal (the atomic commit POINT: a crash after it rolls the
+        # renames forward at next load, a crash before it rolls back —
+        # :func:`recover_staged_commit`), rename, and clean up.
         for tmp, _ in replaces:
-            fd = os.open(tmp, os.O_RDONLY)
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
+            _fsync_path(tmp)
+        journal_path = os.path.join(out, COMMIT_JOURNAL)
+        journal_tmp = journal_path + ".tmp"  # .tmp: swept by rollback
+        with open(journal_tmp, "w") as f:
+            json.dump({"replaces": replaces}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(journal_tmp, journal_path)
+        _fsync_path(out)
         for tmp, final in replaces:
             os.replace(tmp, final)
-        dfd = os.open(out, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        _fsync_path(out)
+        os.unlink(journal_path)
+        _fsync_path(out)
         self.texts = live_texts
         self.index, self.chunk_ids = load_index(
             out, mesh=self.index._mesh, cfg=self.index.cfg
@@ -361,6 +415,8 @@ class HybridQueryEngine:
         engine to have been loaded with ``reranker_dir`` and the index to
         ship ``texts.tsv``.
         """
+        if not len(queries):
+            return []
         depth = candidates or max(4 * k, 20)
         # tombstones: over-fetch so the post-filter candidate lists stay
         # full while tombstones are few (exact as long as n_dead fits the

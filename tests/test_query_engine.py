@@ -125,3 +125,139 @@ def test_serve_time_rerank(tmp_path, mesh8):
     bare = HybridQueryEngine.load(str(tmp_path / "idx"), enc, mesh=mesh8)
     with pytest.raises(ValueError, match="no reranker"):
         bare.search(queries, k=3, rerank_top=2)
+
+
+# ------------------------------------------------------ serve-stack hardening
+
+def _build_engine(tmp_path, mesh8, name="idx"):
+    enc = SentenceEncoder(TINY)
+    engine = HybridQueryEngine.build(
+        _chunks(tmp_path), enc, str(tmp_path / name), mesh=mesh8)
+    return enc, engine
+
+
+class _CrashAt:
+    """os.replace wrapper that raises on the n-th call (1-based)."""
+
+    def __init__(self, n, real):
+        self.n = n
+        self.real = real
+        self.calls = 0
+
+    def __call__(self, src, dst):
+        self.calls += 1
+        if self.calls == self.n:
+            raise RuntimeError("simulated crash (kill -9) during compact")
+        return self.real(src, dst)
+
+
+def test_compact_crash_before_commit_rolls_back(tmp_path, mesh8, monkeypatch):
+    """A compact killed BEFORE the commit journal lands must leave the old
+    artifact set fully intact: load() rolls back (sweeps tmps) and serves
+    the pre-compact corpus."""
+    import os
+    import pytest
+    from semanticsearch_tpu.index import query_engine as qe
+
+    enc, engine = _build_engine(tmp_path, mesh8)
+    engine.add_documents(["c_new"], ["glaciers calve icebergs into the fjord"])
+    crash = _CrashAt(1, os.replace)  # call 1 = the journal rename
+    monkeypatch.setattr(qe.os, "replace", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        engine.compact()
+    monkeypatch.setattr(qe.os, "replace", crash.real)
+
+    idx_dir = str(tmp_path / "idx")
+    assert any(n.endswith(".tmp") for n in os.listdir(idx_dir))
+    fresh = HybridQueryEngine.load(idx_dir, enc, mesh=mesh8)
+    assert not any(n.endswith(".tmp") for n in os.listdir(idx_dir))
+    assert len(fresh.chunk_ids) == 6  # the delta add did NOT commit
+    hits = fresh.search(["fishing quota trawlers"], k=3)[0]
+    assert hits[0].chunk_id == "c1"
+
+
+def test_compact_crash_mid_rename_rolls_forward(tmp_path, mesh8, monkeypatch):
+    """A compact killed BETWEEN renames (journal durable, artifact set mixed)
+    must roll FORWARD at next load: the compacted corpus serves, nothing is
+    truncated or mixed."""
+    import os
+    import pytest
+    from semanticsearch_tpu.index import query_engine as qe
+
+    enc, engine = _build_engine(tmp_path, mesh8)
+    engine.add_documents(["c_new"], ["glaciers calve icebergs into the fjord"])
+    engine.remove_documents(["c0"])
+    # call 1 = journal commit, calls 2..6 = artifacts; crash after 2 landed
+    crash = _CrashAt(4, os.replace)
+    monkeypatch.setattr(qe.os, "replace", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        engine.compact()
+    monkeypatch.setattr(qe.os, "replace", crash.real)
+
+    idx_dir = str(tmp_path / "idx")
+    assert os.path.exists(os.path.join(idx_dir, qe.COMMIT_JOURNAL))
+    fresh = HybridQueryEngine.load(idx_dir, enc, mesh=mesh8)
+    assert not os.path.exists(os.path.join(idx_dir, qe.COMMIT_JOURNAL))
+    assert not any(n.endswith(".tmp") for n in os.listdir(idx_dir))
+    # compacted corpus: 6 - 1 tombstone + 1 delta add
+    assert len(fresh.chunk_ids) == 6
+    assert "c0" not in fresh.chunk_ids and "c_new" in fresh.chunk_ids
+    hits = fresh.search(["glaciers icebergs fjord"], k=2)[0]
+    assert hits[0].chunk_id == "c_new"
+    # texts stayed row-aligned through the recovery
+    assert fresh.texts[fresh.chunk_ids.index("c_new")].startswith("glaciers")
+
+
+def test_search_all_tombstoned(tmp_path, mesh8):
+    """Tombstoning every document yields empty result lists, not a crash."""
+    enc, engine = _build_engine(tmp_path, mesh8)
+    n = engine.remove_documents([f"c{i}" for i in range(6)])
+    assert n == 6
+    res = engine.search(["fishing quota trawlers", "bees"], k=3)
+    assert res == [[], []]
+
+
+def test_remove_documents_unknown_ids(tmp_path, mesh8):
+    enc, engine = _build_engine(tmp_path, mesh8)
+    assert engine.remove_documents(["nope", "also-nope"]) == 0
+    # removing the same id twice counts once
+    assert engine.remove_documents(["c2", "c2"]) == 1
+    assert engine.remove_documents(["c2"]) == 0
+
+
+def test_search_k_exceeds_corpus(tmp_path, mesh8):
+    """k and candidate depth beyond the corpus size clamp cleanly."""
+    enc, engine = _build_engine(tmp_path, mesh8)
+    res = engine.search(["solar electricity panels"], k=50)[0]
+    assert 0 < len(res) <= 6
+    assert res[0].chunk_id == "c2"
+
+
+def test_search_empty_query_batch(tmp_path, mesh8):
+    enc, engine = _build_engine(tmp_path, mesh8)
+    assert engine.search([], k=3) == []
+
+
+def test_rerank_top_exceeds_hit_count(tmp_path, mesh8):
+    """rerank_top larger than the number of fused hits reranks what exists."""
+    from semanticsearch_tpu.data.tsv import read_tsv
+
+    enc, engine = _build_engine(tmp_path, mesh8)
+    corpus_texts = [r["chunk_text"] for r in read_tsv(_chunks(tmp_path))]
+    _train_tiny_reranker(tmp_path / "ckpt", corpus_texts)
+    engine = HybridQueryEngine.load(
+        str(tmp_path / "idx"), enc, mesh=mesh8,
+        reranker_dir=str(tmp_path / "ckpt"))
+    res = engine.search(["fishing quota trawlers"], k=6, rerank_top=100)[0]
+    assert 0 < len(res) <= 6
+    assert all(h.rerank_score is not None for h in res)
+
+
+def test_search_after_remove_keeps_k_full(tmp_path, mesh8):
+    """Over-fetch: tombstoning docs must not shrink the result list while
+    live docs remain."""
+    enc, engine = _build_engine(tmp_path, mesh8)
+    engine.remove_documents(["c1", "c4"])
+    res = engine.search(["the water city station island"], k=4)[0]
+    assert len(res) == 4
+    assert {h.chunk_id for h in res}.isdisjoint({"c1", "c4"})
