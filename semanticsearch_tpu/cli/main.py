@@ -423,12 +423,19 @@ def cmd_train_encoder(args) -> int:
 
 
 def cmd_analyze(args) -> int:
-    from ..data.analyze import analyze_chunks, analyze_documents, save_report
+    from ..data.analyze import (analyze_and_compare, analyze_chunks,
+                                analyze_documents, save_report)
 
     if args.kind == "documents":
-        report = analyze_documents(args.input, limit=args.limit)
+        report = analyze_documents(
+            args.input[0], limit=args.limit,
+            per_row_output=args.per_row_output,
+        )
+    elif len(args.input) > 1:
+        # multi-config comparison (reference analyze_chunks.py:127-160)
+        report = analyze_and_compare(args.input, limit=args.limit)
     else:
-        report = analyze_chunks(args.input, limit=args.limit)
+        report = analyze_chunks(args.input[0], limit=args.limit)
     if args.output:
         save_report(report, args.output)
     print(json.dumps(report))
@@ -567,9 +574,12 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("analyze", help="corpus/chunk statistics")
     p.add_argument("kind", choices=["documents", "chunks"])
-    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-i", "--input", required=True, nargs="+",
+                   help="input TSV(s); several chunk files -> comparison")
     p.add_argument("-o", "--output")
     p.add_argument("--limit", type=int)
+    p.add_argument("--per-row-output",
+                   help="documents: write rows + word/sentence-count columns")
     p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("mapping", help="query_id -> query_text rewrite")

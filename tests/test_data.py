@@ -195,3 +195,103 @@ def test_analyzers(tmp_path):
     rep = analyze_chunks(str(c))
     assert rep["chunks"] == 3
     assert rep["duplicate_ratio"] == pytest.approx(1 / 3)
+
+
+def test_analyze_documents_distribution_and_per_row(tmp_path):
+    """Reference parity: exact sentence-count distribution, 9-way buckets
+    (analyze_document_lengths.py:171-215), per-row metrics TSV (:158-166)."""
+    from semanticsearch_tpu.data.analyze import analyze_documents
+
+    p = tmp_path / "corpus.tsv"
+    write_tsv(
+        str(p),
+        [
+            {"query_id": "q1", "query_text": "q", "document_id": "d1",
+             "document": "One sentence here. And another one follows.",
+             "label": "1"},
+            {"query_id": "q1", "query_text": "q", "document_id": "d2",
+             "document": "Short doc only here.", "label": "0"},
+            {"query_id": "q2", "query_text": "q", "document_id": "d3",
+             "document": "A. B. C. D. E. F. G.", "label": "1"},
+        ],
+        ["query_id", "query_text", "document_id", "document", "label"],
+    )
+    per_row = tmp_path / "per_row.tsv"
+    rep = analyze_documents(str(p), per_row_output=str(per_row))
+    dist = rep["sentence_count_distribution"]
+    assert sum(dist.values()) == 3
+    buckets = rep["sentence_count_buckets"]
+    assert sum(buckets.values()) == 3
+    assert set(buckets) == {"0", "1", "2", "3", "4-5", "6-10", "11-20",
+                            "21-50", "51+"}
+    lines = per_row.read_text().strip().split("\n")
+    header = lines[0].split("\t")
+    assert header[-3:] == ["word_count", "sentence_count",
+                           "avg_words_per_sentence"]
+    assert len(lines) == 4  # header + 3 rows
+    first = lines[1].split("\t")
+    assert first[-3] == "7"  # word count of d1
+
+
+def test_analyze_chunks_examples_and_compare(tmp_path):
+    """Reference parity: duplicate/longest examples + top tokens
+    (analyze_chunks.py:94-125) and the multi-config compare ranking
+    (analyze_chunks.py:127-142)."""
+    from semanticsearch_tpu.data.analyze import (analyze_and_compare,
+                                                 analyze_chunks,
+                                                 compare_chunk_outputs)
+
+    a = tmp_path / "a.tsv"
+    write_tsv(
+        str(a),
+        [
+            {"query_id": "q1", "document_id": "d1",
+             "chunk_text": "alpha beta gamma delta epsilon"},
+            {"query_id": "q1", "document_id": "d1", "chunk_text": "dup text"},
+            {"query_id": "q1", "document_id": "d2", "chunk_text": "dup text"},
+        ],
+        ["query_id", "document_id", "chunk_text"],
+    )
+    b = tmp_path / "b.tsv"
+    write_tsv(
+        str(b),
+        [{"query_id": "q1", "document_id": "d1", "chunk_text": "one two"}],
+        ["query_id", "document_id", "chunk_text"],
+    )
+    rep = analyze_chunks(str(a))
+    assert rep["documents"] == 2
+    assert rep["duplicates_count"] == 1
+    assert rep["top_duplicates_example"] == [["dup text", 2]]
+    assert rep["top_longest_chunks"][0]["words"] == 5
+    assert rep["top_longest_chunks"][0]["document_id"] == "d1"
+    assert ("dup", 2) in rep["top_tokens"]
+    assert rep["sentence_stats"]["count"] == 3
+
+    both = analyze_and_compare([str(a), str(b)])
+    ranked = both["comparison"]["ranking_by_avg_words"]
+    assert [r["file"] for r in ranked] == [str(a), str(b)]
+    assert ranked[0]["chunks"] == 3 and ranked[1]["chunks"] == 1
+    # fewer than two files: no comparison (reference behavior)
+    assert compare_chunk_outputs([rep]) == {}
+
+
+def test_cli_analyze_multi_file(tmp_path):
+    from semanticsearch_tpu.cli.main import main as cli_main
+
+    a = tmp_path / "a.tsv"
+    write_tsv(str(a), [{"query_id": "q", "document_id": "d",
+                        "chunk_text": "x y z"}],
+              ["query_id", "document_id", "chunk_text"])
+    b = tmp_path / "b.tsv"
+    write_tsv(str(b), [{"query_id": "q", "document_id": "d",
+                        "chunk_text": "x"}],
+              ["query_id", "document_id", "chunk_text"])
+    out = tmp_path / "rep.json"
+    rc = cli_main(["analyze", "chunks", "-i", str(a), str(b),
+                   "-o", str(out)])
+    assert rc == 0
+    import json as _json
+
+    rep = _json.loads(out.read_text())
+    assert len(rep["files"]) == 2
+    assert rep["comparison"]["ranking_by_avg_words"][0]["file"] == str(a)
