@@ -172,6 +172,13 @@ class TrainConfig:
     # L2-normalized GloVe-100 matrix, train_controller.py:564-581); None =
     # learned from scratch
     embedding_init_path: Optional[str] = None
+    # Right-length buckets — the TPU analog of MatchZoo's per-batch dynamic
+    # padding (reference train_controller.py:53-58): groups bin into the
+    # smallest bucket that fits their true right length, each bucket is one
+    # static compiled shape. () = always pad to fixed_length_right. Ignored
+    # (with a warning) for models whose parameters depend on the right
+    # length (ArcII).
+    length_buckets: tuple = ()
 
 
 @dataclass(frozen=True)

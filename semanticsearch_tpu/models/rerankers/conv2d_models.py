@@ -68,6 +68,11 @@ class MatchPyramid(nn.Module):
 
 @register_model("arcii")
 class ArcII(nn.Module):
+    # fixed-stride pools + flatten make the head's parameter count a
+    # function of the right length — ArcII cannot train with right-length
+    # bucketing (train/pairs.py length_buckets)
+    length_bucketable = False
+
     vocab_size: int
     embed_dim: int = 100
     kernel_1d_count: int = 32

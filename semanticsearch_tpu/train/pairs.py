@@ -37,6 +37,12 @@ class PairDataset:
             and any(self.labels[i] <= 0 for i in idxs)
         ]
 
+    def _right_lengths(self) -> np.ndarray:
+        """Per-row true right length (non-pad tokens; pad id = 0), cached."""
+        if not hasattr(self, "_rlen"):
+            self._rlen = (self.right != 0).sum(axis=1).astype(np.int32)
+        return self._rlen
+
     def iter_pair_batches(
         self,
         batch_size: int,
@@ -45,6 +51,7 @@ class PairDataset:
         seed: int = 0,
         epoch: int = 0,
         resample: bool = True,
+        length_buckets: Sequence[int] = (),
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Yield batches of pairwise groups.
 
@@ -54,6 +61,18 @@ class PairDataset:
         groups from the same epoch permutation (real pairs, so the gradient
         stays valid and static shapes hold). Dropping it silently ran ZERO
         steps whenever the dataset had fewer groups than batch_size.
+
+        ``length_buckets``: the TPU-idiomatic analog of MatchZoo's per-batch
+        dynamic padding (reference ``train_controller.py:53-58``). Groups are
+        binned by their max TRUE right length into the smallest bucket that
+        fits (e.g. (32, 64) with fixed_length_right=128 gives three static
+        shapes: 32, 64, 128); each batch's ``right`` is sliced to its bucket
+        width, so short pairs stop paying full-preset-length FLOPs. A
+        handful of compiled signatures replaces one; batch order interleaves
+        buckets deterministically in (seed, epoch). Only valid for models
+        whose parameters are length-independent (every reranker except
+        ArcII — see ``length_bucketable``); padding columns are masked, so
+        scores are unchanged vs the unsliced batch.
         """
         rng = np.random.default_rng(seed + (epoch if resample else 0))
         groups: List[List[int]] = []
@@ -69,19 +88,47 @@ class PairDataset:
             return
         order = rng.permutation(len(groups))
         group_w = 1 + num_neg
-        for s in range(0, len(order), batch_size):
-            chunk = order[s: s + batch_size]
-            if len(chunk) < batch_size:
-                # pad with wrap-around groups (repeats if fewer groups than
-                # the pad needs — np.resize cycles)
-                chunk = np.concatenate(
-                    [chunk, np.resize(order, batch_size - len(chunk))]
-                )
+        full_len = self.right.shape[1]
+        widths = sorted({min(b, full_len) for b in length_buckets
+                         if b > 0}) if length_buckets else []
+        if not widths or widths[-1] != full_len:
+            widths.append(full_len)
+
+        if len(widths) == 1:
+            buckets = {full_len: order}
+        else:
+            rlen = self._right_lengths()
+            # a group's width requirement = its longest right side
+            need = rlen[np.asarray(groups)[order]].max(axis=1)
+            bucket_of = np.searchsorted(widths, need)  # smallest fitting
+            buckets = {
+                w: order[bucket_of == wi] for wi, w in enumerate(widths)
+            }
+            buckets = {w: o for w, o in buckets.items() if o.size}
+
+        # emit batches bucket-round-robin so learning sees all widths
+        # interleaved rather than sorted-by-length curriculum
+        batch_plans: List = []
+        for w, bucket_order in buckets.items():
+            for s in range(0, len(bucket_order), batch_size):
+                chunk = bucket_order[s: s + batch_size]
+                if len(chunk) < batch_size:
+                    # pad with wrap-around groups FROM THE SAME BUCKET so
+                    # the slice width stays valid
+                    chunk = np.concatenate(
+                        [chunk, np.resize(bucket_order,
+                                          batch_size - len(chunk))]
+                    )
+                batch_plans.append((w, chunk))
+        if len(buckets) > 1:
+            batch_plans = [batch_plans[i]
+                           for i in rng.permutation(len(batch_plans))]
+        for w, chunk in batch_plans:
             sel = [groups[g] for g in chunk]
             rows = np.asarray(sel).reshape(-1)  # (B*group_w,)
             yield {
                 "left": self.left[rows],
-                "right": self.right[rows],
+                "right": self.right[rows, :w],
                 "labels": self.labels[rows].astype(np.float32),
                 "group_size": group_w,
             }

@@ -219,6 +219,14 @@ class RerankTrainer:
                     int(saved_bs), batch_size,
                 )
                 batch_size = int(saved_bs)
+        length_buckets = tuple(cfg.length_buckets or ())
+        if length_buckets and not getattr(self.model, "length_bucketable",
+                                          True):
+            logger.warning(
+                "%s has length-dependent parameters; ignoring "
+                "length_buckets=%s", type(self.model).__name__, length_buckets,
+            )
+            length_buckets = ()
         history: List[Dict[str, float]] = []
         best: Dict[str, float] = {}
         for epoch in range(start_epoch, cfg.epochs):
@@ -243,6 +251,7 @@ class RerankTrainer:
                             seed=cfg.seed,
                             epoch=epoch,
                             resample=True,
+                            length_buckets=length_buckets,
                         )
                     ):
                         if step_in_epoch <= skip_through:

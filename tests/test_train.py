@@ -204,3 +204,96 @@ def test_reranker_learns_lexical_overlap(model_name):
     result = trainer.fit(ds, test_ds=ds)
     final_map = result.history[-1]["map"]
     assert final_map > 0.75, f"{model_name} failed to learn: MAP={final_map}"
+
+
+def test_length_bucketed_pair_batches():
+    """Bucketing: every batch's right width is a declared bucket, slicing
+    drops only padding, and the same pairs train as unbucketed."""
+    rng = np.random.default_rng(0)
+    n_q, per_q, R = 12, 6, 64
+    n = n_q * per_q
+    rlen = rng.integers(4, R + 1, size=n)
+    right = np.zeros((n, R), np.int32)
+    for i, ln in enumerate(rlen):
+        right[i, :ln] = rng.integers(2, 100, size=ln)
+    left = rng.integers(2, 100, size=(n, 8)).astype(np.int32)
+    labels = np.tile([1.0, 1.0] + [0.0] * (per_q - 2), n_q)
+    qids = np.repeat(np.arange(n_q), per_q)
+    ds = PairDataset(left=left, right=right, labels=labels, query_ids=qids)
+
+    buckets = (16, 32)
+    widths_seen = set()
+    rows_bucketed = []
+    for batch in ds.iter_pair_batches(4, num_neg=1, seed=7, epoch=0,
+                                      length_buckets=buckets):
+        w = batch["right"].shape[1]
+        widths_seen.add(w)
+        assert w in {16, 32, 64}
+        # nothing real was cut: each row's true length fits the width
+        assert ((batch["right"] != 0).sum(1) <= w).all()
+        rows_bucketed.append(batch)
+    assert len(widths_seen) > 1  # the length mix actually split
+
+    # same (seed, epoch) unbucketed epoch trains the same number of groups
+    n_groups_plain = sum(
+        batch["left"].shape[0]
+        for batch in ds.iter_pair_batches(4, num_neg=1, seed=7, epoch=0)
+    )
+    n_groups_bucket = sum(b["left"].shape[0] for b in rows_bucketed)
+    # wrap-around padding differs per bucket, so totals may differ by < one
+    # batch per bucket
+    assert abs(n_groups_bucket - n_groups_plain) <= 4 * 2 * len(buckets)
+
+
+def test_bucketed_scores_match_unbucketed():
+    """For a length-independent model (KNRM) the sliced right batch scores
+    identically: the dropped columns are pure masked padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from semanticsearch_tpu.models.rerankers import make_model
+
+    rng = np.random.default_rng(1)
+    model = make_model("knrm", vocab_size=50, embed_dim=8)
+    B, R = 4, 32
+    right = np.zeros((B, R), np.int32)
+    for i in range(B):
+        right[i, : 6 + i] = rng.integers(2, 50, size=6 + i)
+    left = rng.integers(2, 50, size=(B, 8)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(left),
+                        jnp.asarray(right))["params"]
+    full = model.apply({"params": params}, jnp.asarray(left),
+                       jnp.asarray(right))
+    sliced = model.apply({"params": params}, jnp.asarray(left),
+                         jnp.asarray(right[:, :16]))
+    np.testing.assert_allclose(np.asarray(full), np.asarray(sliced),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_with_length_buckets_learns(tmp_path):
+    """End-to-end: bucketed training runs and the loss drops; ArcII ignores
+    buckets with a warning instead of crashing on mismatched params."""
+    ds = _toy_dataset(seed=3)
+    cfg = TrainConfig(model="knrm", epochs=3, batch_size=4, num_neg=1,
+                      embedding_dim=16, length_buckets=(8, 16))
+    trainer = RerankTrainer("knrm", vocab_size=120, cfg=cfg)
+    res = trainer.fit(ds)
+    assert res.history[-1]["loss"] < res.history[0]["loss"]
+
+    # ArcII (length-dependent params): buckets must be IGNORED, not applied
+    # (a sliced batch would shape-mismatch its flatten->Dense head). Needs
+    # lengths that survive its two 3x3 pools.
+    rng = np.random.default_rng(5)
+    n_q, per_q = 4, 4
+    n = n_q * per_q
+    ds2 = PairDataset(
+        left=rng.integers(2, 120, size=(n, 12)).astype(np.int32),
+        right=rng.integers(2, 120, size=(n, 36)).astype(np.int32),
+        labels=np.tile([1.0, 1.0, 0.0, 0.0], n_q).astype(np.float32),
+        query_ids=np.repeat(np.arange(n_q), per_q),
+    )
+    cfg2 = TrainConfig(model="arcii", epochs=1, batch_size=4, num_neg=1,
+                       embedding_dim=16, length_buckets=(9, 18))
+    trainer2 = RerankTrainer("arcii", vocab_size=120, cfg=cfg2)
+    res2 = trainer2.fit(ds2)  # must not crash: buckets ignored for ArcII
+    assert np.isfinite(res2.history[-1]["loss"])
