@@ -43,6 +43,9 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--encoder-ckpt",
                    help="load trained encoder weights (see train-encoder) "
                         "instead of random init")
+    p.add_argument("--tokenizer",
+                   help="trained subword tokenizer.json (see "
+                        "train-tokenizer); default = hashing tokenizer")
 
 
 def _make_encoder(cfg: Config, args):
@@ -55,7 +58,18 @@ def _make_encoder(cfg: Config, args):
         return load_encoder(args.encoder_ckpt)
     from ..models.encoder import SentenceEncoder
 
-    return SentenceEncoder(cfg.encoder)
+    tokenizer = None
+    tok_path = getattr(args, "tokenizer", None)
+    if tok_path:
+        from ..models.tokenizer import load_tokenizer
+
+        tokenizer = load_tokenizer(tok_path, max_len=cfg.encoder.max_len)
+        import dataclasses as _dc
+
+        # the embedding table must cover the trained vocabulary
+        cfg = _dc.replace(cfg, encoder=_dc.replace(
+            cfg.encoder, vocab_size=tokenizer.vocab_size))
+    return SentenceEncoder(cfg.encoder, tokenizer=tokenizer)
 
 
 def cmd_integrate(args) -> int:
@@ -389,6 +403,31 @@ def cmd_evaluate(args) -> int:
     return 0 if results else 1
 
 
+def cmd_train_tokenizer(args) -> int:
+    """Corpus-fit BPE subword vocabulary (models/subword.py) — the
+    zero-egress stand-in for the reference's pretrained WordPiece
+    (``Tool/Sentence_Embedding.py:75-150``)."""
+    from ..data.tsv import read_tsv
+    from ..models.subword import train_bpe
+
+    def _texts():
+        for row in read_tsv(args.input, limit=args.limit):
+            t = row.get(args.column) or row.get("document") \
+                or row.get("chunk_text", "")
+            if t:
+                yield t
+
+    tok = train_bpe(_texts(), vocab_size=args.vocab_size,
+                    min_pair_freq=args.min_pair_freq, max_len=args.max_len)
+    tok.save(args.output)
+    print(json.dumps({
+        "output": args.output,
+        "vocab_size": tok.vocab_size,
+        "pieces": len(tok.vocab),
+    }))
+    return 0
+
+
 def cmd_train_encoder(args) -> int:
     from ..data.tsv import read_tsv
     from ..train.encoder_train import (
@@ -571,6 +610,19 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=3e-4)
     _add_config_args(p)
     p.set_defaults(fn=cmd_train_encoder)
+
+    p = sub.add_parser("train-tokenizer",
+                       help="fit a BPE subword vocabulary on a corpus")
+    p.add_argument("-i", "--input", required=True, help="corpus TSV")
+    p.add_argument("-o", "--output", required=True,
+                   help="output tokenizer.json")
+    p.add_argument("--column", default="document",
+                   help="text column (falls back to document/chunk_text)")
+    p.add_argument("--vocab-size", type=int, default=8192)
+    p.add_argument("--min-pair-freq", type=int, default=2)
+    p.add_argument("--max-len", type=int, default=256)
+    p.add_argument("--limit", type=int)
+    p.set_defaults(fn=cmd_train_tokenizer)
 
     p = sub.add_parser("analyze", help="corpus/chunk statistics")
     p.add_argument("kind", choices=["documents", "chunks"])

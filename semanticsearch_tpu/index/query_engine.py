@@ -29,6 +29,7 @@ logger = get_logger("query")
 
 BM25_FILE = "bm25.pkl"
 TEXTS_FILE = "texts.tsv"
+TOKENIZER_FILE = "tokenizer.json"
 COMMIT_JOURNAL = "compact.commit.json"
 
 
@@ -158,6 +159,10 @@ class HybridQueryEngine:
             os.path.join(output_dir, TEXTS_FILE),
             ({"chunk_text": t} for t in texts), ["chunk_text"],
         )
+        # a trained subword tokenizer is part of the index contract: queries
+        # must encode with the vocabulary the corpus was embedded under
+        if hasattr(encoder.tokenizer, "save"):
+            encoder.tokenizer.save(os.path.join(output_dir, TOKENIZER_FILE))
         index, chunk_ids = load_index(output_dir, mesh=mesh, cfg=index_cfg)
         engine = cls(index, chunk_ids, encoder, bm25=bm25, cfg=rank_cfg,
                      texts=texts)
@@ -178,6 +183,14 @@ class HybridQueryEngine:
         ``CVEvaluator.run_model`` / the ``train`` CLI) enabling the neural
         rerank stage of :meth:`search`."""
         recover_staged_commit(index_dir)  # heal an interrupted compact()
+        tok_path = os.path.join(index_dir, TOKENIZER_FILE)
+        if os.path.exists(tok_path):
+            # the index was built under this trained vocabulary — query
+            # encoding must match it, whatever tokenizer the caller's
+            # encoder instance carries
+            from ..models.subword import SubwordTokenizer
+
+            encoder.tokenizer = SubwordTokenizer.load(tok_path)
         index, chunk_ids = load_index(index_dir, mesh=mesh, cfg=index_cfg)
         bm25 = None
         bm25_path = os.path.join(index_dir, BM25_FILE)

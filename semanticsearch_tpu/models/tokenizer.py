@@ -86,7 +86,18 @@ def load_tokenizer(
     vocab_size: int = 30522,
     max_len: int = 256,
 ):
-    """Prefer a local HF tokenizer when one exists; fall back to hashing."""
+    """Resolve a tokenizer: a trained subword JSON (``.json`` path — see
+    ``models/subword.py``), a local HF tokenizer directory, or the hashing
+    fallback."""
+    if name_or_path and name_or_path.endswith(".json"):
+        import os
+
+        if os.path.exists(name_or_path):
+            from .subword import SubwordTokenizer
+
+            tok = SubwordTokenizer.load(name_or_path)
+            tok.max_len = max_len
+            return tok
     if name_or_path:
         try:
             from transformers import AutoTokenizer

@@ -21,7 +21,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-_ABI_VERSION = 5
+_ABI_VERSION = 6
 
 
 def ensure_built(quiet: bool = True, force: bool = False) -> bool:
@@ -85,6 +85,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.subword_tokenize_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.bm25_score_batch.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -146,6 +154,32 @@ def hash_tokenize_batch(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         _i64p(offsets), len(blobs), vocab_size, max_len, int(add_cls),
         _i32p(ids), _i32p(mask),
+    )
+    return ids, mask
+
+
+def subword_tokenize_batch(
+    texts, piece_tables, max_len: int, add_cls: bool
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native WordPiece greedy longest-match tokenizer; None if the library
+    is unavailable. ``piece_tables`` is ``SubwordTokenizer._native_tables()``:
+    (piece byte blob u8, piece offsets i64 (n+1), piece ids i32 (n))."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    blob, offsets, piece_ids = piece_tables
+    tblobs = [t.encode("utf-8") for t in texts]
+    toffsets = np.zeros(len(tblobs) + 1, np.int64)
+    np.cumsum([len(b) for b in tblobs], out=toffsets[1:])
+    tbuf = np.frombuffer(b"".join(tblobs) + b"\x00", dtype=np.uint8)
+    ids = np.zeros((len(tblobs), max_len), np.int32)
+    mask = np.zeros((len(tblobs), max_len), np.int32)
+    lib.subword_tokenize_batch(
+        tbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        _i64p(toffsets), len(tblobs),
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        _i64p(offsets), _i32p(piece_ids), len(piece_ids),
+        max_len, int(add_cls), _i32p(ids), _i32p(mask),
     )
     return ids, mask
 

@@ -511,6 +511,162 @@ void bm25_topk_maxscore_batch(
     for (auto& th : threads) th.join();
 }
 
-int32_t semsearch_native_abi_version() { return 5; }
+// ---------------------------------------------------------------------------
+// Subword (WordPiece greedy longest-match) tokenizer over a trained vocab.
+//
+// Contract matches models/subword.py::SubwordTokenizer.encode_batch
+// bit-for-bit: lowercase, words are maximal [a-z0-9] runs, each word
+// decomposes by greedy longest-match (window <= 20 chars) against the piece
+// table; continuation pieces carry a "##" prefix; a word with an unmatched
+// position becomes one UNK (id 2). CLS id 1 optionally prepended; pad 0.
+//
+// The piece table arrives flattened (blob + offsets + ids); an
+// open-addressing hash table over the piece bytes is built per call
+// (microseconds at 8-32k pieces vs millisecond-scale batch encodes).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PieceTable {
+    // open addressing, power-of-two capacity, empty slot = -1
+    std::vector<int64_t> slot_piece;  // index into offsets/ids
+    uint64_t mask;
+    const unsigned char* blob;
+    const int64_t* offsets;
+    const int32_t* ids;
+
+    static uint64_t hash_bytes(const unsigned char* d, int64_t len,
+                               uint64_t h = 0xCBF29CE484222325ULL) {
+        for (int64_t i = 0; i < len; ++i) {
+            h ^= (uint64_t)d[i];
+            h *= 0x100000001B3ULL;
+        }
+        return h;
+    }
+
+    void build(const unsigned char* blob_, const int64_t* offsets_,
+               const int32_t* ids_, int64_t n_pieces) {
+        blob = blob_;
+        offsets = offsets_;
+        ids = ids_;
+        uint64_t cap = 16;
+        while (cap < (uint64_t)n_pieces * 4) cap <<= 1;
+        mask = cap - 1;
+        slot_piece.assign(cap, -1);
+        for (int64_t p = 0; p < n_pieces; ++p) {
+            const int64_t len = offsets[p + 1] - offsets[p];
+            uint64_t s = hash_bytes(blob + offsets[p], len) & mask;
+            while (slot_piece[s] != -1) s = (s + 1) & mask;
+            slot_piece[s] = p;
+        }
+    }
+
+    // look up (##-prefix if cont) + word[b..e); -1 if absent
+    int32_t find(const unsigned char* word, int64_t b, int64_t e,
+                 bool cont) const {
+        static const unsigned char HH[2] = {'#', '#'};
+        uint64_t h = 0xCBF29CE484222325ULL;
+        if (cont) h = hash_bytes(HH, 2, h);
+        h = hash_bytes(word + b, e - b, h);
+        const int64_t want_len = (e - b) + (cont ? 2 : 0);
+        uint64_t s = h & mask;
+        while (slot_piece[s] != -1) {
+            const int64_t p = slot_piece[s];
+            const int64_t len = offsets[p + 1] - offsets[p];
+            if (len == want_len) {
+                const unsigned char* pb = blob + offsets[p];
+                bool eq = true;
+                if (cont) eq = pb[0] == '#' && pb[1] == '#';
+                if (eq && std::memcmp(pb + (cont ? 2 : 0), word + b,
+                                      (size_t)(e - b)) == 0)
+                    return ids[p];
+            }
+            s = (s + 1) & mask;
+        }
+        return -1;
+    }
+};
+
+constexpr int kMaxPieceChars = 20;  // models/subword.py::_MAX_PIECE_CHARS
+
+// emit a word's pieces into ids/mask at *pos; greedy longest-match
+inline void emit_word(const PieceTable& table, const unsigned char* buf,
+                      int blen, int32_t max_len, int32_t* ids, int32_t* mask,
+                      int32_t* pos) {
+    int32_t tmp[256];
+    int n_out = 0;
+    int64_t p = 0;
+    bool unk = false;
+    while (p < blen) {
+        int64_t e = std::min<int64_t>(blen, p + kMaxPieceChars);
+        int32_t id = -1;
+        for (; e > p; --e) {
+            id = table.find(buf, p, e, p > 0);
+            if (id >= 0) break;
+        }
+        if (id < 0) {
+            unk = true;
+            break;
+        }
+        if (n_out < (int)(sizeof(tmp) / sizeof(tmp[0]))) tmp[n_out++] = id;
+        p = e;
+    }
+    if (unk) {
+        tmp[0] = 2;  // UNK_ID
+        n_out = 1;
+    }
+    for (int i = 0; i < n_out && *pos < max_len; ++i) {
+        ids[*pos] = tmp[i];
+        mask[*pos] = 1;
+        ++(*pos);
+    }
+}
+
+}  // namespace
+
+void subword_tokenize_batch(
+    const unsigned char* texts,
+    const int64_t* text_offsets,
+    int64_t n_texts,
+    const unsigned char* piece_blob,
+    const int64_t* piece_offsets,
+    const int32_t* piece_ids,
+    int64_t n_pieces,
+    int32_t max_len,
+    int32_t add_cls,
+    int32_t* ids_out,
+    int32_t* mask_out) {
+    PieceTable table;
+    table.build(piece_blob, piece_offsets, piece_ids, n_pieces);
+    for (int64_t t = 0; t < n_texts; ++t) {
+        const unsigned char* s = texts + text_offsets[t];
+        const int64_t len = text_offsets[t + 1] - text_offsets[t];
+        int32_t* ids = ids_out + t * max_len;
+        int32_t* mask = mask_out + t * max_len;
+        std::memset(ids, 0, sizeof(int32_t) * max_len);
+        std::memset(mask, 0, sizeof(int32_t) * max_len);
+        int32_t pos = 0;
+        if (add_cls && pos < max_len) {
+            ids[pos] = 1;  // CLS_ID
+            mask[pos] = 1;
+            ++pos;
+        }
+        unsigned char buf[256];
+        int blen = 0;
+        for (int64_t i = 0; i <= len && pos < max_len; ++i) {
+            unsigned char c = (i < len) ? s[i] : (unsigned char)' ';
+            if (c >= 'A' && c <= 'Z') c = (unsigned char)(c - 'A' + 'a');
+            const bool ok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9');
+            if (ok) {
+                if (blen < (int)sizeof(buf)) buf[blen++] = c;
+            } else if (blen > 0) {
+                emit_word(table, buf, blen, max_len, ids, mask, &pos);
+                blen = 0;
+            }
+        }
+    }
+}
+
+int32_t semsearch_native_abi_version() { return 6; }
 
 }  // extern "C"

@@ -22,6 +22,7 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -255,17 +256,25 @@ class ContrastiveEncoderTrainer:
 
 def save_encoder(encoder: SentenceEncoder, path: str) -> str:
     """Persist encoder params + config (the local-pretrained-weights path the
-    reference gets for free from the HF hub)."""
-    return save_checkpoint(
+    reference gets for free from the HF hub). A trained subword tokenizer
+    travels WITH the weights (``tokenizer.json``) — ids must be produced by
+    the exact vocabulary the embedding table was trained against, the same
+    coupling sentence-transformers ships (``Tool/Sentence_Embedding.py:
+    75-150``)."""
+    out = save_checkpoint(
         path,
         {"params": encoder.params},
         metadata={"encoder_config": dataclasses.asdict(encoder.cfg),
                   "kind": "sentence_encoder"},
     )
+    if hasattr(encoder.tokenizer, "save"):
+        encoder.tokenizer.save(os.path.join(path, "tokenizer.json"))
+    return out
 
 
 def load_encoder(path: str, mesh=None) -> SentenceEncoder:
-    """Load a SentenceEncoder saved by :func:`save_encoder`."""
+    """Load a SentenceEncoder saved by :func:`save_encoder` (including its
+    persisted subword tokenizer, when one was trained)."""
     from ..core.checkpoint import load_metadata, restore_checkpoint
     from ..core.config import EncoderConfig
 
@@ -274,6 +283,13 @@ def load_encoder(path: str, mesh=None) -> SentenceEncoder:
     if not cfg_dict:
         raise FileNotFoundError(f"no encoder metadata at {path}")
     cfg = EncoderConfig(**cfg_dict)
-    template = SentenceEncoder(cfg, seed=0)
+    tokenizer = None
+    tok_path = os.path.join(path, "tokenizer.json")
+    if os.path.exists(tok_path):
+        from ..models.subword import SubwordTokenizer
+
+        tokenizer = SubwordTokenizer.load(tok_path)
+    template = SentenceEncoder(cfg, seed=0, tokenizer=tokenizer)
     params = restore_checkpoint(path, {"params": template.params})["params"]
-    return SentenceEncoder(cfg, mesh=mesh, params=params)
+    return SentenceEncoder(cfg, mesh=mesh, params=params,
+                           tokenizer=tokenizer)
