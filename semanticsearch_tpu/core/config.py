@@ -122,6 +122,13 @@ class RankingConfig:
     # (~200MB at 4 threads on a 10M-chunk corpus) — auto avoids paying that
     # on single-core hosts; only the MaxScore kernel has O(k) scratch
 
+    # Device-resident lexical leg (index/bm25_tpu.py): score the frequent
+    # terms' dense int8 contribution matrix on the TPU MXU, keep rare-term
+    # postings + exact certification on the host. False = host C++ kernels.
+    lexical_device: bool = False
+    lexical_dense_terms: int = 4096  # dense matrix budget B (HBM: B*D int8)
+    lexical_topk_device: int = 64    # candidates fetched per query (K')
+
     def resolved_bm25_threads(self) -> int:
         if self.bm25_threads > 0:
             return self.bm25_threads

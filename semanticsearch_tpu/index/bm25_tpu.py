@@ -1,0 +1,316 @@
+"""Device-resident BM25 top-k: the lexical serve leg on the TPU's MXU.
+
+The reference scores BM25 with rank_bm25 full scans on the host
+(``Tool/rank_chunks_optimized.py:219-222``); this build's host C++ posting
+kernels (``native/semsearch_native.cpp``) made that ~3000x faster per core —
+but a serve host has few cores while every other leg of the query path rides
+the chip (BASELINE.md r2: at a 1M-chunk index the BM25 leg is 6.1s/1024
+queries on the one-core dev host vs 166ms for the dense leg). This module
+moves the DOMINANT share of lexical scoring onto the TPU.
+
+DESIGN — frequency-split exact scoring:
+
+- Build time: the top-``n_dense_terms`` vocabulary terms by document
+  frequency become a DENSE int8 contribution matrix ``C`` (B, D):
+  ``C[t, d] = round(contrib[t, d] / s_t)`` with per-term scale
+  ``s_t = max_d |contrib| / 127``, where ``contrib = idf * (k1+1) * quot``
+  is exactly the quantity the host kernels accumulate
+  (``index/bm25.py::_ensure_doc_quot``). These are precisely the
+  stopword-class terms whose long postings dominate host cost; under Zipf
+  they carry ~90%+ of posting mass while the dense layout stays a few GB
+  (4 GB at B=4096 over 1M docs; the 10M north star shards document columns
+  across chips, 5 GB/chip on v5e-8).
+- Query time: per-term scales FOLD INTO THE QUERY WEIGHTS, so the frequent
+  part of every score is one bf16 matmul ``S = Wq @ C`` on the MXU
+  (Q x B @ B x D) with an in-jit exact ``top_k`` and a gather of ``S`` at
+  every rare-touched (query, doc) pair. RARE query terms (df below the
+  cutoff) keep their short postings on the host — per-query cost is a few
+  thousand entries, the regime where posting traversal is already cheap.
+- EXACTNESS: the int8+bf16 matmul is approximate, but its error is bounded
+  per query: ``err_ub = 0.5 * sum_t w_qt * s_t`` (int8 rounding) plus a
+  bf16 rounding allowance. Per query, the candidate set = device top-K'
+  UNION all rare-touched docs, each with an upper bound
+  ``approx + exact_rare + err_ub``; the best candidates are rescored
+  EXACTLY against the host inverted index (vectorized, same f32 op order
+  as ``BM25Okapi.get_topk`` so ties land identically), and a certificate
+  checks that no non-candidate can beat the exact k-th score
+  (their true score is at most ``v_K' + err_ub``). Certified queries are
+  PROVABLY equal to ``BM25Okapi.get_topk`` — same scores, same low-doc-id
+  tie policy. Uncertified ones (and degenerate cases: fewer than k
+  positive matches, epsilon-floored negative idf) fall back to the host
+  kernel for that query, so the output is ALWAYS exact; ``stats`` reports
+  the certificate rate.
+"""
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.logging import get_logger
+from .bm25 import BM25Okapi
+
+logger = get_logger("bm25_tpu")
+
+_PAIR_BUCKETS = (16384, 262144, 2097152)  # static gather sizes (jit shapes)
+
+
+class DeviceBM25:
+    """Exact BM25 top-k with the frequent-term scoring on the TPU.
+
+    ``n_dense_terms``: dense-matrix vocabulary budget B (top df-ranked
+    terms). ``topk_device``: K' candidates fetched per query.
+    """
+
+    def __init__(
+        self,
+        bm25: BM25Okapi,
+        n_dense_terms: int = 4096,
+        topk_device: int = 64,
+        query_chunk: int = 1024,
+    ) -> None:
+        self.bm = bm25
+        self.topk_device = max(1, min(int(topk_device), bm25.n_docs))
+        self.query_chunk = int(query_chunk)
+        bm25._ensure_inverted()
+        n_vocab = len(bm25.vocab)
+        self.n_docs = bm25.n_docs
+        df = np.diff(bm25._inv_indptr)
+        B = max(1, min(int(n_dense_terms), n_vocab))
+        # top-B terms by df (ties: lower term id) — the long postings
+        order = np.lexsort((np.arange(n_vocab), -df))
+        self.dense_terms = np.sort(order[:B]).astype(np.int64)
+        self.B = B
+        # term id -> dense row (-1 = rare, postings stay on host)
+        self.term_row = np.full(n_vocab, -1, np.int64)
+        self.term_row[self.dense_terms] = np.arange(B)
+
+        contrib_base = (bm25.idf * (bm25.k1 + 1.0)).astype(np.float32)
+        self.scale = np.zeros(B, np.float32)
+        C = np.zeros((B, self.n_docs), np.int8)
+        for row, t in enumerate(self.dense_terms):
+            s, e = bm25._inv_indptr[t], bm25._inv_indptr[t + 1]
+            contrib = contrib_base[t] * bm25._inv_quot[s:e]
+            amax = float(np.max(np.abs(contrib))) if e > s else 0.0
+            if amax == 0.0:
+                continue
+            sc = amax / 127.0
+            self.scale[row] = sc
+            C[row, bm25._inv_docs[s:e]] = np.clip(
+                np.rint(contrib / sc), -127, 127
+            ).astype(np.int8)
+        self._upload(C)
+        self.stats: Dict[str, int] = {
+            "queries": 0, "fallbacks": 0, "rescore_expansions": 0,
+        }
+
+    # ------------------------------------------------------------------ jit
+    def _upload(self, C: np.ndarray) -> None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        self._C = jax.device_put(C)
+
+        @functools.partial(jax.jit, static_argnames=("kp",))
+        def run(Wq, C, pair_q, pair_d, kp):
+            S = jnp.einsum(
+                "qb,bd->qd", Wq.astype(jnp.bfloat16),
+                C.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            vals, idx = jax.lax.top_k(S, kp)
+            return vals, idx, S[pair_q, pair_d]
+
+        self._run = run
+
+    # --------------------------------------------------------------- helpers
+    def _split_query(self, tokens: Sequence[str]):
+        """(dense_rows, dense_w, rare_tids, rare_w) for one query."""
+        cnt = Counter(t for t in tokens if t in self.bm.vocab)
+        dense_rows: List[int] = []
+        dense_w: List[float] = []
+        rare_t: List[int] = []
+        rare_w: List[float] = []
+        for tok, c in cnt.items():
+            tid = self.bm.vocab[tok]
+            row = self.term_row[tid]
+            if row >= 0:
+                dense_rows.append(int(row))
+                dense_w.append(float(c))
+            else:
+                rare_t.append(int(tid))
+                rare_w.append(float(c))
+        return dense_rows, dense_w, rare_t, rare_w
+
+    def _rare_touched(self, rare_t, rare_w):
+        """Exact rare-part scores: (docs asc, scores) touched by rare terms."""
+        bm = self.bm
+        if not rare_t:
+            return (np.zeros(0, np.int64), np.zeros(0, np.float32))
+        docs_parts, contrib_parts = [], []
+        for t, w in zip(rare_t, rare_w):
+            s, e = bm._inv_indptr[t], bm._inv_indptr[t + 1]
+            docs_parts.append(bm._inv_docs[s:e])
+            contrib_parts.append(
+                ((w * bm.idf[t]) * np.float32(bm.k1 + 1.0))
+                * bm._inv_quot[s:e]
+            )
+        docs = np.concatenate(docs_parts)
+        contrib = np.concatenate(contrib_parts)
+        udocs, inv = np.unique(docs, return_inverse=True)
+        acc = np.zeros(udocs.size, np.float32)
+        np.add.at(acc, inv, contrib)
+        return udocs.astype(np.int64), acc
+
+    def _exact_scores(self, q_tids: np.ndarray, q_w: np.ndarray,
+                      docs: np.ndarray) -> np.ndarray:
+        """Exact BM25 of one query against chosen docs, accumulated in
+        ascending-term order with the same factored f32 ops as
+        ``BM25Okapi.get_topk`` — boundary ties order bit-identically."""
+        bm = self.bm
+        out = np.zeros(docs.size, np.float32)
+        k1p1 = np.float32(bm.k1 + 1.0)
+        order = np.argsort(q_tids)
+        for j in order:
+            t = int(q_tids[j])
+            s, e = int(bm._inv_indptr[t]), int(bm._inv_indptr[t + 1])
+            if s == e:
+                continue
+            seg = bm._inv_docs[s:e]  # ascending doc ids within a term
+            pos = np.searchsorted(seg, docs)
+            pos_c = np.minimum(pos, seg.size - 1)
+            hit = seg[pos_c] == docs
+            hit &= pos < seg.size
+            if hit.any():
+                out[hit] += ((q_w[j] * bm.idf[t]) * k1p1) \
+                    * bm._inv_quot[s:e][pos_c[hit]]
+        return out
+
+    # ----------------------------------------------------------------- main
+    def get_topk_batch(
+        self, queries_tokens: Sequence[Sequence[str]], k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """EXACT batched top-k: (idx (Q,k) i64, scores (Q,k) f32), matching
+        ``BM25Okapi.get_topk`` (ties to lower doc id; lowest-id zero-score
+        fill when fewer than k docs match — via host fallback)."""
+        k_eff = min(k, self.n_docs)
+        nq = len(queries_tokens)
+        idx_out = np.zeros((nq, k_eff), np.int64)
+        sc_out = np.zeros((nq, k_eff), np.float32)
+        if nq == 0 or k_eff == 0:
+            return idx_out, sc_out
+        for start in range(0, nq, self.query_chunk):
+            qs = queries_tokens[start: start + self.query_chunk]
+            self._topk_chunk(qs, k_eff, idx_out[start:], sc_out[start:])
+        return idx_out, sc_out
+
+    def _topk_chunk(self, qs, k, idx_out, sc_out) -> None:
+        import jax.numpy as jnp
+
+        Q = len(qs)
+        Wq = np.zeros((self.query_chunk, self.B), np.float32)
+        splits = []
+        err_ubs = np.zeros(Q, np.float32)
+        pair_q_parts, pair_d_parts = [], []
+        touched_per_q: List[Tuple[np.ndarray, np.ndarray]] = []
+        for qi, toks in enumerate(qs):
+            dr, dw, rt, rw = self._split_query(toks)
+            splits.append((dr, dw, rt, rw))
+            if dr:
+                rows = np.asarray(dr, np.int64)
+                w = np.asarray(dw, np.float32)
+                # fold the int8 scale into the weight: S is directly the
+                # approximate frequent-part score
+                Wq[qi, rows] = w * self.scale[rows]
+                err_ubs[qi] = 0.5 * float(np.sum(w * self.scale[rows]))
+            r_docs, r_sc = self._rare_touched(rt, rw)
+            touched_per_q.append((r_docs, r_sc))
+            if r_docs.size:
+                pair_q_parts.append(np.full(r_docs.size, qi, np.int32))
+                pair_d_parts.append(r_docs.astype(np.int32))
+
+        pair_q = np.concatenate(pair_q_parts) if pair_q_parts else \
+            np.zeros(0, np.int32)
+        pair_d = np.concatenate(pair_d_parts) if pair_d_parts else \
+            np.zeros(0, np.int32)
+        P = next(b for b in _PAIR_BUCKETS if b >= pair_q.size) \
+            if pair_q.size <= _PAIR_BUCKETS[-1] else pair_q.size
+        pq_pad = np.zeros(P, np.int32)
+        pd_pad = np.zeros(P, np.int32)
+        pq_pad[: pair_q.size] = pair_q
+        pd_pad[: pair_d.size] = pair_d
+
+        vals, idx, s_pairs = self._run(
+            jnp.asarray(Wq), self._C, jnp.asarray(pq_pad),
+            jnp.asarray(pd_pad), self.topk_device,
+        )
+        vals = np.asarray(vals[:Q], np.float32)
+        idx = np.asarray(idx[:Q], np.int64)
+        s_pairs = np.asarray(s_pairs[: pair_q.size], np.float32)
+        self.stats["queries"] += Q
+
+        pair_off = 0
+        for qi, (dr, dw, rt, rw) in enumerate(splits):
+            r_docs, r_rare = touched_per_q[qi]
+            s_freq_touched = s_pairs[pair_off: pair_off + r_docs.size]
+            pair_off += r_docs.size
+            # bf16 matmul rounding allowance on top of int8 quantization
+            mag = float(np.abs(vals[qi, 0])) if self.B else 0.0
+            if r_docs.size:
+                mag = max(mag, float(np.max(np.abs(s_freq_touched))))
+            err_ub = float(err_ubs[qi]) + 0.008 * mag + 1e-5
+
+            # candidate pool: device top-K' + all rare-touched docs, each
+            # with approx total score (freq approx + exact rare part)
+            cand = np.concatenate([idx[qi], r_docs])
+            rare_of_topk = np.zeros(idx[qi].size, np.float32)
+            if r_docs.size:
+                pos = np.searchsorted(r_docs, idx[qi])
+                pos_c = np.minimum(pos, r_docs.size - 1)
+                hit = (pos < r_docs.size) & (r_docs[pos_c] == idx[qi])
+                rare_of_topk[hit] = r_rare[pos_c[hit]]
+            approx = np.concatenate(
+                [vals[qi] + rare_of_topk, s_freq_touched + r_rare])
+            cand, first = np.unique(cand, return_index=True)
+            approx = approx[first]
+            ub = approx + err_ub
+
+            q_tids = np.asarray(
+                [int(self.dense_terms[r]) for r in dr] + list(rt), np.int64)
+            q_w = np.asarray(list(dw) + list(rw), np.float32)
+
+            # any doc outside the pool: true score <= v_K' + err_ub
+            v_out = (float(vals[qi, -1]) + err_ub) \
+                if cand.size < self.n_docs else -np.inf
+
+            order = np.lexsort((cand, -ub))
+            n_rescore = min(cand.size, k + 8)
+            while True:
+                sel = order[:n_rescore]
+                exact = self._exact_scores(q_tids, q_w, cand[sel])
+                t_order = np.lexsort((cand[sel], -exact))
+                kth = float(exact[t_order[k - 1]]) if exact.size >= k \
+                    else -np.inf
+                rest = order[n_rescore:]
+                max_out = float(ub[rest].max()) if rest.size else -np.inf
+                max_out = max(max_out, v_out)
+                if max_out < kth or n_rescore >= cand.size:
+                    certified = max_out < kth
+                    break
+                n_rescore = min(cand.size, n_rescore * 2)
+                self.stats["rescore_expansions"] += 1
+
+            kth_val = float(exact[t_order[k - 1]]) if exact.size >= k else 0.0
+            if (not certified) or exact.size < k or kth_val <= 0.0:
+                # uncertified, under-filled, or zero/negative boundary
+                # (fill + epsilon-floor semantics): exact host answer
+                self.stats["fallbacks"] += 1
+                fi, fs = self.bm.get_topk(qs[qi], k)
+                idx_out[qi], sc_out[qi] = fi, fs
+                continue
+            top = t_order[:k]
+            idx_out[qi] = cand[order[:n_rescore]][top]
+            sc_out[qi] = exact[top]

@@ -119,6 +119,9 @@ class HybridQueryEngine:
         # tombstoned global rows (remove_documents): filtered at query time
         # with over-fetch, dropped physically at compact()
         self._dead: set = set()
+        # device-resident lexical leg, built lazily on first hybrid search
+        # when cfg.lexical_device (index/bm25_tpu.py)
+        self._device_bm25 = None
 
     # ------------------------------------------------------------- build/load
     @classmethod
@@ -406,6 +409,7 @@ class HybridQueryEngine:
         self._delta = None
         self._delta_bm25 = None
         self._dead = set()
+        self._device_bm25 = None  # stats changed: rebuild on next search
         self._index_dir = out
 
     # ------------------------------------------------------------------ query
@@ -455,13 +459,27 @@ class HybridQueryEngine:
         use_bm25 = hybrid and self.bm25 is not None
         if use_bm25:
             q_tokens = [tokenize(q) for q in queries]
-            # batched native top-k (threaded posting traversal, GIL
-            # released); one call for the whole query batch
             bm_depth = min(fetch, self.index.size)
-            bm_idx, bm_scores = self.bm25.get_topk_batch(
-                q_tokens, bm_depth,
-                n_threads=self.cfg.resolved_bm25_threads(),
-            )
+            if self.cfg.lexical_device:
+                if self._device_bm25 is None:
+                    from .bm25_tpu import DeviceBM25
+
+                    self._device_bm25 = DeviceBM25(
+                        self.bm25,
+                        n_dense_terms=self.cfg.lexical_dense_terms,
+                        topk_device=max(self.cfg.lexical_topk_device,
+                                        bm_depth),
+                    )
+                # exact MXU-path top-k (certified vs the host kernel)
+                bm_idx, bm_scores = self._device_bm25.get_topk_batch(
+                    q_tokens, bm_depth)
+            else:
+                # batched native top-k (threaded posting traversal, GIL
+                # released); one call for the whole query batch
+                bm_idx, bm_scores = self.bm25.get_topk_batch(
+                    q_tokens, bm_depth,
+                    n_threads=self.cfg.resolved_bm25_threads(),
+                )
             delta_lex = (
                 self._delta_bm25.score(q_tokens)
                 if n_delta and self._delta_bm25 is not None else None

@@ -1,0 +1,134 @@
+"""DeviceBM25: exactness of the MXU lexical leg vs the host kernel."""
+import numpy as np
+import pytest
+
+from semanticsearch_tpu.index.bm25 import BM25Okapi, tokenize
+from semanticsearch_tpu.index.bm25_tpu import DeviceBM25
+
+
+def _zipf_corpus(rng, n_docs, vocab=500, doc_len=(5, 40)):
+    """Zipf-ish synthetic corpus: realistic df skew so the freq/rare split
+    is exercised on both sides."""
+    words = [f"w{i}" for i in range(vocab)]
+    p = 1.0 / np.arange(1, vocab + 1)
+    p /= p.sum()
+    docs = []
+    for _ in range(n_docs):
+        ln = rng.integers(*doc_len)
+        docs.append(" ".join(rng.choice(words, size=ln, p=p)))
+    return docs
+
+
+def _queries(rng, docs, n_queries, terms=(2, 6)):
+    qs = []
+    for _ in range(n_queries):
+        src = docs[rng.integers(len(docs))].split()
+        n = min(len(src), rng.integers(*terms))
+        qs.append(" ".join(rng.choice(src, size=n)))
+    return qs
+
+
+@pytest.mark.parametrize("n_dense_terms", [8, 64, 10_000])
+def test_device_bm25_matches_host_exactly(n_dense_terms):
+    """Bit-exact parity with BM25Okapi.get_topk across dense budgets:
+    tiny B (most terms rare), mid B, and B >= vocab (all terms dense)."""
+    rng = np.random.default_rng(0)
+    docs = _zipf_corpus(rng, 400)
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    dev = DeviceBM25(bm, n_dense_terms=n_dense_terms, topk_device=16,
+                     query_chunk=32)
+    queries = _queries(rng, docs, 50)
+    q_toks = [tokenize(q) for q in queries]
+    k = 10
+    d_idx, d_sc = dev.get_topk_batch(q_toks, k)
+    for qi, toks in enumerate(q_toks):
+        h_idx, h_sc = bm.get_topk(toks, k)
+        np.testing.assert_array_equal(
+            d_idx[qi], h_idx,
+            err_msg=f"idx mismatch q={qi} B={n_dense_terms}")
+        np.testing.assert_array_equal(
+            d_sc[qi], h_sc,
+            err_msg=f"score mismatch q={qi} B={n_dense_terms}")
+    assert dev.stats["queries"] == len(queries)
+
+
+def test_device_bm25_edge_queries():
+    """Edge cases route correctly: OOV-only, empty, stopword-only,
+    fewer-matches-than-k (zero-score fill), single-doc corpus."""
+    rng = np.random.default_rng(1)
+    docs = _zipf_corpus(rng, 100)
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    dev = DeviceBM25(bm, n_dense_terms=32, topk_device=8, query_chunk=8)
+    q_toks = [
+        ["zzz", "not-in-vocab"],           # OOV only -> zero-fill
+        [],                                 # empty query
+        ["w0", "w0", "w1"],                # repeated stopword-class terms
+        tokenize(docs[7])[:1],             # single frequent term
+        ["w499"],                          # rarest tail term
+    ]
+    k = 12
+    d_idx, d_sc = dev.get_topk_batch(q_toks, k)
+    for qi, toks in enumerate(q_toks):
+        h_idx, h_sc = bm.get_topk(toks, k)
+        np.testing.assert_array_equal(d_idx[qi], h_idx, err_msg=f"q={qi}")
+        np.testing.assert_array_equal(d_sc[qi], h_sc, err_msg=f"q={qi}")
+
+
+def test_device_bm25_certificate_rate():
+    """The int8 error bound must certify nearly every query (fallbacks are
+    the exception, not the path)."""
+    rng = np.random.default_rng(2)
+    docs = _zipf_corpus(rng, 1000)
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    dev = DeviceBM25(bm, n_dense_terms=128, topk_device=32, query_chunk=64)
+    q_toks = [tokenize(q) for q in _queries(rng, docs, 200)]
+    dev.get_topk_batch(q_toks, 10)
+    frac_fallback = dev.stats["fallbacks"] / dev.stats["queries"]
+    assert frac_fallback < 0.2, dev.stats
+
+
+def test_device_bm25_query_chunking():
+    """Results are independent of the query_chunk partition."""
+    rng = np.random.default_rng(3)
+    docs = _zipf_corpus(rng, 150)
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    q_toks = [tokenize(q) for q in _queries(rng, docs, 30)]
+    a = DeviceBM25(bm, n_dense_terms=64, query_chunk=7).get_topk_batch(
+        q_toks, 5)
+    b = DeviceBM25(bm, n_dense_terms=64, query_chunk=30).get_topk_batch(
+        q_toks, 5)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_hybrid_engine_with_device_lexical(tmp_path, mesh8):
+    """HybridQueryEngine with cfg.lexical_device=True returns the same hits
+    as the host lexical path."""
+    from semanticsearch_tpu.core.config import EncoderConfig, RankingConfig
+    from semanticsearch_tpu.data.tsv import write_tsv
+    from semanticsearch_tpu.index.query_engine import HybridQueryEngine
+    from semanticsearch_tpu.models.encoder import SentenceEncoder
+
+    rng = np.random.default_rng(5)
+    docs = _zipf_corpus(rng, 40, vocab=120, doc_len=(5, 15))
+    rows = [{"chunk_id": f"c{i}", "query_id": "", "document_id": f"d{i}",
+             "chunk_text": t} for i, t in enumerate(docs)]
+    chunks = tmp_path / "chunks.tsv"
+    write_tsv(str(chunks), rows,
+              ["chunk_id", "query_id", "document_id", "chunk_text"])
+    enc = SentenceEncoder(EncoderConfig(
+        vocab_size=500, hidden_dim=32, num_layers=1, num_heads=2,
+        mlp_dim=64, max_len=32, dtype="float32"))
+    HybridQueryEngine.build(str(chunks), enc, str(tmp_path / "idx"),
+                            mesh=mesh8)
+    host = HybridQueryEngine.load(str(tmp_path / "idx"), enc, mesh=mesh8)
+    dev = HybridQueryEngine.load(
+        str(tmp_path / "idx"), enc, mesh=mesh8,
+        rank_cfg=RankingConfig(lexical_device=True, lexical_dense_terms=32))
+    queries = [" ".join(docs[i].split()[:3]) for i in (0, 7, 21)]
+    h_hits = host.search(queries, k=5)
+    d_hits = dev.search(queries, k=5)
+    assert [[h.chunk_id for h in hs] for hs in h_hits] == \
+        [[h.chunk_id for h in hs] for hs in d_hits]
+    assert dev._device_bm25 is not None
+    assert dev._device_bm25.stats["queries"] == 3

@@ -3,20 +3,28 @@
 Measures the quality half of BASELINE.md that kernel recall cannot show:
 ranking quality of (1) BM25-only, (2) dense retrieval with a RANDOM encoder,
 (3) dense retrieval with a CONTRASTIVELY TRAINED encoder, (4) hybrid
-cosine+BM25 RRF fusion, (5) hybrid + trained neural reranker (MatchPyramid by default) — the full
-reference pipeline shape (Tool/rank_chunks_optimized.py hybrid scoring +
-MatchZoo_Tool reranking), on a corpus where quality is attributable:
+cosine+BM25 RRF fusion, (5) hybrid + trained neural rerankers (any subset of
+the 7 model families) — the full reference pipeline shape
+(Tool/rank_chunks_optimized.py hybrid scoring + MatchZoo_Tool reranking,
+evaluate_models.py:545-593), on a corpus where quality is attributable:
 
 - every topic has lexical-overlap relevant docs (BM25 can find these),
   paraphrase relevant docs whose vocabulary is DISJOINT from the query
   (only learned semantics can find these), and lexical-trap distractors
   that contain query words but belong to other topics (BM25 false hits);
-- encoder + reranker train on a TRAIN query split, all metrics are on a
+- topic words appear in MORPHOLOGICAL INFLECTIONS (stem/-s/-ed/-ing):
+  eval queries use surface forms the training split never paired, so a
+  subword tokenizer that decomposes them to known stems (--tokenizer
+  subword, models/subword.py) is separable from the hashing tokenizer
+  that sends each form to an unrelated bucket;
+- encoder + rerankers train on a TRAIN query split, all metrics are on a
   held-out EVAL query split (new queries, new docs, same topics).
 
-Prints one JSON line per method and writes a markdown table for BASELINE.md.
+Prints one JSON line per run and writes a markdown table for BASELINE.md.
 
-Usage: python tools/eval_quality.py [--output /tmp/quality] [--seed 0]
+Usage:
+  python tools/eval_quality.py                       # quick (16 topics)
+  python tools/eval_quality.py --scale --rerankers all --tokenizer subword
 """
 from __future__ import annotations
 
@@ -34,45 +42,55 @@ import time
 
 import numpy as np
 
-
-N_TOPICS = 16
 FILLER = ("report describes several findings officials noted further review "
           "remains necessary according committee sources yesterday").split()
 
+SUFFIXES = ["", "s", "ed", "ing"]
 
-def _vocabs():
-    qv = [[f"query{t}term{j}" for j in range(5)] for t in range(N_TOPICS)]
-    dv = [[f"doc{t}word{j}" for j in range(8)] for t in range(N_TOPICS)]
+ALL_RERANKERS = ("knrm", "conv_knrm", "arcii", "match_pyramid", "esim",
+                 "match_lstm", "mvlstm")
+
+
+def _vocabs(n_topics):
+    qv = [[f"query{t}term{j}" for j in range(5)] for t in range(n_topics)]
+    dv = [[f"doc{t}word{j}" for j in range(8)] for t in range(n_topics)]
     return qv, dv
+
+
+def _inflect(rng, words):
+    """Sample surface forms: stem + one of -/-s/-ed/-ing per occurrence."""
+    return [w + SUFFIXES[rng.integers(len(SUFFIXES))] for w in words]
 
 
 def _text(rng, *word_pools, n=10):
     pool = [w for p in word_pools for w in p]
-    return " ".join(rng.choice(pool, size=n))
+    return " ".join(_inflect(rng, list(rng.choice(pool, size=n))))
 
 
-def build_split(seed, n_queries_per_topic, qv, dv):
+def build_split(seed, n_queries_per_topic, qv, dv, docs_per_class=3):
     """Queries + per-query relevant docs + shared distractors, with labels."""
+    n_topics = len(qv)
     rng = np.random.default_rng(seed)
     queries, q_topics = [], []
     docs, doc_topics, doc_kind = [], [], []
-    for t in range(N_TOPICS):
+    for t in range(n_topics):
         for _ in range(n_queries_per_topic):
-            queries.append(" ".join(rng.choice(qv[t], size=3)))
+            queries.append(
+                " ".join(_inflect(rng, list(rng.choice(qv[t], size=3)))))
             q_topics.append(t)
-        # relevant: 3 lexical (query vocab + doc vocab), 3 paraphrase-only
-        for _ in range(3):
+        # relevant: lexical (query vocab + doc vocab) and paraphrase-only
+        for _ in range(docs_per_class):
             docs.append(_text(rng, qv[t], dv[t], FILLER, n=12))
             doc_topics.append(t)
             doc_kind.append("lexical")
-        for _ in range(3):
+        for _ in range(docs_per_class):
             docs.append(_text(rng, dv[t], FILLER, n=12))
             doc_topics.append(t)
             doc_kind.append("paraphrase")
         # lexical traps: contain THIS topic's query words but are about
         # another topic (relevant to nobody asking about topic t)
-        for _ in range(3):
-            other = (t + 1 + rng.integers(N_TOPICS - 1)) % N_TOPICS
+        for _ in range(docs_per_class):
+            other = (t + 1 + rng.integers(n_topics - 1)) % n_topics
             docs.append(_text(rng, qv[t][:2], dv[other], FILLER, n=12))
             doc_topics.append(-1)
             doc_kind.append("trap")
@@ -105,10 +123,29 @@ def main():
     ap.add_argument("--output", default="/tmp/semsearch_quality")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=20)
-    ap.add_argument("--reranker", default="match_pyramid")
+    ap.add_argument("--topics", type=int, default=16)
+    ap.add_argument("--train-qpt", type=int, default=4,
+                    help="train queries per topic")
+    ap.add_argument("--eval-qpt", type=int, default=2,
+                    help="eval queries per topic")
+    ap.add_argument("--docs-per-class", type=int, default=3)
+    ap.add_argument("--scale", action="store_true",
+                    help="VERDICT-r2 scale: 200 topics, 500+ eval queries, "
+                         "2000+ docs (sets topics/eval-qpt/docs-per-class)")
+    ap.add_argument("--tokenizer", choices=["hash", "subword"],
+                    default="hash")
+    ap.add_argument("--vocab-size", type=int, default=4096,
+                    help="embedding-table budget, SAME for both tokenizers")
+    ap.add_argument("--rerankers", default="match_pyramid",
+                    help="comma list, 'all', or 'none'")
     ap.add_argument("--reranker-epochs", type=int, default=4)
     ap.add_argument("--rerank-top", type=int, default=20)
     args = ap.parse_args()
+    if args.scale:
+        args.topics = max(args.topics, 200)
+        args.eval_qpt = max(args.eval_qpt, 3)
+        args.docs_per_class = max(args.docs_per_class, 4)
+        args.epochs = min(args.epochs, 10)
     os.makedirs(args.output, exist_ok=True)
 
     import jax
@@ -126,14 +163,16 @@ def main():
     from semanticsearch_tpu.train.trainer import RerankTrainer
     from semanticsearch_tpu.train.vocab import Preprocessor
 
-    qv, dv = _vocabs()
-    train = build_split(args.seed, n_queries_per_topic=4, qv=qv, dv=dv)
-    evals = build_split(args.seed + 1000, n_queries_per_topic=2, qv=qv, dv=dv)
+    qv, dv = _vocabs(args.topics)
+    train = build_split(args.seed, n_queries_per_topic=args.train_qpt,
+                        qv=qv, dv=dv, docs_per_class=args.docs_per_class)
+    evals = build_split(args.seed + 1000, n_queries_per_topic=args.eval_qpt,
+                        qv=qv, dv=dv, docs_per_class=args.docs_per_class)
     labels = relevance(evals)
     nq, nd = labels.shape
     print(f"[corpus] train: {len(train['queries'])} queries / "
-          f"{len(train['docs'])} docs; eval: {nq} queries / {nd} docs",
-          file=sys.stderr)
+          f"{len(train['docs'])} docs; eval: {nq} queries / {nd} docs; "
+          f"tokenizer={args.tokenizer}", file=sys.stderr)
 
     results = {}
 
@@ -141,16 +180,36 @@ def main():
     doc_toks = [tokenize(d) for d in evals["docs"]]
     bm = BM25Okapi(doc_toks)
     t0 = time.perf_counter()
-    bm25_scores = bm.get_scores_batch([tokenize(q) for q in evals["queries"]])
+    bm25_idx, bm25_top = bm.get_topk_batch(
+        [tokenize(q) for q in evals["queries"]], nd)
+    bm25_scores = np.zeros((nq, nd), np.float32)
+    np.put_along_axis(bm25_scores, bm25_idx, bm25_top, axis=1)
     results["bm25_only"] = ranking_metrics(bm25_scores, labels)
     print(f"[1/5] bm25: {results['bm25_only']} "
           f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
 
+    # --------------------------------------------------- tokenizer choice
+    tokenizer = None
+    vocab_size = args.vocab_size
+    if args.tokenizer == "subword":
+        from semanticsearch_tpu.models.subword import train_bpe
+
+        t0 = time.perf_counter()
+        # fit on the TRAIN split only (no eval leakage); the eval split's
+        # unseen inflections must decompose through learned pieces
+        tokenizer = train_bpe(
+            list(train["docs"]) + list(train["queries"]),
+            vocab_size=args.vocab_size, max_len=32,
+        )
+        vocab_size = tokenizer.vocab_size
+        print(f"[tok] BPE fit: {len(tokenizer.vocab)} pieces "
+              f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
+
     # ------------------------------------------- 2. dense w/ RANDOM encoder
-    enc_cfg = EncoderConfig(vocab_size=4096, hidden_dim=128, num_layers=2,
-                            num_heads=4, mlp_dim=256, max_len=32,
-                            dtype="float32")
-    encoder = SentenceEncoder(enc_cfg, seed=args.seed)
+    enc_cfg = EncoderConfig(vocab_size=vocab_size, hidden_dim=128,
+                            num_layers=2, num_heads=4, mlp_dim=256,
+                            max_len=32, dtype="float32")
+    encoder = SentenceEncoder(enc_cfg, seed=args.seed, tokenizer=tokenizer)
     qe = encoder.encode(evals["queries"])
     de = encoder.encode(evals["docs"])
     results["dense_random_encoder"] = ranking_metrics(qe @ de.T, labels)
@@ -195,67 +254,96 @@ def main():
     results["hybrid_rrf"] = ranking_metrics(rrf_scores, labels)
     print(f"[4/5] hybrid rrf: {results['hybrid_rrf']}", file=sys.stderr)
 
-    # ------------------------------------- 5. hybrid + trained KNRM rerank
-    pp = Preprocessor(fixed_length_left=8, fixed_length_right=16,
-                      filter_low_freq=1)
-    pp.fit(list(train["queries"]) + list(train["docs"]))
+    # ------------------------------------- 5. hybrid + trained rerankers
+    if args.rerankers == "all":
+        model_names = list(ALL_RERANKERS)
+    elif args.rerankers in ("none", ""):
+        model_names = []
+    else:
+        model_names = [m.strip() for m in args.rerankers.split(",")]
 
-    def make_ds(split, lab):
-        lefts, rights, labs, qids = [], [], [], []
-        for qi in range(len(split["queries"])):
-            for di in range(len(split["docs"])):
-                lefts.append(split["queries"][qi])
-                rights.append(split["docs"][di])
-                labs.append(lab[qi, di])
-                qids.append(qi)
-        enc2 = pp.transform_pair(lefts, rights)
-        return PairDataset(left=enc2["left"], right=enc2["right"],
-                           labels=np.asarray(labs, np.float32),
-                           query_ids=np.asarray(qids))
+    if model_names:
+        top = args.rerank_top
+        # shared train subsample: per query, all rel + 24 random irr
+        sub_rows = []
+        for qi in range(len(train["queries"])):
+            rel = np.nonzero(train_labels[qi])[0]
+            irr = rng.choice(np.nonzero(train_labels[qi] == 0)[0], size=24,
+                             replace=False)
+            sub_rows.extend((qi, di) for di in list(rel) + list(irr))
+        # eval pairs: ONLY each query's top-`rerank_top` RRF candidates
+        # (the serve shape; a full nq x nd cross product would be 1M+ pairs
+        # per model at --scale)
+        cand_rows = []
+        for qi in range(nq):
+            for di in np.argsort(-rrf_scores[qi])[:top]:
+                cand_rows.append((qi, int(di)))
 
-    tr_cfg = TrainConfig(model=args.reranker, epochs=args.reranker_epochs, batch_size=32, num_neg=4,
-                         optimizer="adam", learning_rate=0.01,
-                         embedding_dim=64, filter_low_freq=1,
-                         fixed_length_left=8, fixed_length_right=16)
-    t0 = time.perf_counter()
-    # subsample train ds for speed: per query, all rel + 12 random irr
-    sub_rows = []
-    for qi in range(len(train["queries"])):
-        rel = np.nonzero(train_labels[qi])[0]
-        irr = rng.choice(np.nonzero(train_labels[qi] == 0)[0], size=24,
-                         replace=False)
-        sub_rows.extend((qi, di) for di in list(rel) + list(irr))
-    lefts = [train["queries"][qi] for qi, _ in sub_rows]
-    rights = [train["docs"][di] for _, di in sub_rows]
-    enc3 = pp.transform_pair(lefts, rights)
-    train_ds = PairDataset(
-        left=enc3["left"], right=enc3["right"],
-        labels=np.asarray([train_labels[qi, di] for qi, di in sub_rows],
-                          np.float32),
-        query_ids=np.asarray([qi for qi, _ in sub_rows]),
-    )
-    reranker = RerankTrainer(args.reranker, vocab_size=pp.vocab_size,
-                             cfg=tr_cfg)
-    fit_res = reranker.fit(train_ds)
-    eval_ds = make_ds(evals, labels)
-    rerank_scores = reranker.predict(fit_res.params, eval_ds).reshape(nq, nd)
-    # rerank the hybrid's top-20 candidates; below-cutoff docs keep their
-    # RRF-ordered tail ranks (the reference reranks ranker output the same
-    # shape: rank_chunks -> matchzoo rerank)
-    top = args.rerank_top
-    final_scores = np.full_like(rerank_scores, -np.inf)
-    for qi in range(nq):
-        cand = np.argsort(-rrf_scores[qi])[:top]
-        final_scores[qi, cand] = rerank_scores[qi, cand]
-        tail = np.argsort(-rrf_scores[qi])[top:]
-        # keep tail ordered after the reranked head
-        lo = rerank_scores[qi, cand].min()
-        final_scores[qi, tail] = lo - 1.0 - np.arange(tail.size)
-    results["hybrid_plus_reranker"] = ranking_metrics(final_scores, labels)
-    print(f"[5/5] hybrid+reranker: {results['hybrid_plus_reranker']} "
-          f"(train loss {fit_res.history[0]['loss']:.3f} -> "
-          f"{fit_res.history[-1]['loss']:.3f}, "
-          f"{time.perf_counter()-t0:.1f}s)", file=sys.stderr)
+        _bundles = {}
+
+        def bundle(lengths):
+            """(pp, train_ds, cand_ds) at the given (left, right) lengths.
+            ArcII's fixed-stride pools + flatten need lengths that survive
+            two 3x3 pools; the other models use the cheaper 8/16."""
+            if lengths in _bundles:
+                return _bundles[lengths]
+            ll, lr = lengths
+            pp = Preprocessor(fixed_length_left=ll, fixed_length_right=lr,
+                              filter_low_freq=1)
+            pp.fit(list(train["queries"]) + list(train["docs"]))
+            enc3 = pp.transform_pair(
+                [train["queries"][qi] for qi, _ in sub_rows],
+                [train["docs"][di] for _, di in sub_rows])
+            train_ds = PairDataset(
+                left=enc3["left"], right=enc3["right"],
+                labels=np.asarray(
+                    [train_labels[qi, di] for qi, di in sub_rows],
+                    np.float32),
+                query_ids=np.asarray([qi for qi, _ in sub_rows]),
+            )
+            enc4 = pp.transform_pair(
+                [evals["queries"][qi] for qi, _ in cand_rows],
+                [evals["docs"][di] for _, di in cand_rows])
+            cand_ds = PairDataset(
+                left=enc4["left"], right=enc4["right"],
+                labels=np.asarray(
+                    [labels[qi, di] for qi, di in cand_rows], np.float32),
+                query_ids=np.asarray([qi for qi, _ in cand_rows]),
+            )
+            _bundles[lengths] = (pp, train_ds, cand_ds)
+            return _bundles[lengths]
+
+    for model_name in model_names:
+        lengths = (12, 18) if model_name == "arcii" else (8, 16)
+        pp, train_ds, cand_ds = bundle(lengths)
+        tr_cfg = TrainConfig(
+            model=model_name, epochs=args.reranker_epochs, batch_size=32,
+            num_neg=4, optimizer="adam", learning_rate=0.01,
+            embedding_dim=64, filter_low_freq=1,
+            fixed_length_left=lengths[0], fixed_length_right=lengths[1],
+        )
+        t0 = time.perf_counter()
+        reranker = RerankTrainer(model_name, vocab_size=pp.vocab_size,
+                                 cfg=tr_cfg)
+        fit_res = reranker.fit(train_ds)
+        cand_pred = reranker.predict(fit_res.params, cand_ds)
+        final_scores = np.full((nq, nd), -np.inf, np.float32)
+        off = 0
+        for qi in range(nq):
+            order = np.argsort(-rrf_scores[qi])
+            cand = order[:top]
+            final_scores[qi, cand] = cand_pred[off: off + cand.size]
+            off += cand.size
+            tail = order[top:]
+            # keep tail ordered after the reranked head
+            lo = final_scores[qi, cand].min()
+            final_scores[qi, tail] = lo - 1.0 - np.arange(tail.size)
+        key = f"hybrid_plus_{model_name}"
+        results[key] = ranking_metrics(final_scores, labels)
+        print(f"[5/5] {key}: {results[key]} "
+              f"(train loss {fit_res.history[0]['loss']:.3f} -> "
+              f"{fit_res.history[-1]['loss']:.3f}, "
+              f"{time.perf_counter()-t0:.1f}s)", file=sys.stderr)
 
     # ------------------------------------------------------------- report
     md = ["| Method | MAP | nDCG@10 | P@10 | MRR |", "|---|---|---|---|---|"]
@@ -266,8 +354,11 @@ def main():
     with open(os.path.join(args.output, "quality.md"), "w") as f:
         f.write(table + "\n")
     print(table, file=sys.stderr)
-    print(json.dumps({"metric": "quality_map_ndcg", "results": results,
-                      "eval_queries": nq, "eval_docs": nd}))
+    print(json.dumps({
+        "metric": "quality_map_ndcg", "results": results,
+        "eval_queries": nq, "eval_docs": nd, "topics": args.topics,
+        "tokenizer": args.tokenizer, "seed": args.seed,
+    }))
 
 
 if __name__ == "__main__":
