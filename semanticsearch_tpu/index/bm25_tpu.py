@@ -67,7 +67,7 @@ class DeviceBM25:
         self,
         bm25: BM25Okapi,
         n_dense_terms: int = 4096,
-        topk_device: int = 64,
+        topk_device: int = 256,
         query_chunk: int = 1024,
     ) -> None:
         self.bm = bm25
@@ -209,13 +209,16 @@ class DeviceBM25:
 
     def _topk_chunk(self, qs, k, idx_out, sc_out) -> None:
         import jax.numpy as jnp
+        import ml_dtypes
 
+        bm = self.bm
         Q = len(qs)
         Wq = np.zeros((self.query_chunk, self.B), np.float32)
         splits = []
         err_ubs = np.zeros(Q, np.float32)
-        pair_q_parts, pair_d_parts = [], []
-        touched_per_q: List[Tuple[np.ndarray, np.ndarray]] = []
+        r_indptr = [0]
+        r_tids_l: List[int] = []
+        r_w_l: List[float] = []
         for qi, toks in enumerate(qs):
             dr, dw, rt, rw = self._split_query(toks)
             splits.append((dr, dw, rt, rw))
@@ -224,44 +227,131 @@ class DeviceBM25:
                 w = np.asarray(dw, np.float32)
                 # fold the int8 scale into the weight: S is directly the
                 # approximate frequent-part score
-                Wq[qi, rows] = w * self.scale[rows]
-                err_ubs[qi] = 0.5 * float(np.sum(w * self.scale[rows]))
-            r_docs, r_sc = self._rare_touched(rt, rw)
-            touched_per_q.append((r_docs, r_sc))
-            if r_docs.size:
-                pair_q_parts.append(np.full(r_docs.size, qi, np.int32))
-                pair_d_parts.append(r_docs.astype(np.int32))
+                ws = w * self.scale[rows]
+                Wq[qi, rows] = ws
+                # exact error budget of the device result vs true BM25:
+                #   int8 rounding: <= 0.5 * s_t per matched term, and
+                #   the device casts ws to bf16 — that rounding (computed
+                #   EXACTLY here) multiplies |C8| <= 127; plus f32
+                #   reassociation slack
+                ws_bf16 = np.asarray(ws, ml_dtypes.bfloat16).astype(
+                    np.float32)
+                err_ubs[qi] = float(
+                    np.sum(0.5 * ws + np.abs(ws - ws_bf16) * 127.0)
+                ) * (1.0 + 1e-5) + 1e-6
+            else:
+                err_ubs[qi] = 1e-6
+            r_tids_l.extend(rt)
+            r_w_l.extend(rw)
+            r_indptr.append(len(r_tids_l))
 
-        pair_q = np.concatenate(pair_q_parts) if pair_q_parts else \
-            np.zeros(0, np.int32)
-        pair_d = np.concatenate(pair_d_parts) if pair_d_parts else \
-            np.zeros(0, np.int32)
-        P = next(b for b in _PAIR_BUCKETS if b >= pair_q.size) \
-            if pair_q.size <= _PAIR_BUCKETS[-1] else pair_q.size
+        # rare-touched docs per query (native when built, Python otherwise)
+        r_indptr_a = np.asarray(r_indptr, np.int64)
+        r_tids_a = np.asarray(r_tids_l, np.int64)
+        r_w_a = np.asarray(r_w_l, np.float32)
+        touch = None
+        if r_tids_a.size:
+            try:
+                from ..native import bm25_rare_touch
+
+                cap = int(np.sum(bm._inv_indptr[r_tids_a + 1]
+                                 - bm._inv_indptr[r_tids_a]))
+                touch = bm25_rare_touch(
+                    bm._inv_indptr, bm._inv_docs, bm._inv_quot, bm.idf,
+                    bm.k1, r_indptr_a, r_tids_a, r_w_a, cap,
+                )
+            except (ImportError, OSError):
+                touch = None
+        if touch is None:
+            ti = [0]
+            td_parts, ts_parts = [], []
+            for qi, (dr, dw, rt, rw) in enumerate(splits):
+                d, s = self._rare_touched(rt, rw)
+                td_parts.append(d)
+                ts_parts.append(s)
+                ti.append(ti[-1] + d.size)
+            touch = (
+                np.asarray(ti, np.int64),
+                np.concatenate(td_parts) if td_parts else
+                np.zeros(0, np.int64),
+                np.concatenate(ts_parts) if ts_parts else
+                np.zeros(0, np.float32),
+            )
+        touch_indptr, touch_docs, touch_scores = touch
+        n_pairs = int(touch_indptr[Q])
+
+        pair_q = np.repeat(
+            np.arange(Q, dtype=np.int32), np.diff(touch_indptr[: Q + 1])
+        )
+        pair_d = touch_docs[:n_pairs].astype(np.int32)
+        P = next(b for b in _PAIR_BUCKETS if b >= n_pairs) \
+            if n_pairs <= _PAIR_BUCKETS[-1] else n_pairs
         pq_pad = np.zeros(P, np.int32)
         pd_pad = np.zeros(P, np.int32)
-        pq_pad[: pair_q.size] = pair_q
-        pd_pad[: pair_d.size] = pair_d
+        pq_pad[:n_pairs] = pair_q
+        pd_pad[:n_pairs] = pair_d
 
         vals, idx, s_pairs = self._run(
             jnp.asarray(Wq), self._C, jnp.asarray(pq_pad),
             jnp.asarray(pd_pad), self.topk_device,
         )
-        vals = np.asarray(vals[:Q], np.float32)
-        idx = np.asarray(idx[:Q], np.int64)
-        s_pairs = np.asarray(s_pairs[: pair_q.size], np.float32)
+        # ascontiguousarray is LOAD-BEARING: the remote TPU backend
+        # materializes device arrays F-contiguous, and the native post
+        # kernel reads raw row-major memory
+        vals = np.ascontiguousarray(np.asarray(vals[:Q], np.float32))
+        idx = np.ascontiguousarray(np.asarray(idx[:Q]).astype(np.int64))
+        s_pairs = np.ascontiguousarray(
+            np.asarray(s_pairs[:n_pairs], np.float32))
         self.stats["queries"] += Q
 
-        pair_off = 0
+        # full query term lists (ascending tid) for exact rescoring
+        q_indptr = [0]
+        q_tids_l: List[int] = []
+        q_w_l: List[float] = []
+        for dr, dw, rt, rw in splits:
+            terms = sorted(
+                [(int(self.dense_terms[r]), w) for r, w in zip(dr, dw)]
+                + list(zip(rt, rw))
+            )
+            q_tids_l.extend(t for t, _ in terms)
+            q_w_l.extend(w for _, w in terms)
+            q_indptr.append(len(q_tids_l))
+        q_indptr_a = np.asarray(q_indptr, np.int64)
+        q_tids_a = np.asarray(q_tids_l, np.int64)
+        q_w_a = np.asarray(q_w_l, np.float32)
+
+        native_post = None
+        try:
+            from ..native import bm25_device_post
+
+            native_post = bm25_device_post(
+                bm._inv_indptr, bm._inv_docs, bm._inv_quot, bm.idf, bm.k1,
+                vals, idx, self.topk_device,
+                s_pairs,
+                touch_indptr[: Q + 1].copy(), touch_docs[:n_pairs].copy(),
+                touch_scores[:n_pairs].copy(),
+                q_indptr_a, q_tids_a, q_w_a, err_ubs,
+                self.n_docs, k,
+            )
+        except (ImportError, OSError):
+            native_post = None
+        if native_post is not None:
+            n_idx, n_sc, flags = native_post
+            idx_out[:Q] = n_idx
+            sc_out[:Q] = n_sc
+            for qi in np.nonzero(flags)[0]:
+                self.stats["fallbacks"] += 1
+                fi, fs = bm.get_topk(qs[qi], k)
+                idx_out[qi], sc_out[qi] = fi, fs
+            return
+
+        # ------------------------- pure-Python reference post-processing
         for qi, (dr, dw, rt, rw) in enumerate(splits):
-            r_docs, r_rare = touched_per_q[qi]
-            s_freq_touched = s_pairs[pair_off: pair_off + r_docs.size]
-            pair_off += r_docs.size
-            # bf16 matmul rounding allowance on top of int8 quantization
-            mag = float(np.abs(vals[qi, 0])) if self.B else 0.0
-            if r_docs.size:
-                mag = max(mag, float(np.max(np.abs(s_freq_touched))))
-            err_ub = float(err_ubs[qi]) + 0.008 * mag + 1e-5
+            ts_, te_ = int(touch_indptr[qi]), int(touch_indptr[qi + 1])
+            r_docs = touch_docs[ts_:te_]
+            r_rare = touch_scores[ts_:te_]
+            s_freq_touched = s_pairs[ts_:te_]
+            err_ub = float(err_ubs[qi])
 
             # candidate pool: device top-K' + all rare-touched docs, each
             # with approx total score (freq approx + exact rare part)

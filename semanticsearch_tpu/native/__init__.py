@@ -21,7 +21,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-_ABI_VERSION = 6
+_ABI_VERSION = 7
 
 
 def ensure_built(quiet: bool = True, force: bool = False) -> bool:
@@ -119,6 +119,31 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_float, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
     ]
+    lib.bm25_rare_touch.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.bm25_device_post.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     if lib.semsearch_native_abi_version() != _ABI_VERSION:
         return None
     _lib = lib
@@ -126,14 +151,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def _i64p(a: np.ndarray):
+    assert a.dtype == np.int64 and a.flags["C_CONTIGUOUS"], (a.dtype, a.flags)
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
 def _f32p(a: np.ndarray):
+    assert a.dtype == np.float32 and a.flags["C_CONTIGUOUS"], \
+        (a.dtype, a.flags)
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 def _i32p(a: np.ndarray):
+    assert a.dtype == np.int32 and a.flags["C_CONTIGUOUS"], (a.dtype, a.flags)
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
@@ -182,6 +211,60 @@ def subword_tokenize_batch(
         max_len, int(add_cls), _i32p(ids), _i32p(mask),
     )
     return ids, mask
+
+
+def bm25_rare_touch(
+    inv_indptr, inv_docs, inv_quot, idf, k1,
+    r_indptr, r_tids, r_w, capacity: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Per-query rare-touched docs (ascending) + exact rare scores; None if
+    the library is unavailable. ``capacity`` = sum of rare-term dfs (upper
+    bound on touched entries)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_queries = len(r_indptr) - 1
+    out_indptr = np.zeros(n_queries + 1, np.int64)
+    out_docs = np.zeros(max(capacity, 1), np.int64)
+    out_scores = np.zeros(max(capacity, 1), np.float32)
+    lib.bm25_rare_touch(
+        _i64p(inv_indptr), _i64p(inv_docs), _f32p(inv_quot), _f32p(idf),
+        ctypes.c_float(k1),
+        _i64p(r_indptr), _i64p(r_tids), _f32p(r_w), n_queries,
+        _i64p(out_indptr), _i64p(out_docs), _f32p(out_scores),
+    )
+    return out_indptr, out_docs, out_scores
+
+
+def bm25_device_post(
+    inv_indptr, inv_docs, inv_quot, idf, k1,
+    vals, idx, kp,
+    s_pairs, touch_indptr, touch_docs, touch_scores,
+    q_indptr, q_tids, q_w, err_ub,
+    n_docs: int, k: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Candidate merge + exact rescore + certification for the device-BM25
+    path; returns (idx (Q,k), scores (Q,k), fallback_flags (Q,)). None if
+    the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_queries = len(q_indptr) - 1
+    idx_out = np.zeros((n_queries, k), np.int64)
+    sc_out = np.zeros((n_queries, k), np.float32)
+    flags = np.zeros(n_queries, np.uint8)
+    lib.bm25_device_post(
+        _i64p(inv_indptr), _i64p(inv_docs), _f32p(inv_quot), _f32p(idf),
+        ctypes.c_float(k1),
+        _f32p(vals), _i64p(idx), kp,
+        _f32p(s_pairs),
+        _i64p(touch_indptr), _i64p(touch_docs), _f32p(touch_scores),
+        _i64p(q_indptr), _i64p(q_tids), _f32p(q_w), _f32p(err_ub),
+        n_queries, n_docs, k,
+        _i64p(idx_out), _f32p(sc_out),
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return idx_out, sc_out, flags
 
 
 def bm25_score_batch(

@@ -667,6 +667,195 @@ void subword_tokenize_batch(
     }
 }
 
-int32_t semsearch_native_abi_version() { return 6; }
+// ---------------------------------------------------------------------------
+// Device-BM25 host side (index/bm25_tpu.py): rare-term touch lists and the
+// post-matmul certification pass. The TPU scores the frequent terms' dense
+// int8 matrix; these routines keep the per-query host work out of
+// numpy-call overhead (the Python path does the same ops and is kept as
+// the correctness reference).
+// ---------------------------------------------------------------------------
+
+namespace devbm25 {
+
+// exact score of one query against one doc via the inverted index, f32 ops
+// in ascending-term order — matches BM25Okapi.get_topk bit-for-bit
+// (same factored ((w*idf)*(k1+1))*quot contraction; build with
+// -ffp-contract=off).
+static inline float exact_score(
+    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_quot,
+    const float* idf, float k1p1,
+    const int64_t* q_tids, const float* q_w, int64_t nq_terms, int64_t doc) {
+    float acc = 0.0f;
+    for (int64_t j = 0; j < nq_terms; ++j) {
+        const int64_t t = q_tids[j];
+        const int64_t s = inv_indptr[t], e = inv_indptr[t + 1];
+        // binary search doc in inv_docs[s:e] (ascending)
+        int64_t lo = s, hi = e;
+        while (lo < hi) {
+            const int64_t mid = (lo + hi) >> 1;
+            if (inv_docs[mid] < doc) lo = mid + 1; else hi = mid;
+        }
+        if (lo < e && inv_docs[lo] == doc) {
+            acc += ((q_w[j] * idf[t]) * k1p1) * inv_quot[lo];
+        }
+    }
+    return acc;
+}
+
+struct Cand {
+    int64_t doc;
+    float ub;      // approx + err_ub
+    float exact;   // filled on rescore
+    bool rescored;
+};
+
+}  // namespace devbm25
+
+// Phase 1: rare-touched docs per query. For query q, accumulate the exact
+// rare-term contribution per touched doc. Outputs CSR: caller allocates
+// out_docs/out_scores with capacity = sum of rare-term dfs (upper bound);
+// out_indptr (n_queries+1) receives the per-query unique-doc counts.
+// Touched docs are emitted in ASCENDING doc order.
+void bm25_rare_touch(
+    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_quot,
+    const float* idf, float k1,
+    const int64_t* r_indptr,   // (Q+1) into r_tids/r_w
+    const int64_t* r_tids, const float* r_w,
+    int64_t n_queries,
+    int64_t* out_indptr, int64_t* out_docs, float* out_scores) {
+    const float k1p1 = k1 + 1.0f;
+    out_indptr[0] = 0;
+    std::vector<std::pair<int64_t, float>> merged;
+    for (int64_t q = 0; q < n_queries; ++q) {
+        merged.clear();
+        for (int64_t j = r_indptr[q]; j < r_indptr[q + 1]; ++j) {
+            const int64_t t = r_tids[j];
+            const float base = (r_w[j] * idf[t]) * k1p1;
+            for (int64_t p = inv_indptr[t]; p < inv_indptr[t + 1]; ++p) {
+                merged.emplace_back(inv_docs[p], base * inv_quot[p]);
+            }
+        }
+        std::sort(merged.begin(), merged.end(),
+                  [](const auto& a, const auto& b) {
+                      return a.first < b.first;
+                  });
+        int64_t w = out_indptr[q];
+        for (size_t i = 0; i < merged.size();) {
+            const int64_t d = merged[i].first;
+            float acc = 0.0f;
+            while (i < merged.size() && merged[i].first == d) {
+                acc += merged[i].second;
+                ++i;
+            }
+            out_docs[w] = d;
+            out_scores[w] = acc;
+            ++w;
+        }
+        out_indptr[q + 1] = w;
+    }
+}
+
+// Phase 2: candidate merge + exact rescore + certification, per query.
+// Inputs: device top-K' (vals/idx), the gathered approx frequent scores of
+// the touched docs (s_pairs, aligned with touched CSR), the touched rare
+// scores, full query terms (ascending tid), and the error bound. Outputs
+// exact top-k (idx/scores) or fallback_flags[q]=1 when the certificate
+// fails / fewer than k positive matches (caller resolves those on the
+// host reference path).
+void bm25_device_post(
+    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_quot,
+    const float* idf, float k1,
+    const float* vals, const int64_t* idx, int32_t kp,    // (Q, K')
+    const float* s_pairs,                                  // (touched total)
+    const int64_t* touch_indptr, const int64_t* touch_docs,
+    const float* touch_scores,
+    const int64_t* q_indptr, const int64_t* q_tids, const float* q_w,
+    const float* err_ub,
+    int64_t n_queries, int64_t n_docs, int32_t k,
+    int64_t* idx_out, float* sc_out, uint8_t* fallback_flags) {
+    const float k1p1 = k1 + 1.0f;
+    std::vector<devbm25::Cand> cands;
+    for (int64_t q = 0; q < n_queries; ++q) {
+        fallback_flags[q] = 0;
+        const int64_t ts = touch_indptr[q], te = touch_indptr[q + 1];
+        cands.clear();
+        cands.reserve((size_t)kp + (size_t)(te - ts));
+        // touched docs: approx = gathered S + exact rare part
+        for (int64_t i = ts; i < te; ++i) {
+            cands.push_back({touch_docs[i],
+                             s_pairs[i] + touch_scores[i] + err_ub[q],
+                             0.0f, false});
+        }
+        // device top-K': approx = vals (+ rare part if also touched)
+        for (int32_t i = 0; i < kp; ++i) {
+            const int64_t d = idx[q * kp + i];
+            // binary search d among this query's touched docs (ascending)
+            int64_t lo = ts, hi = te;
+            while (lo < hi) {
+                const int64_t mid = (lo + hi) >> 1;
+                if (touch_docs[mid] < d) lo = mid + 1; else hi = mid;
+            }
+            if (lo < te && touch_docs[lo] == d) continue;  // already added
+            cands.push_back({d, vals[q * kp + i] + err_ub[q], 0.0f, false});
+        }
+        // v_out: any doc outside the pool scores at most v_K' + err
+        const float v_out = ((int64_t)cands.size() < n_docs)
+            ? vals[q * kp + (kp - 1)] + err_ub[q]
+            : -FLT_MAX;
+        // sort by ub desc, doc asc
+        std::sort(cands.begin(), cands.end(),
+                  [](const devbm25::Cand& a, const devbm25::Cand& b) {
+                      if (a.ub != b.ub) return a.ub > b.ub;
+                      return a.doc < b.doc;
+                  });
+        const int64_t n_cand = (int64_t)cands.size();
+        int64_t n_rescore = std::min<int64_t>(n_cand, (int64_t)k + 8);
+        bool certified = false;
+        // indices of rescored candidates ordered by (exact desc, doc asc)
+        std::vector<int64_t> order;
+        while (true) {
+            for (int64_t i = 0; i < n_rescore; ++i) {
+                if (!cands[i].rescored) {
+                    cands[i].exact = devbm25::exact_score(
+                        inv_indptr, inv_docs, inv_quot, idf, k1p1,
+                        q_tids + q_indptr[q], q_w + q_indptr[q],
+                        q_indptr[q + 1] - q_indptr[q], cands[i].doc);
+                    cands[i].rescored = true;
+                }
+            }
+            order.resize((size_t)n_rescore);
+            for (int64_t i = 0; i < n_rescore; ++i) order[i] = i;
+            std::sort(order.begin(), order.end(),
+                      [&](int64_t a, int64_t b) {
+                          if (cands[a].exact != cands[b].exact)
+                              return cands[a].exact > cands[b].exact;
+                          return cands[a].doc < cands[b].doc;
+                      });
+            const float kth = (n_rescore >= k)
+                ? cands[order[k - 1]].exact : -FLT_MAX;
+            float max_out = v_out;
+            if (n_rescore < n_cand) {
+                max_out = std::max(max_out, cands[n_rescore].ub);
+            }
+            if (max_out < kth || n_rescore >= n_cand) {
+                certified = max_out < kth;
+                break;
+            }
+            n_rescore = std::min(n_cand, n_rescore * 2);
+        }
+        const float kth_val = (n_rescore >= k && k > 0)
+            ? cands[order[k - 1]].exact : 0.0f;
+        if (!certified || n_rescore < k || kth_val <= 0.0f) {
+            fallback_flags[q] = 1;
+            continue;
+        }
+        for (int32_t i = 0; i < k; ++i) {
+            idx_out[q * k + i] = cands[order[i]].doc;
+            sc_out[q * k + i] = cands[order[i]].exact;
+        }
+    }
+}
+
+int32_t semsearch_native_abi_version() { return 7; }
 
 }  // extern "C"

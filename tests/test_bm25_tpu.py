@@ -132,3 +132,22 @@ def test_hybrid_engine_with_device_lexical(tmp_path, mesh8):
         [[h.chunk_id for h in hs] for hs in d_hits]
     assert dev._device_bm25 is not None
     assert dev._device_bm25.stats["queries"] == 3
+
+
+def test_python_reference_post_path(monkeypatch):
+    """The pure-Python post-processing (used when the native lib is absent)
+    stays bit-exact too."""
+    import semanticsearch_tpu.native as nm
+
+    monkeypatch.setattr(nm, "bm25_rare_touch", lambda *a, **k: None)
+    monkeypatch.setattr(nm, "bm25_device_post", lambda *a, **k: None)
+    rng = np.random.default_rng(9)
+    docs = _zipf_corpus(rng, 300)
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    dev = DeviceBM25(bm, n_dense_terms=64, topk_device=32, query_chunk=16)
+    q_toks = [tokenize(q) for q in _queries(rng, docs, 40)]
+    d_idx, d_sc = dev.get_topk_batch(q_toks, 8)
+    for qi, toks in enumerate(q_toks):
+        h_idx, h_sc = bm.get_topk(toks, 8)
+        np.testing.assert_array_equal(d_idx[qi], h_idx, err_msg=f"q={qi}")
+        np.testing.assert_array_equal(d_sc[qi], h_sc, err_msg=f"q={qi}")

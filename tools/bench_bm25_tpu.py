@@ -25,7 +25,11 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
-    ap.add_argument("--doc-len", type=int, default=12)
+    ap.add_argument("--doc-len", type=int, default=12,
+                    help="mean doc length; actual lengths vary "
+                         "doc-len/2 .. 2*doc-len (realistic chunk mix — "
+                         "FIXED lengths produce massive exact score ties "
+                         "whose boundary plateaus force host fallbacks)")
     ap.add_argument("--vocab", type=int, default=50_000)
     ap.add_argument("--dense-terms", type=int, default=4096)
     ap.add_argument("--topk-device", type=int, default=64)
@@ -45,10 +49,16 @@ def main():
     probs /= probs.sum()
     words = [f"w{i}" for i in range(args.vocab)]
     t0 = time.perf_counter()
-    term_ids = rng.choice(args.vocab, size=(args.docs, args.doc_len), p=probs)
-    corpus_tokens = [[words[t] for t in row] for row in term_ids]
-    print(f"[gen] {args.docs} docs in {time.perf_counter()-t0:.0f}s",
-          file=sys.stderr)
+    lens = rng.integers(max(2, args.doc_len // 2), args.doc_len * 2,
+                        size=args.docs)
+    flat = rng.choice(args.vocab, size=int(lens.sum()), p=probs)
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    corpus_tokens = [
+        [words[t] for t in flat[bounds[i]: bounds[i + 1]]]
+        for i in range(args.docs)
+    ]
+    print(f"[gen] {args.docs} docs (len {lens.min()}-{lens.max()}) in "
+          f"{time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     bm = BM25Okapi(corpus_tokens)
