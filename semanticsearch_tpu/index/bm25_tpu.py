@@ -54,6 +54,38 @@ from .bm25 import BM25Okapi
 logger = get_logger("bm25_tpu")
 
 _PAIR_BUCKETS = (16384, 262144, 2097152)  # static gather sizes (jit shapes)
+_WQ_BUCKETS = (8192, 65536)  # static COO sizes for the sparse Wq upload
+
+_SEL_BLOCK = 256  # two-stage selection block width (C cols pad to this)
+
+
+def _block_topk(S, kp: int):
+    """EXACT top-kp over huge rows without a full-width sort.
+
+    ``lax.top_k`` over a (Q, 1M) score matrix costs a full-row sort on TPU;
+    this two-stage selection is exact and touches far less: (1) per-block
+    max (fused with the matmul's output pass), (2) top-(kp+8) BLOCKS by
+    max, (3) exact top-kp inside the gathered blocks. Correctness: every
+    true top-kp element's block has max >= that element, so if its block
+    were not among the top-kp blocks there would be kp blocks each holding
+    a strictly larger element — contradiction. (+8 guards block-max ties.)
+
+    Returns (vals, global col indices), both (Q, kp).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    Q, Dp = S.shape
+    if Dp <= 4 * _SEL_BLOCK or Dp % _SEL_BLOCK:
+        return jax.lax.top_k(S, kp)
+    nb = Dp // _SEL_BLOCK
+    Sb = S.reshape(Q, nb, _SEL_BLOCK)
+    m = min(nb, kp + 8)
+    _, tb = jax.lax.top_k(Sb.max(axis=2), m)            # (Q, m) block ids
+    G = jnp.take_along_axis(Sb, tb[:, :, None], axis=1)  # (Q, m, bs)
+    vals, loc = jax.lax.top_k(G.reshape(Q, m * _SEL_BLOCK), kp)
+    block = jnp.take_along_axis(tb, loc // _SEL_BLOCK, axis=1)
+    return vals, block * _SEL_BLOCK + (loc % _SEL_BLOCK)
 
 
 class DeviceBM25:
@@ -69,9 +101,21 @@ class DeviceBM25:
         n_dense_terms: int = 4096,
         topk_device: int = 256,
         query_chunk: int = 1024,
+        mesh=None,
     ) -> None:
+        """``mesh``: a jax Mesh with a ``data`` axis shards C's document
+        COLUMNS across chips (5 GB/chip int8 at B=4096 over 10M docs on
+        v5e-8); each chip scores + top-K's its shard, candidates merge over
+        ICI with one all_gather — the same merge shape as the dense leg
+        (parallel/sharding.py::sharded_topk). None = single-device."""
         self.bm = bm25
+        self.mesh = mesh
         self.topk_device = max(1, min(int(topk_device), bm25.n_docs))
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            # per-shard top-K' cannot exceed the shard's column count
+            n_sh = mesh.shape["data"]
+            self.topk_device = min(
+                self.topk_device, (bm25.n_docs + n_sh - 1) // n_sh)
         self.query_chunk = int(query_chunk)
         bm25._ensure_inverted()
         n_vocab = len(bm25.vocab)
@@ -101,8 +145,10 @@ class DeviceBM25:
                 np.rint(contrib / sc), -127, 127
             ).astype(np.int8)
         self._upload(C)
-        self.stats: Dict[str, int] = {
+        self.stats: Dict[str, float] = {
             "queries": 0, "fallbacks": 0, "rescore_expansions": 0,
+            "t_split_s": 0.0, "t_rare_s": 0.0, "t_device_s": 0.0,
+            "t_post_s": 0.0, "t_fallback_s": 0.0,
         }
 
     # ------------------------------------------------------------------ jit
@@ -112,19 +158,81 @@ class DeviceBM25:
         import jax
         import jax.numpy as jnp
 
-        self._C = jax.device_put(C)
+        n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
+        valid_n = self.n_docs
+        if n_shards <= 1:
+            pad = (-C.shape[1]) % _SEL_BLOCK
+            if pad:
+                C = np.pad(C, ((0, 0), (0, pad)))
+            self._C = jax.device_put(C)
+            n_q = self.query_chunk
+            n_b = self.B
+
+            @functools.partial(jax.jit, static_argnames=("kp",))
+            def run(wq_q, wq_b, wq_v, C, kp):
+                # densify the sparse query-weight COO on device: the host
+                # uploads ~KBs instead of a Q x B f32 matrix per batch
+                # (the remote tunnel made that upload the batch bottleneck)
+                Wq = jnp.zeros((n_q, n_b), jnp.bfloat16)
+                Wq = Wq.at[wq_q, wq_b].add(wq_v, mode="drop")
+                S = jnp.einsum(
+                    "qb,bd->qd", Wq, C.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                vals, idx = _block_topk(S, kp)
+                vals = jnp.where(idx < valid_n, vals, -jnp.inf)
+                return vals, idx
+
+            self._run = run
+            return
+
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        pad = (-C.shape[1]) % (n_shards * _SEL_BLOCK)
+        if pad:
+            C = np.pad(C, ((0, 0), (0, pad)))  # zero cols: masked below
+        shard_cols = C.shape[1] // n_shards
+        self._C = jax.device_put(
+            C, NamedSharding(mesh, P(None, "data")))
+
+        n_q = self.query_chunk
+        n_b = self.B
 
         @functools.partial(jax.jit, static_argnames=("kp",))
-        def run(Wq, C, pair_q, pair_d, kp):
-            S = jnp.einsum(
-                "qb,bd->qd", Wq.astype(jnp.bfloat16),
-                C.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            vals, idx = jax.lax.top_k(S, kp)
-            return vals, idx, S[pair_q, pair_d]
+        def run_sharded(wq_q, wq_b, wq_v, C, kp):
+            Wq = jnp.zeros((n_q, n_b), jnp.bfloat16)
+            Wq = Wq.at[wq_q, wq_b].add(wq_v, mode="drop")
 
-        self._run = run
+            def local(Wq, c_local):
+                my = jax.lax.axis_index("data")
+                base = my * shard_cols
+                S = jnp.einsum(
+                    "qb,bd->qd", Wq, c_local.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                vals, idx = _block_topk(S, kp)
+                gidx = (idx + base).astype(jnp.int32)
+                vals = jnp.where(gidx < valid_n, vals, -jnp.inf)
+                # candidate merge over ICI: O(shards * Q * K'), not corpus
+                av = jax.lax.all_gather(vals, "data")
+                ai = jax.lax.all_gather(gidx, "data")
+                q_n = Wq.shape[0]
+                av = jnp.transpose(av, (1, 0, 2)).reshape(q_n, -1)
+                ai = jnp.transpose(ai, (1, 0, 2)).reshape(q_n, -1)
+                bv, sel = jax.lax.top_k(av, kp)
+                bi = jnp.take_along_axis(ai, sel, axis=1)
+                return bv, bi
+
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(None, "data")),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(Wq, C)
+
+        self._run = run_sharded
 
     # --------------------------------------------------------------- helpers
     def _split_query(self, tokens: Sequence[str]):
@@ -208,14 +316,19 @@ class DeviceBM25:
         return idx_out, sc_out
 
     def _topk_chunk(self, qs, k, idx_out, sc_out) -> None:
+        import time as _time
+
         import jax.numpy as jnp
         import ml_dtypes
 
+        _t0 = _time.perf_counter()
         bm = self.bm
         Q = len(qs)
-        Wq = np.zeros((self.query_chunk, self.B), np.float32)
         splits = []
         err_ubs = np.zeros(Q, np.float32)
+        wq_q_l: List[int] = []
+        wq_b_l: List[int] = []
+        wq_v_l: List[float] = []
         r_indptr = [0]
         r_tids_l: List[int] = []
         r_w_l: List[float] = []
@@ -226,16 +339,18 @@ class DeviceBM25:
                 rows = np.asarray(dr, np.int64)
                 w = np.asarray(dw, np.float32)
                 # fold the int8 scale into the weight: S is directly the
-                # approximate frequent-part score
+                # approximate frequent-part score. Uploaded SPARSE (COO,
+                # bf16-rounded here so the error budget is exact).
                 ws = w * self.scale[rows]
-                Wq[qi, rows] = ws
-                # exact error budget of the device result vs true BM25:
-                #   int8 rounding: <= 0.5 * s_t per matched term, and
-                #   the device casts ws to bf16 — that rounding (computed
-                #   EXACTLY here) multiplies |C8| <= 127; plus f32
-                #   reassociation slack
                 ws_bf16 = np.asarray(ws, ml_dtypes.bfloat16).astype(
                     np.float32)
+                wq_q_l.extend([qi] * rows.size)
+                wq_b_l.extend(int(r) for r in rows)
+                wq_v_l.extend(float(v) for v in ws_bf16)
+                # exact error budget of the device result vs true BM25:
+                #   int8 rounding: <= 0.5 * s_t per matched term, and
+                #   bf16 weight rounding (computed EXACTLY) times |C8|<=127;
+                #   plus f32 reassociation slack
                 err_ubs[qi] = float(
                     np.sum(0.5 * ws + np.abs(ws - ws_bf16) * 127.0)
                 ) * (1.0 + 1e-5) + 1e-6
@@ -244,7 +359,18 @@ class DeviceBM25:
             r_tids_l.extend(rt)
             r_w_l.extend(rw)
             r_indptr.append(len(r_tids_l))
+        Pw = next((b for b in _WQ_BUCKETS if b >= len(wq_q_l)),
+                  max(len(wq_q_l), 1))
+        wq_q = np.full(Pw, self.query_chunk, np.int32)  # pad -> dropped
+        wq_b = np.zeros(Pw, np.int32)
+        wq_v = np.zeros(Pw, ml_dtypes.bfloat16)
+        wq_q[: len(wq_q_l)] = wq_q_l
+        wq_b[: len(wq_b_l)] = wq_b_l
+        wq_v[: len(wq_v_l)] = np.asarray(wq_v_l, np.float32).astype(
+            ml_dtypes.bfloat16)
 
+        self.stats["t_split_s"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         # rare-touched docs per query (native when built, Python otherwise)
         r_indptr_a = np.asarray(r_indptr, np.int64)
         r_tids_a = np.asarray(r_tids_l, np.int64)
@@ -280,29 +406,20 @@ class DeviceBM25:
         touch_indptr, touch_docs, touch_scores = touch
         n_pairs = int(touch_indptr[Q])
 
-        pair_q = np.repeat(
-            np.arange(Q, dtype=np.int32), np.diff(touch_indptr[: Q + 1])
-        )
-        pair_d = touch_docs[:n_pairs].astype(np.int32)
-        P = next(b for b in _PAIR_BUCKETS if b >= n_pairs) \
-            if n_pairs <= _PAIR_BUCKETS[-1] else n_pairs
-        pq_pad = np.zeros(P, np.int32)
-        pd_pad = np.zeros(P, np.int32)
-        pq_pad[:n_pairs] = pair_q
-        pd_pad[:n_pairs] = pair_d
-
-        vals, idx, s_pairs = self._run(
-            jnp.asarray(Wq), self._C, jnp.asarray(pq_pad),
-            jnp.asarray(pd_pad), self.topk_device,
+        self.stats["t_rare_s"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        vals, idx = self._run(
+            jnp.asarray(wq_q), jnp.asarray(wq_b), jnp.asarray(wq_v),
+            self._C, self.topk_device,
         )
         # ascontiguousarray is LOAD-BEARING: the remote TPU backend
         # materializes device arrays F-contiguous, and the native post
         # kernel reads raw row-major memory
         vals = np.ascontiguousarray(np.asarray(vals[:Q], np.float32))
         idx = np.ascontiguousarray(np.asarray(idx[:Q]).astype(np.int64))
-        s_pairs = np.ascontiguousarray(
-            np.asarray(s_pairs[:n_pairs], np.float32))
         self.stats["queries"] += Q
+        self.stats["t_device_s"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         # full query term lists (ascending tid) for exact rescoring
         q_indptr = [0]
@@ -327,9 +444,7 @@ class DeviceBM25:
             native_post = bm25_device_post(
                 bm._inv_indptr, bm._inv_docs, bm._inv_quot, bm.idf, bm.k1,
                 vals, idx, self.topk_device,
-                s_pairs,
                 touch_indptr[: Q + 1].copy(), touch_docs[:n_pairs].copy(),
-                touch_scores[:n_pairs].copy(),
                 q_indptr_a, q_tids_a, q_w_a, err_ubs,
                 self.n_docs, k,
             )
@@ -339,61 +454,37 @@ class DeviceBM25:
             n_idx, n_sc, flags = native_post
             idx_out[:Q] = n_idx
             sc_out[:Q] = n_sc
-            for qi in np.nonzero(flags)[0]:
-                self.stats["fallbacks"] += 1
-                fi, fs = bm.get_topk(qs[qi], k)
-                idx_out[qi], sc_out[qi] = fi, fs
+            self.stats["t_post_s"] += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
+            flagged = np.nonzero(flags)[0]
+            if flagged.size:
+                # one BATCHED native host call for every uncertified query
+                self.stats["fallbacks"] += int(flagged.size)
+                fi, fs = bm.get_topk_batch([qs[qi] for qi in flagged], k)
+                for row, qi in enumerate(flagged):
+                    idx_out[qi], sc_out[qi] = fi[row], fs[row]
+            self.stats["t_fallback_s"] += _time.perf_counter() - _t0
             return
 
         # ------------------------- pure-Python reference post-processing
+        # (small-corpus correctness path: exact-scores EVERY candidate; the
+        # C++ kernel reaches the identical result lazily)
         for qi, (dr, dw, rt, rw) in enumerate(splits):
             ts_, te_ = int(touch_indptr[qi]), int(touch_indptr[qi + 1])
             r_docs = touch_docs[ts_:te_]
-            r_rare = touch_scores[ts_:te_]
-            s_freq_touched = s_pairs[ts_:te_]
             err_ub = float(err_ubs[qi])
-
-            # candidate pool: device top-K' + all rare-touched docs, each
-            # with approx total score (freq approx + exact rare part)
-            cand = np.concatenate([idx[qi], r_docs])
-            rare_of_topk = np.zeros(idx[qi].size, np.float32)
-            if r_docs.size:
-                pos = np.searchsorted(r_docs, idx[qi])
-                pos_c = np.minimum(pos, r_docs.size - 1)
-                hit = (pos < r_docs.size) & (r_docs[pos_c] == idx[qi])
-                rare_of_topk[hit] = r_rare[pos_c[hit]]
-            approx = np.concatenate(
-                [vals[qi] + rare_of_topk, s_freq_touched + r_rare])
-            cand, first = np.unique(cand, return_index=True)
-            approx = approx[first]
-            ub = approx + err_ub
-
+            cand = np.unique(np.concatenate([idx[qi], r_docs]))
             q_tids = np.asarray(
                 [int(self.dense_terms[r]) for r in dr] + list(rt), np.int64)
             q_w = np.asarray(list(dw) + list(rw), np.float32)
-
+            exact = self._exact_scores(q_tids, q_w, cand)
+            t_order = np.lexsort((cand, -exact))
+            kth = float(exact[t_order[k - 1]]) if exact.size >= k else -np.inf
             # any doc outside the pool: true score <= v_K' + err_ub
             v_out = (float(vals[qi, -1]) + err_ub) \
                 if cand.size < self.n_docs else -np.inf
-
-            order = np.lexsort((cand, -ub))
-            n_rescore = min(cand.size, k + 8)
-            while True:
-                sel = order[:n_rescore]
-                exact = self._exact_scores(q_tids, q_w, cand[sel])
-                t_order = np.lexsort((cand[sel], -exact))
-                kth = float(exact[t_order[k - 1]]) if exact.size >= k \
-                    else -np.inf
-                rest = order[n_rescore:]
-                max_out = float(ub[rest].max()) if rest.size else -np.inf
-                max_out = max(max_out, v_out)
-                if max_out < kth or n_rescore >= cand.size:
-                    certified = max_out < kth
-                    break
-                n_rescore = min(cand.size, n_rescore * 2)
-                self.stats["rescore_expansions"] += 1
-
-            kth_val = float(exact[t_order[k - 1]]) if exact.size >= k else 0.0
+            certified = v_out < kth
+            kth_val = kth if exact.size >= k else 0.0
             if (not certified) or exact.size < k or kth_val <= 0.0:
                 # uncertified, under-filled, or zero/negative boundary
                 # (fill + epsilon-floor semantics): exact host answer
@@ -402,5 +493,5 @@ class DeviceBM25:
                 idx_out[qi], sc_out[qi] = fi, fs
                 continue
             top = t_order[:k]
-            idx_out[qi] = cand[order[:n_rescore]][top]
+            idx_out[qi] = cand[top]
             sc_out[qi] = exact[top]

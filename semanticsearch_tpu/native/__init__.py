@@ -21,7 +21,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-_ABI_VERSION = 7
+_ABI_VERSION = 8
 
 
 def ensure_built(quiet: bool = True, force: bool = False) -> bool:
@@ -134,9 +134,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_float,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
@@ -239,13 +237,14 @@ def bm25_rare_touch(
 def bm25_device_post(
     inv_indptr, inv_docs, inv_quot, idf, k1,
     vals, idx, kp,
-    s_pairs, touch_indptr, touch_docs, touch_scores,
+    touch_indptr, touch_docs,
     q_indptr, q_tids, q_w, err_ub,
     n_docs: int, k: int,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Candidate merge + exact rescore + certification for the device-BM25
-    path; returns (idx (Q,k), scores (Q,k), fallback_flags (Q,)). None if
-    the library is unavailable."""
+    path (rare-touched docs are exact-scored inside); returns (idx (Q,k),
+    scores (Q,k), fallback_flags (Q,)). None if the library is
+    unavailable."""
     lib = get_lib()
     if lib is None:
         return None
@@ -257,8 +256,7 @@ def bm25_device_post(
         _i64p(inv_indptr), _i64p(inv_docs), _f32p(inv_quot), _f32p(idf),
         ctypes.c_float(k1),
         _f32p(vals), _i64p(idx), kp,
-        _f32p(s_pairs),
-        _i64p(touch_indptr), _i64p(touch_docs), _f32p(touch_scores),
+        _i64p(touch_indptr), _i64p(touch_docs),
         _i64p(q_indptr), _i64p(q_tids), _f32p(q_w), _f32p(err_ub),
         n_queries, n_docs, k,
         _i64p(idx_out), _f32p(sc_out),

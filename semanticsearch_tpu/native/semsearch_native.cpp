@@ -756,19 +756,20 @@ void bm25_rare_touch(
 }
 
 // Phase 2: candidate merge + exact rescore + certification, per query.
-// Inputs: device top-K' (vals/idx), the gathered approx frequent scores of
-// the touched docs (s_pairs, aligned with touched CSR), the touched rare
-// scores, full query terms (ascending tid), and the error bound. Outputs
-// exact top-k (idx/scores) or fallback_flags[q]=1 when the certificate
-// fails / fewer than k positive matches (caller resolves those on the
-// host reference path).
+// Inputs: device top-K' (vals/idx) of the FREQUENT-term int8 matmul, the
+// rare-touched docs (their exact rare scores), full query terms (ascending
+// tid), and the error bound. Touched docs get a fully EXACT score up front
+// (their frequent part recomputed here via the inverted index — a handful
+// of binary searches — rather than gathered from the device score matrix,
+// which cost more in random-access HBM reads than it saved). Outputs exact
+// top-k (idx/scores) or fallback_flags[q]=1 when the certificate fails /
+// fewer than k positive matches (caller resolves those on the host
+// reference path).
 void bm25_device_post(
     const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_quot,
     const float* idf, float k1,
     const float* vals, const int64_t* idx, int32_t kp,    // (Q, K')
-    const float* s_pairs,                                  // (touched total)
     const int64_t* touch_indptr, const int64_t* touch_docs,
-    const float* touch_scores,
     const int64_t* q_indptr, const int64_t* q_tids, const float* q_w,
     const float* err_ub,
     int64_t n_queries, int64_t n_docs, int32_t k,
@@ -780,11 +781,13 @@ void bm25_device_post(
         const int64_t ts = touch_indptr[q], te = touch_indptr[q + 1];
         cands.clear();
         cands.reserve((size_t)kp + (size_t)(te - ts));
-        // touched docs: approx = gathered S + exact rare part
+        // touched docs: EXACT score immediately (ub == exact, no error)
         for (int64_t i = ts; i < te; ++i) {
-            cands.push_back({touch_docs[i],
-                             s_pairs[i] + touch_scores[i] + err_ub[q],
-                             0.0f, false});
+            const float ex = devbm25::exact_score(
+                inv_indptr, inv_docs, inv_quot, idf, k1p1,
+                q_tids + q_indptr[q], q_w + q_indptr[q],
+                q_indptr[q + 1] - q_indptr[q], touch_docs[i]);
+            cands.push_back({touch_docs[i], ex, ex, true});
         }
         // device top-K': approx = vals (+ rare part if also touched)
         for (int32_t i = 0; i < kp; ++i) {
@@ -856,6 +859,6 @@ void bm25_device_post(
     }
 }
 
-int32_t semsearch_native_abi_version() { return 7; }
+int32_t semsearch_native_abi_version() { return 8; }
 
 }  // extern "C"

@@ -151,3 +151,35 @@ def test_python_reference_post_path(monkeypatch):
         h_idx, h_sc = bm.get_topk(toks, 8)
         np.testing.assert_array_equal(d_idx[qi], h_idx, err_msg=f"q={qi}")
         np.testing.assert_array_equal(d_sc[qi], h_sc, err_msg=f"q={qi}")
+
+
+def test_sharded_device_bm25_matches_host(mesh8):
+    """Mesh-sharded C (columns over the data axis): exact parity with the
+    host kernel and with the single-device path on the 8-device mesh."""
+    rng = np.random.default_rng(11)
+    docs = _zipf_corpus(rng, 700)  # not divisible by 8: exercises padding
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    dev = DeviceBM25(bm, n_dense_terms=64, topk_device=48, query_chunk=32,
+                     mesh=mesh8)
+    q_toks = [tokenize(q) for q in _queries(rng, docs, 60)]
+    d_idx, d_sc = dev.get_topk_batch(q_toks, 10)
+    for qi, toks in enumerate(q_toks):
+        h_idx, h_sc = bm.get_topk(toks, 10)
+        np.testing.assert_array_equal(d_idx[qi], h_idx, err_msg=f"q={qi}")
+        np.testing.assert_array_equal(d_sc[qi], h_sc, err_msg=f"q={qi}")
+
+
+def test_block_topk_path_matches_host():
+    """Corpora wide enough to engage the two-stage block selection
+    (_block_topk) stay bit-exact, including at the padded tail."""
+    rng = np.random.default_rng(13)
+    docs = _zipf_corpus(rng, 5000, vocab=1500)  # pads 5000 -> 5120 cols
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    dev = DeviceBM25(bm, n_dense_terms=256, topk_device=64, query_chunk=64)
+    q_toks = [tokenize(q) for q in _queries(rng, docs, 80)]
+    d_idx, d_sc = dev.get_topk_batch(q_toks, 12)
+    assert (d_idx < 5000).all()
+    for qi, toks in enumerate(q_toks):
+        h_idx, h_sc = bm.get_topk(toks, 12)
+        np.testing.assert_array_equal(d_idx[qi], h_idx, err_msg=f"q={qi}")
+        np.testing.assert_array_equal(d_sc[qi], h_sc, err_msg=f"q={qi}")

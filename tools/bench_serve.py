@@ -51,6 +51,11 @@ def main():
                          "— serving throughput does not depend on weights)")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu for a smoke run)")
+    ap.add_argument("--device-bm25", action="store_true",
+                    help="run the lexical leg on the TPU "
+                         "(RankingConfig.lexical_device, index/bm25_tpu.py)")
+    ap.add_argument("--dense-terms", type=int, default=4096,
+                    help="device-BM25 dense matrix budget B")
     ap.add_argument("--output-dir", default=None)
     args = ap.parse_args()
 
@@ -71,8 +76,14 @@ def main():
     words = np.array([f"w{i}" for i in range(args.vocab)])
 
     t0 = time.perf_counter()
-    term_ids = rng.choice(args.vocab, size=(args.docs, args.doc_len), p=probs)
-    doc_texts = [" ".join(words[row]) for row in term_ids]
+    # variable doc lengths (doc_len/2 .. 2*doc_len): realistic chunk mix —
+    # fixed lengths put every BM25 boundary inside an exact-tie plateau
+    lens = rng.integers(max(2, args.doc_len // 2), args.doc_len * 2,
+                        size=args.docs)
+    flat = rng.choice(args.vocab, size=int(lens.sum()), p=probs)
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    doc_texts = [" ".join(words[flat[bounds[i]: bounds[i + 1]]])
+                 for i in range(args.docs)]
     log(f"[gen] {args.docs} docs in {time.perf_counter() - t0:.1f}s")
 
     out_dir = args.output_dir or tempfile.mkdtemp(prefix="bench_serve_")
@@ -84,9 +95,12 @@ def main():
 
     enc = SentenceEncoder(EncoderConfig(max_len=128), seed=0)
     t0 = time.perf_counter()
+    rank_cfg = RankingConfig(
+        lexical_device=args.device_bm25,
+        lexical_dense_terms=args.dense_terms,
+    )
     engine = HybridQueryEngine.build(
-        chunks_tsv, enc, os.path.join(out_dir, "idx"),
-        rank_cfg=RankingConfig(bm25_threads=4),
+        chunks_tsv, enc, os.path.join(out_dir, "idx"), rank_cfg=rank_cfg,
     )
     log(f"[build] index+bm25+texts in {time.perf_counter() - t0:.1f}s")
 
@@ -140,8 +154,11 @@ def main():
     t0 = time.perf_counter()
     from semanticsearch_tpu.index.bm25 import tokenize
 
-    engine.bm25.get_topk_batch([tokenize(q) for q in batch], args.depth,
-                               n_threads=4)
+    q_toks = [tokenize(q) for q in batch]
+    if args.device_bm25 and engine._device_bm25 is not None:
+        engine._device_bm25.get_topk_batch(q_toks, args.depth)
+    else:
+        engine.bm25.get_topk_batch(q_toks, args.depth, n_threads=4)
     bm25_dt = time.perf_counter() - t0
 
     result = {
@@ -152,6 +169,9 @@ def main():
         "k": args.k,
         "depth": args.depth,
         "rerank_top": args.rerank_top,
+        "device_bm25": args.device_bm25,
+        "device_bm25_stats": (dict(engine._device_bm25.stats)
+                              if engine._device_bm25 is not None else None),
         "leg_ms_per_batch": {
             "encode": round(enc_dt * 1e3, 1),
             "dense_topk": round(dense_dt * 1e3, 1),
