@@ -32,6 +32,7 @@ logger = get_logger("index")
 EMB_FILE = "embeddings.f16.npy"
 IDS_FILE = "ids.tsv"
 META_FILE = "meta.json"
+PROGRESS_FILE = "build.progress.json"
 
 
 def build_corpus_index(
@@ -41,9 +42,21 @@ def build_corpus_index(
     text_column: str = "chunk_text",
     batch_size: int = 1024,
     limit: Optional[int] = None,
+    resume: bool = False,
 ) -> Dict:
-    """Embed every chunk and persist the shard layout. Returns meta."""
+    """Embed every chunk and persist the shard layout. Returns meta.
+
+    ``resume=True`` makes the long embed stage RESTART-SAFE: an embed
+    cursor (``build.progress.json``, committed every 16 batches) records
+    how many rows are durably in the f16 memmap; a rerun after a crash
+    re-encodes only from the cursor. ``meta.json`` is written LAST and acts
+    as the completion marker — a finished build short-circuits entirely.
+    The output is byte-identical to an uninterrupted build (encoding is
+    deterministic per text).
+    """
     os.makedirs(output_dir, exist_ok=True)
+    meta_path = os.path.join(output_dir, META_FILE)
+    progress_path = os.path.join(output_dir, PROGRESS_FILE)
 
     # Pass 1: count rows (memmap needs a static shape).
     n_rows = sum(1 for _ in read_tsv(chunks_tsv, limit=limit))
@@ -51,38 +64,77 @@ def build_corpus_index(
         raise ValueError(f"no rows in {chunks_tsv}")
     dim = encoder.cfg.hidden_dim
 
-    emb_path = os.path.join(output_dir, EMB_FILE)
-    mm = np.lib.format.open_memmap(
-        emb_path, mode="w+", dtype=np.float16, shape=(n_rows, dim)
-    )
+    if resume and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("rows") == n_rows and meta.get("dim") == dim:
+            logger.info("index already complete at %s (%d rows); resume "
+                        "skips the build", output_dir, n_rows)
+            return meta
 
+    emb_path = os.path.join(output_dir, EMB_FILE)
+    start_row = 0
+    if resume and os.path.exists(progress_path) and os.path.exists(emb_path):
+        with open(progress_path) as f:
+            prog = json.load(f)
+        if prog.get("n_rows") == n_rows and prog.get("dim") == dim:
+            start_row = int(prog.get("rows_done", 0))
+            logger.info("resuming embed stage at row %d/%d",
+                        start_row, n_rows)
+    if start_row > 0:
+        mm = np.lib.format.open_memmap(emb_path, mode="r+")
+        assert mm.shape == (n_rows, dim), (mm.shape, n_rows, dim)
+    else:
+        mm = np.lib.format.open_memmap(
+            emb_path, mode="w+", dtype=np.float16, shape=(n_rows, dim)
+        )
+
+    def _commit_progress(rows_done: int) -> None:
+        tmp = progress_path + ".tmp"
+        mm.flush()
+        with open(tmp, "w") as f:
+            json.dump({"rows_done": rows_done, "n_rows": n_rows,
+                       "dim": dim}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, progress_path)
+
+    # ---- embed stage (the long one; cursor-resumable) ----
+    row_idx = 0
+    for batch in batched(read_tsv(chunks_tsv, limit=limit), batch_size):
+        if row_idx + len(batch) <= start_row:
+            row_idx += len(batch)
+            continue  # durably embedded before the restart
+        texts = [r.get(text_column, "") for r in batch]
+        embs = encoder.encode(texts, batch_size=batch_size)
+        mm[row_idx: row_idx + len(batch)] = embs.astype(np.float16)
+        row_idx += len(batch)
+        if (row_idx // batch_size) % 16 == 0:
+            _commit_progress(row_idx)
+            logger.info("indexed %d/%d chunks", row_idx, n_rows)
+    mm.flush()
+
+    # ---- ids stage (fast streaming pass, no device) ----
     def id_rows() -> Iterator[Dict[str, str]]:
-        row_idx = 0
-        for batch in batched(read_tsv(chunks_tsv, limit=limit), batch_size):
-            texts = [r.get(text_column, "") for r in batch]
-            embs = encoder.encode(texts, batch_size=batch_size)
-            mm[row_idx: row_idx + len(batch)] = embs.astype(np.float16)
-            for r in batch:
-                yield {
-                    "row": str(row_idx),
-                    "chunk_id": r.get("chunk_id", str(row_idx)),
-                    "query_id": r.get("query_id", ""),
-                    "document_id": r.get("document_id", ""),
-                }
-                row_idx += 1
-            if row_idx % (batch_size * 16) == 0:
-                logger.info("indexed %d/%d chunks", row_idx, n_rows)
+        for i, r in enumerate(read_tsv(chunks_tsv, limit=limit)):
+            yield {
+                "row": str(i),
+                "chunk_id": r.get("chunk_id", str(i)),
+                "query_id": r.get("query_id", ""),
+                "document_id": r.get("document_id", ""),
+            }
 
     write_tsv(os.path.join(output_dir, IDS_FILE), id_rows(),
               ["row", "chunk_id", "query_id", "document_id"])
-    mm.flush()
     meta = {
         "rows": n_rows,
         "dim": dim,
         "encoder_config": dataclasses.asdict(encoder.cfg),
     }
-    with open(os.path.join(output_dir, META_FILE), "w") as f:
+    with open(meta_path, "w") as f:
         json.dump(meta, f, indent=2)
+    if os.path.exists(progress_path):
+        os.unlink(progress_path)
     logger.info("index built: %d rows x %d dims at %s", n_rows, dim, output_dir)
     return meta
 

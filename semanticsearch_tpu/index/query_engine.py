@@ -135,21 +135,33 @@ class HybridQueryEngine:
         rank_cfg: RankingConfig = RankingConfig(),
         text_column: str = "chunk_text",
         limit: Optional[int] = None,
+        resume: bool = False,
     ) -> "HybridQueryEngine":
-        """Embed + persist the dense index AND the BM25 term statistics."""
+        """Embed + persist the dense index AND the BM25 term statistics.
+
+        ``resume=True``: restart-safe at stage boundaries — the embed stage
+        resumes from its durable cursor (``builder.build_corpus_index``),
+        and completed BM25/texts stages (files already present) are skipped.
+        """
         from .builder import build_corpus_index
 
         build_corpus_index(chunks_tsv, encoder, output_dir,
-                           text_column=text_column, limit=limit)
+                           text_column=text_column, limit=limit,
+                           resume=resume)
         texts = [r.get(text_column, "")
                  for r in read_tsv(chunks_tsv, limit=limit)]
-        bm25 = BM25Okapi(
-            [tokenize(t) for t in texts],
-            k1=rank_cfg.bm25_k1, b=rank_cfg.bm25_b,
-            epsilon=rank_cfg.bm25_epsilon,
-        )
-        with open(os.path.join(output_dir, BM25_FILE), "wb") as f:
-            pickle.dump(bm25, f)
+        bm25_path = os.path.join(output_dir, BM25_FILE)
+        if resume and os.path.exists(bm25_path):
+            with open(bm25_path, "rb") as f:
+                bm25 = pickle.load(f)
+        else:
+            bm25 = BM25Okapi(
+                [tokenize(t) for t in texts],
+                k1=rank_cfg.bm25_k1, b=rank_cfg.bm25_b,
+                epsilon=rank_cfg.bm25_epsilon,
+            )
+            with open(bm25_path, "wb") as f:
+                pickle.dump(bm25, f)
         # persist row-aligned chunk texts: the serve-time reranker needs them
         # (the reference keeps chunk_text in every stage TSV for the same
         # reason, rank_chunks_optimized.py:161-199)
@@ -158,10 +170,12 @@ class HybridQueryEngine:
         # NOTE: the column is named chunk_text because read_tsv
         # canonicalizes every CHUNK_TEXT_KEYS alias (incl. "text") to that
         # key — reading must use the canonical name
-        write_tsv(
-            os.path.join(output_dir, TEXTS_FILE),
-            ({"chunk_text": t} for t in texts), ["chunk_text"],
-        )
+        texts_path = os.path.join(output_dir, TEXTS_FILE)
+        if not (resume and os.path.exists(texts_path)):
+            write_tsv(
+                texts_path,
+                ({"chunk_text": t} for t in texts), ["chunk_text"],
+            )
         # a trained subword tokenizer is part of the index contract: queries
         # must encode with the vocabulary the corpus was embedded under
         if hasattr(encoder.tokenizer, "save"):

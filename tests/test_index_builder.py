@@ -33,3 +33,68 @@ def test_build_and_load_index_roundtrip(tmp_path, mesh8):
     q = enc.encode(["chunk number 7 talks about topic 1"])
     res = index.search(q, k=3)
     assert chunk_ids[res.indices[0][0]] == "c7"
+
+
+def test_build_resume_after_crash(tmp_path, mesh8):
+    """A build killed mid-embed resumes from the durable cursor and produces
+    byte-identical artifacts to an uninterrupted build."""
+    import numpy as np
+    import pytest
+
+    from semanticsearch_tpu.core.config import EncoderConfig
+    from semanticsearch_tpu.data.tsv import write_tsv
+    from semanticsearch_tpu.index.builder import (EMB_FILE, PROGRESS_FILE,
+                                                  build_corpus_index)
+    from semanticsearch_tpu.models.encoder import SentenceEncoder
+
+    rows = [{"chunk_id": f"c{i}", "query_id": "", "document_id": f"d{i}",
+             "chunk_text": f"text number {i} with some words {i % 7}"}
+            for i in range(200)]
+    chunks = tmp_path / "chunks.tsv"
+    write_tsv(str(chunks), rows,
+              ["chunk_id", "query_id", "document_id", "chunk_text"])
+    enc = SentenceEncoder(EncoderConfig(
+        vocab_size=500, hidden_dim=16, num_layers=1, num_heads=2,
+        mlp_dim=32, max_len=16, dtype="float32"))
+
+    # reference: uninterrupted build
+    ref_dir = tmp_path / "ref"
+    build_corpus_index(str(chunks), enc, str(ref_dir), batch_size=4)
+    ref_emb = np.load(str(ref_dir / EMB_FILE))
+
+    # crashing encoder: dies after 20 batches (past a 16-batch cursor commit)
+    class CrashingEncoder:
+        def __init__(self, inner, die_after):
+            self.inner = inner
+            self.cfg = inner.cfg
+            self.tokenizer = inner.tokenizer
+            self.calls = 0
+            self.die_after = die_after
+
+        def encode(self, texts, batch_size=256):
+            self.calls += 1
+            if self.calls > self.die_after:
+                raise RuntimeError("simulated crash mid-build")
+            return self.inner.encode(texts, batch_size=batch_size)
+
+    out_dir = tmp_path / "resumed"
+    crasher = CrashingEncoder(enc, die_after=20)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_corpus_index(str(chunks), crasher, str(out_dir),
+                           batch_size=4, resume=True)
+    assert (out_dir / PROGRESS_FILE).exists()
+
+    # resume with a healthy encoder: must re-encode ONLY the tail
+    counting = CrashingEncoder(enc, die_after=10**9)
+    build_corpus_index(str(chunks), counting, str(out_dir),
+                       batch_size=4, resume=True)
+    assert counting.calls < 50  # 200/4 = 50 batches total; most skipped
+    assert not (out_dir / PROGRESS_FILE).exists()
+    np.testing.assert_array_equal(np.load(str(out_dir / EMB_FILE)), ref_emb)
+    assert (out_dir / "ids.tsv").read_text() == \
+        (ref_dir / "ids.tsv").read_text()
+
+    # a second resume call is a no-op (meta.json completion marker)
+    noop = CrashingEncoder(enc, die_after=0)
+    build_corpus_index(str(chunks), noop, str(out_dir), batch_size=4,
+                       resume=True)
