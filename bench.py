@@ -49,6 +49,9 @@ def main() -> int:
                         help="pass-B rescore chunk rows")
     parser.add_argument("--block-q", type=int, default=256,
                         help="pass-A query block rows")
+    parser.add_argument("--mxu-overlap", action="store_true",
+                        help="pass-A kernel variant: per-fine-segment-group "
+                             "matmuls with progressive max (MXU/VPU overlap)")
     args = parser.parse_args()
 
     import jax
@@ -109,7 +112,7 @@ def main() -> int:
                 block_q=min(args.query_batch, args.block_q),
                 block_n=args.block_n,
                 corpus_swizzled=corpus_sw, seg_split=args.seg_split,
-                q_chunk=args.q_chunk,
+                q_chunk=args.q_chunk, mxu_overlap=args.mxu_overlap,
             )
         return topk_scores_pallas(
             q, corpus, k=args.k,

@@ -383,10 +383,80 @@ def _segtopk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *,
         oi_ref[:] = new_i
 
 
+def _segtopk_kernel_overlap(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *,
+                            k_sel: int, block_q: int, block_n: int,
+                            n_valid_segs: int, seg_split: int):
+    """Pass-A kernel with MXU/VPU OVERLAP (round-3 attempt at the
+    BASELINE.md anatomy gap: segmax was a ~42 ms full-tile VPU pass after
+    an ~82 ms matmul).
+
+    Instead of one (block_q, block_n) matmul followed by a monolithic
+    segment-max over the 32 MB score tile, the corpus window is processed
+    in ``seg_split`` row-slices of L2*128 columns each: a narrow matmul
+    produces one fine-segment group's scores and its max reduces
+    immediately. Consecutive iterations have no data dependency
+    (matmul_{h+1} is independent of max_h), so the VPU reduction of slice
+    h can run under the MXU work of slice h+1, and the full score tile is
+    never materialized (each slice dies in VMEM). Bit-identical results to
+    :func:`_segtopk_kernel` — same segment maxima, same order, same merge.
+    """
+    cb = pl.program_id(0)
+    qb = pl.program_id(1)
+    n_cb = pl.num_programs(0)
+    row0 = qb * block_q
+
+    @pl.when(cb == 0)
+    def _init():
+        acc_v[pl.ds(row0, block_q), :] = jnp.full(
+            (block_q, _LANE), NEG_INF, acc_v.dtype
+        )
+        acc_i[pl.ds(row0, block_q), :] = -1 - jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, _LANE), 1
+        )
+
+    L = block_n // _LANE
+    L2 = L // seg_split
+    q_tile = q_ref[:]
+    parts = []
+    for h in range(seg_split):
+        c_h = c_ref[pl.ds(h * L2 * _LANE, L2 * _LANE), :]
+        scores_h = jax.lax.dot_general(
+            q_tile, c_h,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, L2*128): column j2*128+s of fine segment (h, s)
+        parts.append(jnp.max(
+            scores_h.reshape(block_q, L2, _LANE), axis=1
+        ))  # (block_q, 128)
+    segmax = jnp.stack(parts, axis=1).reshape(block_q, seg_split * _LANE)
+    seg_ids = (
+        seg_split * jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, seg_split, _LANE), 2)
+        + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, seg_split, _LANE), 1)
+        + cb * (seg_split * _LANE)
+    ).reshape(block_q, seg_split * _LANE)
+    segmax = jnp.where(seg_ids < n_valid_segs, segmax, NEG_INF)
+
+    cur_v = acc_v[pl.ds(row0, block_q), :]
+    cur_i = acc_i[pl.ds(row0, block_q), :]
+    vals = jnp.concatenate([cur_v, segmax], axis=1)
+    idxs = jnp.concatenate([cur_i, seg_ids], axis=1)
+    new_v, new_i = _select_topk_rows(vals, idxs, k_sel, _LANE)
+    acc_v[pl.ds(row0, block_q), :] = new_v
+    acc_i[pl.ds(row0, block_q), :] = new_i
+
+    @pl.when(cb == n_cb - 1)
+    def _emit():
+        ov_ref[:] = new_v
+        oi_ref[:] = new_i
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_q", "block_n", "q_chunk", "interpret",
-                     "gather_from_swizzled", "valid_n", "seg_split"),
+                     "gather_from_swizzled", "valid_n", "seg_split",
+                     "mxu_overlap"),
 )
 def topk_scores_twopass(
     queries: jax.Array,
@@ -400,6 +470,7 @@ def topk_scores_twopass(
     gather_from_swizzled: bool = False,
     valid_n: int = -1,
     seg_split: int = 1,
+    mxu_overlap: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k inner-product search, two-pass: (values, indices), (Q, k).
 
@@ -445,6 +516,7 @@ def topk_scores_twopass(
                 corpus_swizzled=corpus_swizzled,
                 gather_from_swizzled=gather_from_swizzled,
                 valid_n=valid_n, seg_split=seg_split,
+                mxu_overlap=mxu_overlap,
             )
             for s in range(0, q, max_q)
         ]
@@ -485,9 +557,10 @@ def topk_scores_twopass(
     k_sel = min(k + 1, _LANE)
 
     grid = (c_blocks, q_pad // block_q)
+    kernel_fn = _segtopk_kernel_overlap if mxu_overlap else _segtopk_kernel
     _, seg_ids_full = pl.pallas_call(
         functools.partial(
-            _segtopk_kernel, k_sel=k_sel, block_q=block_q, block_n=block_n,
+            kernel_fn, k_sel=k_sel, block_q=block_q, block_n=block_n,
             n_valid_segs=n_valid_segs, seg_split=seg_split,
         ),
         grid=grid,

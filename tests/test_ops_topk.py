@@ -183,3 +183,27 @@ def test_topk_handles_k_larger_than_tie_groups(rng):
     Q = C[:1]
     _, idx = topk_scores_ref(jnp.asarray(Q), jnp.asarray(C), k=8, block_n=8)
     assert len(set(np.asarray(idx)[0].tolist())) == 8
+
+
+@pytest.mark.parametrize("seg_split", [1, 2, 4])
+def test_topk_twopass_mxu_overlap_matches(rng, seg_split):
+    """The MXU/VPU-overlap pass-A kernel is bit-identical to the monolithic
+    one (same segment maxima, same merge) and exact vs brute force."""
+    import numpy as np
+
+    q, n, d, k = 16, 2000, 128, 7
+    queries = jnp.asarray(rng.standard_normal((q, d)), jnp.float32)
+    corpus = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    block_n = 512
+    va, ia = topk_scores_twopass(
+        queries, corpus, k=k, block_n=block_n, seg_split=seg_split,
+        interpret=True)
+    vb, ib = topk_scores_twopass(
+        queries, corpus, k=k, block_n=block_n, seg_split=seg_split,
+        interpret=True, mxu_overlap=True)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    # and exact vs brute force
+    ref = np.asarray(queries) @ np.asarray(corpus).T
+    ref_idx = np.argsort(-ref, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.asarray(ib), ref_idx)

@@ -101,6 +101,7 @@ def main():
     )
     engine = HybridQueryEngine.build(
         chunks_tsv, enc, os.path.join(out_dir, "idx"), rank_cfg=rank_cfg,
+        resume=True,  # with --output-dir, reruns reuse the built index
     )
     log(f"[build] index+bm25+texts in {time.perf_counter() - t0:.1f}s")
 
