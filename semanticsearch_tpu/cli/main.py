@@ -276,9 +276,14 @@ def cmd_search(args) -> int:
 
     cfg = _apply_sets(get_named_config(args.config), args.set)
     enc = _make_encoder(cfg, args)
+    rank_cfg = cfg.ranking
+    if getattr(args, "device_bm25", False):
+        import dataclasses as _dc
+
+        rank_cfg = _dc.replace(rank_cfg, lexical_device=True)
     engine = HybridQueryEngine.load(
         args.index_dir, enc, mesh=local_mesh(),
-        index_cfg=cfg.index, rank_cfg=cfg.ranking,
+        index_cfg=cfg.index, rank_cfg=rank_cfg,
         reranker_dir=getattr(args, "rerank", None),
     )
     results = engine.search(
@@ -551,6 +556,9 @@ def main(argv=None) -> int:
                    help="trained reranker checkpoint dir: rescore the "
                         "top --rerank-top RRF candidates on device")
     p.add_argument("--rerank-top", type=int, default=20)
+    p.add_argument("--device-bm25", action="store_true",
+                   help="score the lexical leg on the TPU "
+                        "(index/bm25_tpu.py; exact, certified)")
     p.add_argument("query", nargs="+")
     _add_config_args(p)
     p.set_defaults(fn=cmd_search)
