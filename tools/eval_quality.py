@@ -316,15 +316,26 @@ def main():
     for model_name in model_names:
         lengths = (12, 18) if model_name == "arcii" else (8, 16)
         pp, train_ds, cand_ds = bundle(lengths)
-        tr_cfg = TrainConfig(
-            model=model_name, epochs=args.reranker_epochs, batch_size=32,
-            num_neg=4, optimizer="adam", learning_rate=0.01,
-            embedding_dim=64, filter_low_freq=1,
+        # each model keeps ITS reference-derived preset loss / clip / arch
+        # kwargs (train/presets.py); the optimizer is compute-budget
+        # adjusted to adam@1e-3 for every model — measured: adadelta@1.0
+        # (the reference's choice, tuned for 10-30 epochs) moves the
+        # LSTM-family loss 1.61->1.37 in the 4-epoch budget while adam@1e-3
+        # reaches 0.23; adam@1e-2 diverges (hinge pinned at 1.0)
+        import dataclasses as _dc
+
+        from semanticsearch_tpu.train.presets import get_preset
+
+        preset_cfg, model_kwargs = get_preset(model_name)
+        tr_cfg = _dc.replace(
+            preset_cfg, epochs=args.reranker_epochs, batch_size=64,
+            num_dup=1, num_neg=4, embedding_dim=64, filter_low_freq=1,
+            optimizer="adam", learning_rate=1e-3,
             fixed_length_left=lengths[0], fixed_length_right=lengths[1],
         )
         t0 = time.perf_counter()
         reranker = RerankTrainer(model_name, vocab_size=pp.vocab_size,
-                                 cfg=tr_cfg)
+                                 cfg=tr_cfg, model_kwargs=model_kwargs)
         fit_res = reranker.fit(train_ds)
         cand_pred = reranker.predict(fit_res.params, cand_ds)
         final_scores = np.full((nq, nd), -np.inf, np.float32)
