@@ -51,7 +51,7 @@ Measured (BASELINE.md): 2,116 QPS exact at a 1M-doc corpus on v5e-1 vs
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
