@@ -1,0 +1,126 @@
+"""Assemble the scale quality matrix (tools/eval_quality.py runs) into the
+BASELINE.md table: per-method metrics as mean±std across seeds, the
+hash-vs-subword tokenizer delta, and which rerankers beat their candidate
+generator (reference claim surface: MatchZoo_Tool/evaluate_models.py:545-593).
+
+Usage: python tools/quality_report.py [--dir bench_results] [--out -]
+Reads  quality_scale_{hash,subword}_s{N}.json  files (one JSON line each).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+METRICS = ("map", "ndcg@10", "p@10", "mrr")
+
+
+def load_runs(d):
+    runs = defaultdict(dict)  # tokenizer -> seed -> results
+    for path in sorted(glob.glob(os.path.join(d, "quality_scale_*.json"))):
+        m = re.search(r"quality_scale_(hash|subword)_s(\d+)\.json$", path)
+        if not m or os.path.getsize(path) == 0:
+            continue
+        with open(path) as f:
+            obj = json.loads(f.read().strip())
+        runs[m.group(1)][int(m.group(2))] = obj
+    return runs
+
+
+def agg(runs_for_tok, method, metric):
+    vals = [r["results"][method][metric]
+            for r in runs_for_tok.values() if method in r["results"]]
+    if not vals:
+        return None
+    return float(np.mean(vals)), float(np.std(vals)), len(vals)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="bench_results")
+    ap.add_argument("--out", default="-")
+    args = ap.parse_args()
+    runs = load_runs(args.dir)
+    if not runs:
+        print("no completed runs found", file=sys.stderr)
+        return 1
+
+    any_tok = "subword" if "subword" in runs else "hash"
+    some = next(iter(runs[any_tok].values()))
+    methods = list(some["results"].keys())
+    lines = []
+    meta = some
+    lines.append(
+        f"Scale quality eval: {meta['topics']} topics, "
+        f"{meta['eval_queries']} eval queries x {meta['eval_docs']} docs, "
+        f"morphology-inflected splits (tools/eval_quality.py --scale)."
+    )
+    lines.append("")
+    header = "| Method |"
+    for tok in ("hash", "subword"):
+        if tok in runs:
+            seeds = sorted(runs[tok])
+            header += (f" {tok} MAP (seeds {seeds}) | {tok} nDCG@10 |")
+    lines.append(header)
+    lines.append("|---" * (header.count("|") - 1) + "|")
+    for method in methods:
+        row = f"| {method} |"
+        for tok in ("hash", "subword"):
+            if tok not in runs:
+                continue
+            a = agg(runs[tok], method, "map")
+            b = agg(runs[tok], method, "ndcg@10")
+            row += (f" {a[0]:.4f}±{a[1]:.4f} |" if a else " — |")
+            row += (f" {b[0]:.4f}±{b[1]:.4f} |" if b else " — |")
+        lines.append(row)
+
+    # tokenizer delta on the trained-encoder method (the claim under test)
+    if "hash" in runs and "subword" in runs:
+        lines.append("")
+        for method in ("dense_trained_encoder", "hybrid_rrf"):
+            h = agg(runs["hash"], method, "map")
+            s = agg(runs["subword"], method, "map")
+            if h and s:
+                lines.append(
+                    f"Subword-vs-hash MAP delta on {method}: "
+                    f"{s[0]:.4f} vs {h[0]:.4f} "
+                    f"({(s[0] - h[0]) / max(h[0], 1e-9) * 100:+.1f}%)."
+                )
+
+    # which rerankers beat their candidate generator (hybrid_rrf), per tok
+    for tok in sorted(runs):
+        base = agg(runs[tok], "hybrid_rrf", "map")
+        if not base:
+            continue
+        beats, loses = [], []
+        for method in methods:
+            if not method.startswith("hybrid_plus_"):
+                continue
+            a = agg(runs[tok], method, "map")
+            if a is None:
+                continue
+            (beats if a[0] > base[0] else loses).append(
+                f"{method.removeprefix('hybrid_plus_')} ({a[0]:.3f})")
+        lines.append("")
+        lines.append(
+            f"[{tok}] rerankers beating their hybrid candidate generator "
+            f"(MAP {base[0]:.3f}): {', '.join(beats) or 'none'}; "
+            f"not beating: {', '.join(loses) or 'none'}.")
+
+    text = "\n".join(lines)
+    if args.out == "-":
+        print(text)
+    else:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
