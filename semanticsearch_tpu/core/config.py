@@ -252,3 +252,11 @@ register_config(
     _base.override(chunking={"method": "splitter", "use_dp_refine": True}),
 )
 register_config("default", _base)
+# Production serving profile (round 3): every query-path leg on the chip —
+# device-resident exact BM25 lexical scoring (index/bm25_tpu.py) next to
+# the dense Pallas top-k; combine with `--tokenizer tokenizer.json` /
+# `--encoder-ckpt` for trained-vocabulary encoding.
+register_config(
+    "serve_device",
+    _base.override(ranking={"lexical_device": True}),
+)

@@ -183,3 +183,41 @@ def test_block_topk_path_matches_host():
         h_idx, h_sc = bm.get_topk(toks, 12)
         np.testing.assert_array_equal(d_idx[qi], h_idx, err_msg=f"q={qi}")
         np.testing.assert_array_equal(d_sc[qi], h_sc, err_msg=f"q={qi}")
+
+
+def test_device_bm25_invalidated_by_compact(tmp_path, mesh8):
+    """Serve-time adds + compact: the device matrix is stale after compact
+    (new rows, new statistics) and must rebuild; results stay exact
+    throughout the add -> search -> compact -> search cycle."""
+    from semanticsearch_tpu.core.config import EncoderConfig, RankingConfig
+    from semanticsearch_tpu.data.tsv import write_tsv
+    from semanticsearch_tpu.index.query_engine import HybridQueryEngine
+    from semanticsearch_tpu.models.encoder import SentenceEncoder
+
+    rng = np.random.default_rng(21)
+    docs = _zipf_corpus(rng, 30, vocab=100, doc_len=(5, 15))
+    rows = [{"chunk_id": f"c{i}", "query_id": "", "document_id": f"d{i}",
+             "chunk_text": t} for i, t in enumerate(docs)]
+    chunks = tmp_path / "chunks.tsv"
+    write_tsv(str(chunks), rows,
+              ["chunk_id", "query_id", "document_id", "chunk_text"])
+    enc = SentenceEncoder(EncoderConfig(
+        vocab_size=500, hidden_dim=32, num_layers=1, num_heads=2,
+        mlp_dim=64, max_len=32, dtype="float32"))
+    HybridQueryEngine.build(str(chunks), enc, str(tmp_path / "idx"),
+                            mesh=mesh8)
+    engine = HybridQueryEngine.load(
+        str(tmp_path / "idx"), enc, mesh=mesh8,
+        rank_cfg=RankingConfig(lexical_device=True, lexical_dense_terms=32))
+    q = " ".join(docs[3].split()[:3])
+    _ = engine.search([q], k=3)
+    dev_before = engine._device_bm25
+    assert dev_before is not None
+
+    engine.add_documents(["c_new"], ["totally fresh glacier words here"])
+    engine.compact()
+    assert engine._device_bm25 is None  # stale matrix dropped
+    hits = engine.search(["totally fresh glacier"], k=2)[0]
+    assert engine._device_bm25 is not None
+    assert engine._device_bm25 is not dev_before  # rebuilt over new stats
+    assert hits[0].chunk_id == "c_new"
