@@ -457,7 +457,13 @@ class HybridQueryEngine:
         fetch = depth
         if self._dead:
             fetch = depth + ((len(self._dead) + 63) // 64) * 64
-        q_emb = self.encoder.encode(list(queries))
+        # device-resident embeddings when the encoder supports it: the
+        # dense leg consumes them directly, skipping a download+re-upload
+        # round trip per batch (models/encoder.py::encode_device)
+        if hasattr(self.encoder, "encode_device"):
+            q_emb = self.encoder.encode_device(list(queries))
+        else:
+            q_emb = self.encoder.encode(list(queries))
         dense = self.index.search(q_emb, k=min(fetch, self.index.size))
 
         # serve-time adds: search the delta buffer and merge by score (both

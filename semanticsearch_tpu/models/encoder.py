@@ -310,6 +310,53 @@ class SentenceEncoder:
                 s += b
         return out
 
+    def encode_device(self, texts: Sequence[str], batch_size: int = 256):
+        """Encode to a DEVICE-RESIDENT (N, hidden_dim) f32 array, in input
+        order, with NO host fetch.
+
+        The serve path feeds these embeddings straight into the dense
+        top-k kernel — ``encode()`` would download them to the host only
+        for ``index.search`` to upload them again (two transfers + two
+        round-trips per batch through a remote link). Buckets/chunks are
+        reassembled with one on-device gather. No OOM-halving retry here
+        (serve batches are fixed-size); callers needing the retry ladder
+        use :meth:`encode`.
+        """
+        if not len(texts):
+            return jnp.zeros((0, self.cfg.hidden_dim), jnp.float32)
+        ids_full, mask_full = self.tokenizer.encode_batch(
+            texts, max_len=self.cfg.max_len
+        )
+        lengths = mask_full.sum(axis=1)
+        buckets: dict = {}
+        for i, ln in enumerate(lengths):
+            buckets.setdefault(self._bucket_for(int(ln)), []).append(i)
+        n_dev = self.mesh.shape["data"] if self.mesh is not None else 1
+        order_parts = []
+        emb_parts = []
+        for L, idxs in buckets.items():
+            for s in range(0, len(idxs), batch_size):
+                sel = idxs[s: s + batch_size]
+                b = len(sel)
+                b_pad = -(-b // n_dev) * n_dev
+                ids = np.zeros((b_pad, L), np.int32)
+                mask = np.zeros((b_pad, L), np.int32)
+                ids[:b] = ids_full[sel, :L]
+                mask[:b] = mask_full[sel, :L]
+                emb = self._forward(
+                    self.params, jnp.asarray(ids), jnp.asarray(mask)
+                )
+                order_parts.append(np.asarray(sel, np.int64))
+                emb_parts.append(emb[:b])
+        order = np.concatenate(order_parts)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size)
+        embs = emb_parts[0] if len(emb_parts) == 1 else jnp.concatenate(
+            emb_parts, axis=0)
+        if np.array_equal(inv, np.arange(order.size)):
+            return embs  # single bucket, sequential chunks: already ordered
+        return jnp.take(embs, jnp.asarray(inv), axis=0)
+
 
 def get_encoder(
     cfg: EncoderConfig = EncoderConfig(),

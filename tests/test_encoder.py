@@ -55,3 +55,23 @@ def test_encoder_mask_isolation():
     short = enc.encode(["tiny text"])  # bucket 64 (max for this cfg)
     again = enc.encode(["tiny text", "x " * 50])  # same bucket, longer batch
     np.testing.assert_allclose(short[0], again[0], rtol=1e-4, atol=1e-5)
+
+
+def test_encode_device_matches_encode():
+    """encode_device returns the same embeddings as encode (device-resident,
+    input order preserved across buckets and chunks)."""
+    import numpy as np
+
+    from semanticsearch_tpu.core.config import EncoderConfig
+    from semanticsearch_tpu.models.encoder import SentenceEncoder
+
+    enc = SentenceEncoder(EncoderConfig(
+        vocab_size=300, hidden_dim=16, num_layers=1, num_heads=2,
+        mlp_dim=32, max_len=64, dtype="float32"))
+    # mix of lengths spanning buckets, batch smaller than the text count
+    texts = (["short text"] * 5
+             + ["a much longer text " * 8] * 5
+             + ["mid size sentence here with words"] * 5)
+    ref = enc.encode(texts, batch_size=4)
+    dev = np.asarray(enc.encode_device(texts, batch_size=4))
+    np.testing.assert_allclose(ref, dev, atol=1e-6)
