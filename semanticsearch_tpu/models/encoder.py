@@ -169,12 +169,28 @@ class SentenceEncoder:
         tokenizer=None,
         params=None,
     ) -> None:
+        from ..parallel.tensor import mesh_tp_size, tp_compatible
+
         self.cfg = cfg
         self.mesh = mesh
         self.tokenizer = tokenizer or HashingTokenizer(
             vocab_size=cfg.vocab_size, max_len=cfg.max_len
         )
-        self.model = SentenceTransformerModel(cfg)
+        self._tp = mesh_tp_size(mesh) if (
+            mesh is not None and tp_compatible(cfg, mesh_tp_size(mesh))
+        ) else 1
+        if self._tp > 1:
+            # Tensor-parallel runs use stock XLA attention: the Pallas flash
+            # kernel is not SPMD-partitionable over the sharded head axis,
+            # and TP targets exactly the large-model regime where per-head
+            # width stays MXU-friendly anyway (parallel/tensor.py).
+            import dataclasses
+
+            self.model = SentenceTransformerModel(
+                dataclasses.replace(cfg, attention="stock")
+            )
+        else:
+            self.model = SentenceTransformerModel(cfg)
         if params is None:
             # Initialize on the HOST CPU: parameter init is dominated by
             # large threefry RNG kernels (the embedding table alone is
@@ -198,7 +214,14 @@ class SentenceEncoder:
                     np.asarray,
                     init_model.init(rng, dummy_ids, dummy_mask)["params"],
                 )
-        if mesh is not None:
+        if mesh is not None and self._tp > 1:
+            # Megatron-style parameter layout over the ``model`` axis; the
+            # SPMD partitioner derives all activation shardings + collectives
+            # from it (parallel/tensor.py)
+            from ..parallel.tensor import shard_encoder_params
+
+            params = shard_encoder_params(params, mesh, cfg)
+        elif mesh is not None:
             params = jax.device_put(params, NamedSharding(mesh, P()))
         else:
             # pin to the default device ONCE — host-resident params would
