@@ -128,6 +128,9 @@ class RankingConfig:
     lexical_device: bool = False
     lexical_dense_terms: int = 4096  # dense matrix budget B (HBM: B*D int8)
     lexical_topk_device: int = 64    # candidates fetched per query (K')
+    # residual int8 pass: ~100x tighter certification bound -> near-zero
+    # host-fallback rate, at 2x matrix HBM (index/bm25_tpu.py)
+    lexical_residual: bool = True
 
     def resolved_bm25_threads(self) -> int:
         if self.bm25_threads > 0:

@@ -45,8 +45,18 @@ DESIGN — frequency-split exact scoring:
   to the host kernel in one batched native call, so the output is ALWAYS
   exact; ``stats`` reports the certificate rate and per-phase timings.
 
+- RESIDUAL PASS (default on): certification failures are expensive (a
+  full host top-k each), and at corpus scale they dominated the leg (r3:
+  4.5% x ~6 ms ≈ 270 ms of a 630 ms batch). A second int8 matrix holding
+  the first quantization's residuals (scale ~s/254) plus an f32->bf16x2
+  weight split shrinks ``err_ub`` ~100x, making certification essentially
+  always succeed — 3x the MXU work (still tens of ms) for a near-zero
+  fallback rate. 2x matrix memory; ``residual=False`` restores the single-
+  matrix layout where HBM is binding.
+
 Measured (BASELINE.md): 2,116 QPS exact at a 1M-doc corpus on v5e-1 vs
-216 QPS/core for the host C++ kernel; hybrid serve 911 QPS end-to-end.
+216 QPS/core for the host C++ kernel; hybrid serve 911 QPS end-to-end
+(round 3, pre-residual/pre-overlap).
 """
 from __future__ import annotations
 
@@ -108,12 +118,22 @@ class DeviceBM25:
         topk_device: int = 256,
         query_chunk: int = 1024,
         mesh=None,
+        residual: bool = True,
     ) -> None:
         """``mesh``: a jax Mesh with a ``data`` axis shards C's document
         COLUMNS across chips (5 GB/chip int8 at B=4096 over 10M docs on
         v5e-8); each chip scores + top-K's its shard, candidates merge over
         ICI with one all_gather — the same merge shape as the dense leg
-        (parallel/sharding.py::sharded_topk). None = single-device."""
+        (parallel/sharding.py::sharded_topk). None = single-device.
+
+        ``residual``: add a SECOND int8 matrix holding the int8 quantization
+        residuals (scale ~s/254) and a weight-split matmul pass, shrinking
+        the certified error bound ~100x. Rationale: fallback cost is the
+        device leg's dominant term at corpus scale (r3: 4.5% uncertified
+        queries x ~6 ms/query host top-k ≈ 270 ms of the 630 ms lexical leg
+        at 1M docs/1024 queries); the residual pass trades 2 extra MXU
+        passes (~tens of ms) + 2x matrix memory for a near-zero fallback
+        rate. Disable where HBM is the binding constraint."""
         self.bm = bm25
         self.mesh = mesh
         self.topk_device = max(1, min(int(topk_device), bm25.n_docs))
@@ -136,9 +156,12 @@ class DeviceBM25:
         self.term_row = np.full(n_vocab, -1, np.int64)
         self.term_row[self.dense_terms] = np.arange(B)
 
+        self.residual = bool(residual)
         contrib_base = (bm25.idf * (bm25.k1 + 1.0)).astype(np.float32)
         self.scale = np.zeros(B, np.float32)
+        self.scale_lo = np.zeros(B, np.float32)
         C = np.zeros((B, self.n_docs), np.int8)
+        C_lo = np.zeros((B, self.n_docs), np.int8) if self.residual else None
         for row, t in enumerate(self.dense_terms):
             s, e = bm25._inv_indptr[t], bm25._inv_indptr[t + 1]
             contrib = contrib_base[t] * bm25._inv_quot[s:e]
@@ -147,18 +170,40 @@ class DeviceBM25:
                 continue
             sc = amax / 127.0
             self.scale[row] = sc
-            C[row, bm25._inv_docs[s:e]] = np.clip(
-                np.rint(contrib / sc), -127, 127
-            ).astype(np.int8)
-        self._upload(C)
+            q8 = np.clip(np.rint(contrib / sc), -127, 127)
+            docs = bm25._inv_docs[s:e]
+            C[row, docs] = q8.astype(np.int8)
+            if self.residual:
+                # residual of the int8 rounding, quantized again at ~s/254:
+                # |contrib - q8*sc - q8_lo*sc_lo| <= 0.5*sc_lo (f64 exact)
+                resid = contrib.astype(np.float64) - q8 * float(sc)
+                rmax = float(np.max(np.abs(resid)))
+                if rmax > 0.0:
+                    sc_lo = rmax / 127.0
+                    self.scale_lo[row] = np.float32(sc_lo)
+                    C_lo[row, docs] = np.clip(
+                        np.rint(resid / sc_lo), -127, 127
+                    ).astype(np.int8)
+        self._upload(C, C_lo)
         self.stats: Dict[str, float] = {
             "queries": 0, "fallbacks": 0, "rescore_expansions": 0,
-            "t_split_s": 0.0, "t_rare_s": 0.0, "t_device_s": 0.0,
-            "t_post_s": 0.0, "t_fallback_s": 0.0,
+            "t_split_s": 0.0, "t_dispatch_s": 0.0, "t_rare_s": 0.0,
+            "t_device_s": 0.0, "t_post_s": 0.0, "t_fallback_s": 0.0,
         }
 
     # ------------------------------------------------------------------ jit
-    def _upload(self, C: np.ndarray) -> None:
+    def _upload(self, C: np.ndarray, C_lo=None) -> None:
+        """Device-resident contribution matrices + the jitted scoring program.
+
+        Residual mode stores ``CC = [C; C_lo]`` (2B, D) and the query COO
+        addresses THREE logical weight rows per dense term (parallel/host
+        build in ``_dispatch_chunk``): col t in [0, B) is the bf16 head of
+        ``w*s`` against ``C``; col B+t is its bf16 TAIL (the f32-to-bf16
+        split — two bf16 passes reproduce an f32-weight matmul to ~2^-17
+        relative) against ``C``; col 2B+t is ``w*s_lo`` against ``C_lo``.
+        The kernel densifies them as W_a (Q, B) and W_b (Q, 2B) and scores
+        ``S = W_a @ CC[:B] + W_b @ CC`` — 3B-per-query MXU work vs B
+        non-residual."""
         import functools
 
         import jax
@@ -166,25 +211,50 @@ class DeviceBM25:
 
         n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
         valid_n = self.n_docs
+        n_q = self.query_chunk
+        n_b = self.B
+        residual = self.residual
+        if residual:
+            C = np.concatenate([C, C_lo], axis=0)
+        col_align = _SEL_BLOCK * (n_shards if n_shards > 1 else 1)
+        pad = (-C.shape[1]) % col_align
+        if pad:
+            C = np.pad(C, ((0, 0), (0, pad)))  # zero cols: masked below
+
+        def densify_and_score(wq_q, wq_b, wq_v, Cdev):
+            # densify the sparse query-weight COO on device: the host
+            # uploads ~KBs instead of a Q x B f32 matrix per batch
+            # (the remote tunnel made that upload the batch bottleneck).
+            # Out-of-range rows/cols are the pad/routing sentinels ->
+            # mode="drop".
+            Cb = Cdev.astype(jnp.bfloat16)
+            if not residual:
+                Wq = jnp.zeros((n_q, n_b), jnp.bfloat16)
+                Wq = Wq.at[wq_q, wq_b].add(wq_v, mode="drop")
+                return jnp.einsum(
+                    "qb,bd->qd", Wq, Cb,
+                    preferred_element_type=jnp.float32,
+                )
+            col_a = jnp.where(wq_b < n_b, wq_b, n_b)  # head weights
+            W_a = jnp.zeros((n_q, n_b), jnp.bfloat16)
+            W_a = W_a.at[wq_q, col_a].add(wq_v, mode="drop")
+            col_b = jnp.where(wq_b >= n_b, wq_b - n_b, 2 * n_b)
+            W_b = jnp.zeros((n_q, 2 * n_b), jnp.bfloat16)
+            W_b = W_b.at[wq_q, col_b].add(wq_v, mode="drop")
+            return jnp.einsum(
+                "qb,bd->qd", W_a, Cb[:n_b],
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "qb,bd->qd", W_b, Cb,
+                preferred_element_type=jnp.float32,
+            )
+
         if n_shards <= 1:
-            pad = (-C.shape[1]) % _SEL_BLOCK
-            if pad:
-                C = np.pad(C, ((0, 0), (0, pad)))
             self._C = jax.device_put(C)
-            n_q = self.query_chunk
-            n_b = self.B
 
             @functools.partial(jax.jit, static_argnames=("kp",))
             def run(wq_q, wq_b, wq_v, C, kp):
-                # densify the sparse query-weight COO on device: the host
-                # uploads ~KBs instead of a Q x B f32 matrix per batch
-                # (the remote tunnel made that upload the batch bottleneck)
-                Wq = jnp.zeros((n_q, n_b), jnp.bfloat16)
-                Wq = Wq.at[wq_q, wq_b].add(wq_v, mode="drop")
-                S = jnp.einsum(
-                    "qb,bd->qd", Wq, C.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
+                S = densify_and_score(wq_q, wq_b, wq_v, C)
                 vals, idx = _block_topk(S, kp)
                 vals = jnp.where(idx < valid_n, vals, -jnp.inf)
                 return vals, idx
@@ -196,35 +266,23 @@ class DeviceBM25:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         mesh = self.mesh
-        pad = (-C.shape[1]) % (n_shards * _SEL_BLOCK)
-        if pad:
-            C = np.pad(C, ((0, 0), (0, pad)))  # zero cols: masked below
         shard_cols = C.shape[1] // n_shards
         self._C = jax.device_put(
             C, NamedSharding(mesh, P(None, "data")))
 
-        n_q = self.query_chunk
-        n_b = self.B
-
         @functools.partial(jax.jit, static_argnames=("kp",))
         def run_sharded(wq_q, wq_b, wq_v, C, kp):
-            Wq = jnp.zeros((n_q, n_b), jnp.bfloat16)
-            Wq = Wq.at[wq_q, wq_b].add(wq_v, mode="drop")
-
-            def local(Wq, c_local):
+            def local(wq_q, wq_b, wq_v, c_local):
                 my = jax.lax.axis_index("data")
                 base = my * shard_cols
-                S = jnp.einsum(
-                    "qb,bd->qd", Wq, c_local.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
+                S = densify_and_score(wq_q, wq_b, wq_v, c_local)
                 vals, idx = _block_topk(S, kp)
                 gidx = (idx + base).astype(jnp.int32)
                 vals = jnp.where(gidx < valid_n, vals, -jnp.inf)
                 # candidate merge over ICI: O(shards * Q * K'), not corpus
                 av = jax.lax.all_gather(vals, "data")
                 ai = jax.lax.all_gather(gidx, "data")
-                q_n = Wq.shape[0]
+                q_n = vals.shape[0]
                 av = jnp.transpose(av, (1, 0, 2)).reshape(q_n, -1)
                 ai = jnp.transpose(ai, (1, 0, 2)).reshape(q_n, -1)
                 bv, sel = jax.lax.top_k(av, kp)
@@ -233,10 +291,10 @@ class DeviceBM25:
 
             return shard_map(
                 local, mesh=mesh,
-                in_specs=(P(), P(None, "data")),
+                in_specs=(P(), P(), P(), P(None, "data")),
                 out_specs=(P(), P()),
                 check_vma=False,
-            )(Wq, C)
+            )(wq_q, wq_b, wq_v, C)
 
         self._run = run_sharded
 
@@ -310,18 +368,45 @@ class DeviceBM25:
         """EXACT batched top-k: (idx (Q,k) i64, scores (Q,k) f32), matching
         ``BM25Okapi.get_topk`` (ties to lower doc id; lowest-id zero-score
         fill when fewer than k docs match — via host fallback)."""
+        return self.finish_topk_batch(
+            self.start_topk_batch(queries_tokens, k))
+
+    def start_topk_batch(self, queries_tokens: Sequence[Sequence[str]],
+                         k: int):
+        """Dispatch the device phase of a batched top-k and return a handle.
+
+        Splits queries, uploads the sparse query weights, and dispatches the
+        MXU scoring program (async); the rare-term host traversal runs AFTER
+        dispatch so it overlaps the device compute. The serve path calls
+        this, then overlaps OTHER host work (dense-leg fetch, fusion prep),
+        then :meth:`finish_topk_batch`. ``get_topk_batch`` = start + finish.
+        """
         k_eff = min(k, self.n_docs)
         nq = len(queries_tokens)
+        states = []
+        if nq and k_eff:
+            for start in range(0, nq, self.query_chunk):
+                qs = queries_tokens[start: start + self.query_chunk]
+                states.append((start, qs, self._dispatch_chunk(qs, k_eff)))
+        return (nq, k_eff, states)
+
+    def finish_topk_batch(self, handle) -> Tuple[np.ndarray, np.ndarray]:
+        """Fetch + exact-rescore + certify a :meth:`start_topk_batch` handle."""
+        nq, k_eff, states = handle
         idx_out = np.zeros((nq, k_eff), np.int64)
         sc_out = np.zeros((nq, k_eff), np.float32)
-        if nq == 0 or k_eff == 0:
-            return idx_out, sc_out
-        for start in range(0, nq, self.query_chunk):
-            qs = queries_tokens[start: start + self.query_chunk]
-            self._topk_chunk(qs, k_eff, idx_out[start:], sc_out[start:])
+        for start, qs, st in states:
+            self._finish_chunk(qs, st, k_eff, idx_out[start:], sc_out[start:])
         return idx_out, sc_out
 
     def _topk_chunk(self, qs, k, idx_out, sc_out) -> None:
+        self._finish_chunk(qs, self._dispatch_chunk(qs, k), k,
+                           idx_out, sc_out)
+
+    def _dispatch_chunk(self, qs, k):
+        """Host query split + sparse weight upload + ASYNC device dispatch +
+        rare-posting host traversal, in that order — the traversal runs
+        while the MXU scores the frequent part."""
         import time as _time
 
         import jax.numpy as jnp
@@ -338,33 +423,66 @@ class DeviceBM25:
         r_indptr = [0]
         r_tids_l: List[int] = []
         r_w_l: List[float] = []
+        n_b = self.B
         for qi, toks in enumerate(qs):
             dr, dw, rt, rw = self._split_query(toks)
             splits.append((dr, dw, rt, rw))
-            if dr:
-                rows = np.asarray(dr, np.int64)
-                w = np.asarray(dw, np.float32)
-                # fold the int8 scale into the weight: S is directly the
-                # approximate frequent-part score. Uploaded SPARSE (COO,
-                # bf16-rounded here so the error budget is exact).
-                ws = w * self.scale[rows]
-                ws_bf16 = np.asarray(ws, ml_dtypes.bfloat16).astype(
-                    np.float32)
+            # rare bookkeeping runs for EVERY query (indptr must stay Q+1)
+            r_tids_l.extend(rt)
+            r_w_l.extend(rw)
+            r_indptr.append(len(r_tids_l))
+            if not dr:
+                err_ubs[qi] = 1e-6
+                continue
+            rows = np.asarray(dr, np.int64)
+            w64 = np.asarray(dw, np.float64)
+            # fold the int8 scale into the weight: S is directly the
+            # approximate frequent-part score. Uploaded SPARSE (COO,
+            # bf16-rounded here so the error budget is exact).
+            t64 = w64 * self.scale[rows]  # target weight, f64 reference
+            ws_hi = np.asarray(t64.astype(np.float32),
+                               ml_dtypes.bfloat16).astype(np.float32)
+            if not self.residual:
                 wq_q_l.extend([qi] * rows.size)
                 wq_b_l.extend(int(r) for r in rows)
-                wq_v_l.extend(float(v) for v in ws_bf16)
+                wq_v_l.extend(float(v) for v in ws_hi)
                 # exact error budget of the device result vs true BM25:
                 #   int8 rounding: <= 0.5 * s_t per matched term, and
                 #   bf16 weight rounding (computed EXACTLY) times |C8|<=127;
                 #   plus f32 reassociation slack
                 err_ubs[qi] = float(
-                    np.sum(0.5 * ws + np.abs(ws - ws_bf16) * 127.0)
+                    np.sum(0.5 * t64 + np.abs(t64 - ws_hi) * 127.0)
                 ) * (1.0 + 1e-5) + 1e-6
-            else:
-                err_ubs[qi] = 1e-6
-            r_tids_l.extend(rt)
-            r_w_l.extend(rw)
-            r_indptr.append(len(r_tids_l))
+                continue
+            # residual mode: split the f32 weight into two bf16 passes
+            # (head + tail against C) and add the residual-matrix pass;
+            # every rounding leftover is computed EXACTLY in f64
+            ws_mid = np.asarray(
+                (t64 - ws_hi).astype(np.float32), ml_dtypes.bfloat16
+            ).astype(np.float32)
+            left = np.abs(t64 - ws_hi - ws_mid)
+            l64 = w64 * self.scale_lo[rows]
+            ws_lo = np.asarray(l64.astype(np.float32),
+                               ml_dtypes.bfloat16).astype(np.float32)
+            left_lo = np.abs(l64 - ws_lo)
+            wq_q_l.extend([qi] * (3 * rows.size))
+            wq_b_l.extend(int(r) for r in rows)
+            wq_b_l.extend(int(r) + n_b for r in rows)
+            wq_b_l.extend(int(r) + 2 * n_b for r in rows)
+            wq_v_l.extend(float(v) for v in ws_hi)
+            wq_v_l.extend(float(v) for v in ws_mid)
+            wq_v_l.extend(float(v) for v in ws_lo)
+            # error budget: residual-int8 rounding (0.5*s_lo per matched
+            # term) + exact bf16 split leftovers x |C8|<=127 + an f32
+            # accumulation slack RELATIVE TO THE SCORE MAGNITUDE bound
+            # (smax) — with the quantization terms ~100x smaller, summation
+            # rounding is no longer negligible next to them
+            smax = float(np.sum(
+                (np.abs(ws_hi) + np.abs(ws_mid) + np.abs(ws_lo)) * 127.0))
+            err_ubs[qi] = float(
+                np.sum(0.5 * w64 * self.scale_lo[rows]
+                       + (left + left_lo) * 127.0)
+            ) * (1.0 + 1e-5) + smax * 1e-6 + 1e-6
         Pw = next((b for b in _WQ_BUCKETS if b >= len(wq_q_l)),
                   max(len(wq_q_l), 1))
         wq_q = np.full(Pw, self.query_chunk, np.int32)  # pad -> dropped
@@ -376,6 +494,12 @@ class DeviceBM25:
             ml_dtypes.bfloat16)
 
         self.stats["t_split_s"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        vals_dev, idx_dev = self._run(
+            jnp.asarray(wq_q), jnp.asarray(wq_b), jnp.asarray(wq_v),
+            self._C, self.topk_device,
+        )
+        self.stats["t_dispatch_s"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         # rare-touched docs per query (native when built, Python otherwise)
         r_indptr_a = np.asarray(r_indptr, np.int64)
@@ -409,20 +533,26 @@ class DeviceBM25:
                 np.concatenate(ts_parts) if ts_parts else
                 np.zeros(0, np.float32),
             )
+        self.stats["t_rare_s"] += _time.perf_counter() - _t0
+        return (splits, err_ubs, touch, vals_dev, idx_dev)
+
+    def _finish_chunk(self, qs, state, k, idx_out, sc_out) -> None:
+        """Blocking fetch of the device candidates + exact rescoring +
+        certification (+ one batched host fallback for uncertified
+        queries)."""
+        import time as _time
+
+        splits, err_ubs, touch, vals_dev, idx_dev = state
+        bm = self.bm
+        Q = len(qs)
         touch_indptr, touch_docs, touch_scores = touch
         n_pairs = int(touch_indptr[Q])
-
-        self.stats["t_rare_s"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
-        vals, idx = self._run(
-            jnp.asarray(wq_q), jnp.asarray(wq_b), jnp.asarray(wq_v),
-            self._C, self.topk_device,
-        )
         # ascontiguousarray is LOAD-BEARING: the remote TPU backend
         # materializes device arrays F-contiguous, and the native post
         # kernel reads raw row-major memory
-        vals = np.ascontiguousarray(np.asarray(vals[:Q], np.float32))
-        idx = np.ascontiguousarray(np.asarray(idx[:Q]).astype(np.int64))
+        vals = np.ascontiguousarray(np.asarray(vals_dev[:Q], np.float32))
+        idx = np.ascontiguousarray(np.asarray(idx_dev[:Q]).astype(np.int64))
         self.stats["queries"] += Q
         self.stats["t_device_s"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()

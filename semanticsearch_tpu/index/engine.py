@@ -94,6 +94,20 @@ class EmbeddingIndex:
         return self._valid_n
 
     def search(self, queries: np.ndarray, k: Optional[int] = None) -> SearchResult:
+        vals, idx = self.search_device(queries, k)
+        return SearchResult(np.asarray(vals), np.asarray(idx))
+
+    def search_device(
+        self, queries, k: Optional[int] = None
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Dispatch the dense top-k and return DEVICE arrays — no host fetch.
+
+        JAX dispatch is asynchronous, so the caller can run host work (the
+        lexical leg's query split / posting traversal, fusion bookkeeping)
+        while the device computes, and fetch with ``np.asarray`` only when
+        the results are actually needed. ``search`` is this plus the
+        blocking fetch. Accepts host or device-resident query embeddings.
+        """
         k = k or self.cfg.top_k
         q = jnp.asarray(queries).astype(self._corpus.dtype)
         n_shards = _n_row_shards(self._mesh) if self._mesh is not None else 1
@@ -148,4 +162,4 @@ class EmbeddingIndex:
             )
         else:
             vals, idx = topk_scores_ref(q, self._corpus, k=k)
-        return SearchResult(np.asarray(vals), np.asarray(idx))
+        return vals, idx

@@ -23,7 +23,7 @@ from ..core.logging import get_logger
 from ..data.tsv import read_tsv
 from .bm25 import BM25Okapi, tokenize
 from .builder import EMB_FILE, IDS_FILE, META_FILE, load_index
-from .engine import EmbeddingIndex
+from .engine import EmbeddingIndex, SearchResult
 
 logger = get_logger("query")
 
@@ -457,6 +457,16 @@ class HybridQueryEngine:
         fetch = depth
         if self._dead:
             fetch = depth + ((len(self._dead) + 63) // 64) * 64
+        # ---- leg dispatch with host/device overlap ----------------------
+        # Every device program is dispatched BEFORE any blocking fetch
+        # (JAX dispatch is async): encode -> dense top-k -> delta search ->
+        # device-BM25, then the lexical host phases (tokenize done up
+        # front, rare postings inside start_topk_batch, or the whole host
+        # BM25 traversal) run while the chip works, and fetches happen
+        # last. Round-3 baseline had the legs fully serialized: the chip
+        # sat idle during each leg's host phase (BASELINE.md serve rows).
+        use_bm25 = hybrid and self.bm25 is not None
+        q_tokens = [tokenize(q) for q in queries] if use_bm25 else None
         # device-resident embeddings when the encoder supports it: the
         # dense leg consumes them directly, skipping a download+re-upload
         # round trip per batch (models/encoder.py::encode_device)
@@ -464,7 +474,8 @@ class HybridQueryEngine:
             q_emb = self.encoder.encode_device(list(queries))
         else:
             q_emb = self.encoder.encode(list(queries))
-        dense = self.index.search(q_emb, k=min(fetch, self.index.size))
+        dense_dev = self.index.search_device(
+            q_emb, k=min(fetch, self.index.size))
 
         # serve-time adds: search the delta buffer and merge by score (both
         # legs' scores are comparable with the main index — cosine, and
@@ -476,9 +487,8 @@ class HybridQueryEngine:
                 q_emb, min(fetch, n_delta)
             )
 
-        use_bm25 = hybrid and self.bm25 is not None
+        lex_handle = None
         if use_bm25:
-            q_tokens = [tokenize(q) for q in queries]
             bm_depth = min(fetch, self.index.size)
             if self.cfg.lexical_device:
                 if self._device_bm25 is None:
@@ -489,13 +499,16 @@ class HybridQueryEngine:
                         n_dense_terms=self.cfg.lexical_dense_terms,
                         topk_device=max(self.cfg.lexical_topk_device,
                                         bm_depth),
+                        residual=self.cfg.lexical_residual,
                     )
-                # exact MXU-path top-k (certified vs the host kernel)
-                bm_idx, bm_scores = self._device_bm25.get_topk_batch(
+                # exact MXU-path top-k (certified vs the host kernel);
+                # dispatch now, fetch after the dense leg's fetch
+                lex_handle = self._device_bm25.start_topk_batch(
                     q_tokens, bm_depth)
             else:
                 # batched native top-k (threaded posting traversal, GIL
-                # released); one call for the whole query batch
+                # released); one call for the whole query batch — runs
+                # while the device computes the dispatched dense leg
                 bm_idx, bm_scores = self.bm25.get_topk_batch(
                     q_tokens, bm_depth,
                     n_threads=self.cfg.resolved_bm25_threads(),
@@ -504,6 +517,12 @@ class HybridQueryEngine:
                 self._delta_bm25.score(q_tokens)
                 if n_delta and self._delta_bm25 is not None else None
             )
+
+        dense = SearchResult(np.asarray(dense_dev[0]),
+                             np.asarray(dense_dev[1]))
+        if lex_handle is not None:
+            bm_idx, bm_scores = self._device_bm25.finish_topk_batch(
+                lex_handle)
 
         if rerank_top > 0:
             if self.reranker is None:

@@ -28,15 +28,17 @@ def _queries(rng, docs, n_queries, terms=(2, 6)):
     return qs
 
 
+@pytest.mark.parametrize("residual", [True, False])
 @pytest.mark.parametrize("n_dense_terms", [8, 64, 10_000])
-def test_device_bm25_matches_host_exactly(n_dense_terms):
+def test_device_bm25_matches_host_exactly(n_dense_terms, residual):
     """Bit-exact parity with BM25Okapi.get_topk across dense budgets:
-    tiny B (most terms rare), mid B, and B >= vocab (all terms dense)."""
+    tiny B (most terms rare), mid B, and B >= vocab (all terms dense) —
+    with and without the residual second pass."""
     rng = np.random.default_rng(0)
     docs = _zipf_corpus(rng, 400)
     bm = BM25Okapi([tokenize(d) for d in docs])
     dev = DeviceBM25(bm, n_dense_terms=n_dense_terms, topk_device=16,
-                     query_chunk=32)
+                     query_chunk=32, residual=residual)
     queries = _queries(rng, docs, 50)
     q_toks = [tokenize(q) for q in queries]
     k = 10
@@ -76,15 +78,22 @@ def test_device_bm25_edge_queries():
 
 def test_device_bm25_certificate_rate():
     """The int8 error bound must certify nearly every query (fallbacks are
-    the exception, not the path)."""
+    the exception, not the path); the residual pass must certify at least
+    as often as the single-matrix layout."""
     rng = np.random.default_rng(2)
     docs = _zipf_corpus(rng, 1000)
     bm = BM25Okapi([tokenize(d) for d in docs])
-    dev = DeviceBM25(bm, n_dense_terms=128, topk_device=32, query_chunk=64)
     q_toks = [tokenize(q) for q in _queries(rng, docs, 200)]
-    dev.get_topk_batch(q_toks, 10)
-    frac_fallback = dev.stats["fallbacks"] / dev.stats["queries"]
-    assert frac_fallback < 0.2, dev.stats
+    dev1 = DeviceBM25(bm, n_dense_terms=128, topk_device=32, query_chunk=64,
+                      residual=False)
+    dev1.get_topk_batch(q_toks, 10)
+    frac1 = dev1.stats["fallbacks"] / dev1.stats["queries"]
+    assert frac1 < 0.2, dev1.stats
+    dev2 = DeviceBM25(bm, n_dense_terms=128, topk_device=32, query_chunk=64,
+                      residual=True)
+    dev2.get_topk_batch(q_toks, 10)
+    frac2 = dev2.stats["fallbacks"] / dev2.stats["queries"]
+    assert frac2 <= frac1, (dev1.stats, dev2.stats)
 
 
 def test_device_bm25_query_chunking():
@@ -221,3 +230,21 @@ def test_device_bm25_invalidated_by_compact(tmp_path, mesh8):
     assert engine._device_bm25 is not None
     assert engine._device_bm25 is not dev_before  # rebuilt over new stats
     assert hits[0].chunk_id == "c_new"
+
+
+def test_start_finish_interleaved_matches_get_topk_batch():
+    """The serve path dispatches the device phase, overlaps other host
+    work, then finishes — including two handles in flight at once. Results
+    must be identical to the one-shot get_topk_batch."""
+    rng = np.random.default_rng(3)
+    docs = _zipf_corpus(rng, 300)
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    dev = DeviceBM25(bm, n_dense_terms=64, topk_device=16, query_chunk=16)
+    q_toks = [tokenize(q) for q in _queries(rng, docs, 40)]
+    ref_i, ref_s = dev.get_topk_batch(q_toks, 8)
+    h1 = dev.start_topk_batch(q_toks[:24], 8)
+    h2 = dev.start_topk_batch(q_toks[24:], 8)
+    i2, s2 = dev.finish_topk_batch(h2)  # finish out of dispatch order
+    i1, s1 = dev.finish_topk_batch(h1)
+    np.testing.assert_array_equal(np.vstack([i1, i2]), ref_i)
+    np.testing.assert_array_equal(np.vstack([s1, s2]), ref_s)
