@@ -88,7 +88,10 @@ class BM25Okapi:
                 df_counter[tid] = df_counter.get(tid, 0) + 1
             indptr.append(len(indices))
         self._indptr = np.array(indptr, dtype=np.int64)
-        self._indices = np.array(indices, dtype=np.int64)
+        # int32 ids: doc and term counts stay far below 2^31, and the
+        # memory-bound scoring loops pay 8 B/posting entry (id + f32
+        # quotient) instead of 12 — see ROADMAP "int32 doc ids"
+        self._indices = np.array(indices, dtype=np.int32)
         self._data = np.array(data, dtype=np.float32)
 
         # IDF with rank_bm25's epsilon floor: idf = ln((N - df + 0.5)/(df + 0.5));
@@ -123,11 +126,20 @@ class BM25Okapi:
             return
         norm = self._norm()
         doc_of_entry = np.repeat(
-            np.arange(self.n_docs, dtype=np.int64), np.diff(self._indptr)
+            np.arange(self.n_docs, dtype=np.int32), np.diff(self._indptr)
         )
         self._doc_quot = (
             self._data / (self._data + norm[doc_of_entry])
         ).astype(np.float32)
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        # indexes pickled before the int32-id layout carry int64 arrays;
+        # coerce once at load so the native kernels (ABI 9) see int32
+        for attr in ("_indices", "_inv_docs"):
+            a = getattr(self, attr, None)
+            if a is not None and a.dtype != np.int32:
+                setattr(self, attr, a.astype(np.int32))
 
     def __getstate__(self):
         # the top-k scratch accumulator is pure per-process state — keep it
@@ -151,7 +163,7 @@ class BM25Okapi:
             return
         self._ensure_doc_quot()
         doc_of_entry = np.repeat(
-            np.arange(self.n_docs, dtype=np.int64), np.diff(self._indptr)
+            np.arange(self.n_docs, dtype=np.int32), np.diff(self._indptr)
         )
         order = np.argsort(self._indices, kind="stable")
         n_vocab = len(self.vocab)

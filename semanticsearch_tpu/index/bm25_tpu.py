@@ -74,6 +74,15 @@ _WQ_BUCKETS = (8192, 65536)  # static COO sizes for the sparse Wq upload
 
 _SEL_BLOCK = 256  # two-stage selection block width (C cols pad to this)
 
+# Document-column chunk width for the scoring matmul. Scoring a 1M-doc
+# corpus in one shot materializes full-width transients next to the
+# resident int8 matrix — the bf16 operand convert and (residual mode) TWO
+# (Q, D) f32 einsum outputs before their add — which OOMed 16 GB HBM at
+# 1M docs in residual mode. Chunking bounds every transient at
+# (rows, chunk): peak HBM = int8 matrix + ONE (Q, D) f32 score buffer +
+# ~3 chunk-sized scratch blocks (~13 GB at 1M docs residual).
+_SCORE_CHUNK = 65536
+
 
 def _block_topk(S, kp: int):
     """EXACT top-kp over huge rows without a full-width sort.
@@ -119,6 +128,7 @@ class DeviceBM25:
         query_chunk: int = 1024,
         mesh=None,
         residual: bool = True,
+        score_chunk_cols: int | None = None,
     ) -> None:
         """``mesh``: a jax Mesh with a ``data`` axis shards C's document
         COLUMNS across chips (5 GB/chip int8 at B=4096 over 10M docs on
@@ -133,9 +143,14 @@ class DeviceBM25:
         queries x ~6 ms/query host top-k ≈ 270 ms of the 630 ms lexical leg
         at 1M docs/1024 queries); the residual pass trades 2 extra MXU
         passes (~tens of ms) + 2x matrix memory for a near-zero fallback
-        rate. Disable where HBM is the binding constraint."""
+        rate. Disable where HBM is the binding constraint.
+
+        ``score_chunk_cols``: document-column width of one scoring-matmul
+        step (default ``_SCORE_CHUNK``); tests shrink it to exercise the
+        chunked loop on small corpora."""
         self.bm = bm25
         self.mesh = mesh
+        self.score_chunk_cols = int(score_chunk_cols or _SCORE_CHUNK)
         self.topk_device = max(1, min(int(topk_device), bm25.n_docs))
         if mesh is not None and mesh.shape.get("data", 1) > 1:
             # per-shard top-K' cannot exceed the shard's column count
@@ -221,26 +236,35 @@ class DeviceBM25:
         if pad:
             C = np.pad(C, ((0, 0), (0, pad)))  # zero cols: masked below
 
-        def densify_and_score(wq_q, wq_b, wq_v, Cdev):
+        chunk = max(_SEL_BLOCK, self.score_chunk_cols
+                    - self.score_chunk_cols % _SEL_BLOCK)
+
+        def densify(wq_q, wq_b, wq_v):
             # densify the sparse query-weight COO on device: the host
             # uploads ~KBs instead of a Q x B f32 matrix per batch
             # (the remote tunnel made that upload the batch bottleneck).
             # Out-of-range rows/cols are the pad/routing sentinels ->
             # mode="drop".
-            Cb = Cdev.astype(jnp.bfloat16)
             if not residual:
                 Wq = jnp.zeros((n_q, n_b), jnp.bfloat16)
-                Wq = Wq.at[wq_q, wq_b].add(wq_v, mode="drop")
-                return jnp.einsum(
-                    "qb,bd->qd", Wq, Cb,
-                    preferred_element_type=jnp.float32,
-                )
+                return (Wq.at[wq_q, wq_b].add(wq_v, mode="drop"),)
             col_a = jnp.where(wq_b < n_b, wq_b, n_b)  # head weights
             W_a = jnp.zeros((n_q, n_b), jnp.bfloat16)
             W_a = W_a.at[wq_q, col_a].add(wq_v, mode="drop")
             col_b = jnp.where(wq_b >= n_b, wq_b - n_b, 2 * n_b)
             W_b = jnp.zeros((n_q, 2 * n_b), jnp.bfloat16)
             W_b = W_b.at[wq_q, col_b].add(wq_v, mode="drop")
+            return (W_a, W_b)
+
+        def score_cols(W, Cc):
+            # one MXU pass over a (rows, cc) column slice -> (Q, cc) f32
+            Cb = Cc.astype(jnp.bfloat16)
+            if not residual:
+                return jnp.einsum(
+                    "qb,bd->qd", W[0], Cb,
+                    preferred_element_type=jnp.float32,
+                )
+            W_a, W_b = W
             return jnp.einsum(
                 "qb,bd->qd", W_a, Cb[:n_b],
                 preferred_element_type=jnp.float32,
@@ -249,12 +273,37 @@ class DeviceBM25:
                 preferred_element_type=jnp.float32,
             )
 
+        def score_all(wq_q, wq_b, wq_v, Cl):
+            # chunk the scoring over document columns so every transient
+            # (bf16 operand convert, per-pass einsum outputs) is bounded at
+            # (rows, chunk) while the full (Q, D_local) f32 score matrix is
+            # written in place via dynamic_update_slice in a fori_loop —
+            # see _SCORE_CHUNK for the HBM accounting
+            W = densify(wq_q, wq_b, wq_v)
+            lc = Cl.shape[1]
+            if lc <= chunk:
+                return score_cols(W, Cl)
+            nfull, rem = divmod(lc, chunk)
+            S = jnp.zeros((n_q, lc), jnp.float32)
+            if rem:
+                tail = score_cols(W, jax.lax.dynamic_slice_in_dim(
+                    Cl, nfull * chunk, rem, axis=1))
+                S = jax.lax.dynamic_update_slice(S, tail, (0, nfull * chunk))
+
+            def body(i, S):
+                sl = jax.lax.dynamic_slice_in_dim(Cl, i * chunk, chunk,
+                                                  axis=1)
+                return jax.lax.dynamic_update_slice(
+                    S, score_cols(W, sl), (0, i * chunk))
+
+            return jax.lax.fori_loop(0, nfull, body, S)
+
         if n_shards <= 1:
             self._C = jax.device_put(C)
 
             @functools.partial(jax.jit, static_argnames=("kp",))
             def run(wq_q, wq_b, wq_v, C, kp):
-                S = densify_and_score(wq_q, wq_b, wq_v, C)
+                S = score_all(wq_q, wq_b, wq_v, C)
                 vals, idx = _block_topk(S, kp)
                 vals = jnp.where(idx < valid_n, vals, -jnp.inf)
                 return vals, idx
@@ -275,7 +324,7 @@ class DeviceBM25:
             def local(wq_q, wq_b, wq_v, c_local):
                 my = jax.lax.axis_index("data")
                 base = my * shard_cols
-                S = densify_and_score(wq_q, wq_b, wq_v, c_local)
+                S = score_all(wq_q, wq_b, wq_v, c_local)
                 vals, idx = _block_topk(S, kp)
                 gidx = (idx + base).astype(jnp.int32)
                 vals = jnp.where(gidx < valid_n, vals, -jnp.inf)
@@ -321,7 +370,7 @@ class DeviceBM25:
         """Exact rare-part scores: (docs asc, scores) touched by rare terms."""
         bm = self.bm
         if not rare_t:
-            return (np.zeros(0, np.int64), np.zeros(0, np.float32))
+            return (np.zeros(0, np.int32), np.zeros(0, np.float32))
         docs_parts, contrib_parts = [], []
         for t, w in zip(rare_t, rare_w):
             s, e = bm._inv_indptr[t], bm._inv_indptr[t + 1]
@@ -335,7 +384,7 @@ class DeviceBM25:
         udocs, inv = np.unique(docs, return_inverse=True)
         acc = np.zeros(udocs.size, np.float32)
         np.add.at(acc, inv, contrib)
-        return udocs.astype(np.int64), acc
+        return udocs.astype(np.int32), acc
 
     def _exact_scores(self, q_tids: np.ndarray, q_w: np.ndarray,
                       docs: np.ndarray) -> np.ndarray:
@@ -529,7 +578,7 @@ class DeviceBM25:
             touch = (
                 np.asarray(ti, np.int64),
                 np.concatenate(td_parts) if td_parts else
-                np.zeros(0, np.int64),
+                np.zeros(0, np.int32),
                 np.concatenate(ts_parts) if ts_parts else
                 np.zeros(0, np.float32),
             )

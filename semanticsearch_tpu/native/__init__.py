@@ -21,7 +21,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-_ABI_VERSION = 8
+_ABI_VERSION = 9
 
 
 def ensure_built(quiet: bool = True, force: bool = False) -> bool:
@@ -94,7 +94,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
     lib.bm25_score_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -102,7 +102,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_float, ctypes.POINTER(ctypes.c_float),
     ]
     lib.bm25_topk_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -111,7 +111,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
     ]
     lib.bm25_topk_maxscore_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -120,21 +120,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
     ]
     lib.bm25_rare_touch.argtypes = [
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_float,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.bm25_device_post.argtypes = [
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_float,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
@@ -223,13 +223,13 @@ def bm25_rare_touch(
         return None
     n_queries = len(r_indptr) - 1
     out_indptr = np.zeros(n_queries + 1, np.int64)
-    out_docs = np.zeros(max(capacity, 1), np.int64)
+    out_docs = np.zeros(max(capacity, 1), np.int32)
     out_scores = np.zeros(max(capacity, 1), np.float32)
     lib.bm25_rare_touch(
-        _i64p(inv_indptr), _i64p(inv_docs), _f32p(inv_quot), _f32p(idf),
+        _i64p(inv_indptr), _i32p(inv_docs), _f32p(inv_quot), _f32p(idf),
         ctypes.c_float(k1),
         _i64p(r_indptr), _i64p(r_tids), _f32p(r_w), n_queries,
-        _i64p(out_indptr), _i64p(out_docs), _f32p(out_scores),
+        _i64p(out_indptr), _i32p(out_docs), _f32p(out_scores),
     )
     return out_indptr, out_docs, out_scores
 
@@ -253,10 +253,10 @@ def bm25_device_post(
     sc_out = np.zeros((n_queries, k), np.float32)
     flags = np.zeros(n_queries, np.uint8)
     lib.bm25_device_post(
-        _i64p(inv_indptr), _i64p(inv_docs), _f32p(inv_quot), _f32p(idf),
+        _i64p(inv_indptr), _i32p(inv_docs), _f32p(inv_quot), _f32p(idf),
         ctypes.c_float(k1),
         _f32p(vals), _i64p(idx), kp,
-        _i64p(touch_indptr), _i64p(touch_docs),
+        _i64p(touch_indptr), _i32p(touch_docs),
         _i64p(q_indptr), _i64p(q_tids), _f32p(q_w), _f32p(err_ub),
         n_queries, n_docs, k,
         _i64p(idx_out), _f32p(sc_out),
@@ -289,7 +289,7 @@ def bm25_score_batch(
     n_queries = len(q_indptr) - 1
     out = np.zeros((n_queries, n_docs), np.float32)
     lib.bm25_score_batch(
-        _i64p(doc_indptr), _i64p(doc_termids), _f32p(doc_quot),
+        _i64p(doc_indptr), _i32p(doc_termids), _f32p(doc_quot),
         _f32p(idf), n_docs,
         _i64p(q_indptr), _i64p(q_termids), _f32p(q_weights), n_queries,
         ctypes.c_float(k1), _f32p(out),
@@ -325,7 +325,7 @@ def bm25_topk_batch(
     idx = np.zeros((n_queries, k), np.int64)
     scores = np.zeros((n_queries, k), np.float32)
     lib.bm25_topk_batch(
-        _i64p(inv_indptr), _i64p(inv_docs), _f32p(inv_quot),
+        _i64p(inv_indptr), _i32p(inv_docs), _f32p(inv_quot),
         _f32p(idf), n_docs,
         _i64p(q_indptr), _i64p(q_termids), _f32p(q_weights), n_queries,
         ctypes.c_float(k1), k, n_threads, _i64p(idx), _f32p(scores),
@@ -360,7 +360,7 @@ def bm25_topk_maxscore_batch(
     idx = np.zeros((n_queries, k), np.int64)
     scores = np.zeros((n_queries, k), np.float32)
     lib.bm25_topk_maxscore_batch(
-        _i64p(inv_indptr), _i64p(inv_docs), _f32p(inv_quot),
+        _i64p(inv_indptr), _i32p(inv_docs), _f32p(inv_quot),
         _f32p(idf), _f32p(term_ub), n_docs,
         _i64p(q_indptr), _i64p(q_termids), _f32p(q_weights), n_queries,
         ctypes.c_float(k1), k, n_threads, _i64p(idx), _f32p(scores),

@@ -101,7 +101,7 @@ void hash_tokenize_batch(
 
 void bm25_score_batch(
     const int64_t* doc_indptr,    // (n_docs+1)
-    const int64_t* doc_termids,   // (nnz)
+    const int32_t* doc_termids,   // (nnz) term ids (int32: vocab < 2^31)
     const float* doc_quot,        // (nnz): tf/(tf+norm[doc])
     const float* idf,             // (n_terms)
     int64_t n_docs,
@@ -120,7 +120,7 @@ void bm25_score_batch(
             int64_t i = s, j = qs;
             float acc = 0.0f;
             while (i < e && j < qe) {
-                const int64_t td = doc_termids[i];
+                const int64_t td = (int64_t)doc_termids[i];
                 const int64_t tq = q_termids[j];
                 if (td < tq) ++i;
                 else if (td > tq) ++j;
@@ -148,7 +148,7 @@ void bm25_score_batch(
 // ---------------------------------------------------------------------------
 
 static void bm25_topk_range(
-    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_quot,
+    const int64_t* inv_indptr, const int32_t* inv_docs, const float* inv_quot,
     const float* idf, int64_t n_docs,
     const int64_t* q_indptr, const int64_t* q_termids, const float* q_weights,
     float k1, int32_t k,
@@ -156,7 +156,7 @@ static void bm25_topk_range(
     int64_t* idx_out, float* scores_out) {
     std::vector<float> acc((size_t)n_docs, 0.0f);
     std::vector<uint8_t> seen((size_t)n_docs, 0);
-    std::vector<int64_t> touched;
+    std::vector<int32_t> touched;
     touched.reserve(4096);
     for (int64_t q = q_begin; q < q_end; ++q) {
         touched.clear();
@@ -167,7 +167,7 @@ static void bm25_topk_range(
             // reshuffled by ulp differences (index/bm25.py::get_topk)
             const float w = (q_weights[j] * idf[t]) * (k1 + 1.0f);
             for (int64_t p = inv_indptr[t]; p < inv_indptr[t + 1]; ++p) {
-                const int64_t d = inv_docs[p];
+                const int32_t d = inv_docs[p];
                 acc[d] += w * inv_quot[p];
                 if (!seen[d]) {
                     seen[d] = 1;
@@ -179,7 +179,7 @@ static void bm25_topk_range(
         // the comparator breaks score ties by id explicitly
         const int64_t kk = std::min<int64_t>(k, n_docs);
         const int64_t top = std::min<int64_t>(kk, (int64_t)touched.size());
-        auto by_score = [&acc](int64_t a, int64_t b) {
+        auto by_score = [&acc](int32_t a, int32_t b) {
             if (acc[a] != acc[b]) return acc[a] > acc[b];
             return a < b;
         };
@@ -208,7 +208,7 @@ static void bm25_topk_range(
             idx[pos] = 0;
             sc[pos] = 0.0f;
         }
-        for (int64_t d : touched) {
+        for (int32_t d : touched) {
             acc[d] = 0.0f;
             seen[d] = 0;
         }
@@ -217,7 +217,9 @@ static void bm25_topk_range(
 
 void bm25_topk_batch(
     const int64_t* inv_indptr,    // (n_terms+1) postings boundaries
-    const int64_t* inv_docs,      // (nnz) doc ids, term-major
+    const int32_t* inv_docs,      // (nnz) doc ids (int32: 8 B/entry with
+                                  // the f32 quotient vs 12 B at int64 —
+                                  // the scoring loops are memory-bound)
     const float* inv_quot,        // (nnz): tf/(tf+norm[doc])
     const float* idf,             // (n_terms)
     int64_t n_docs,
@@ -286,7 +288,7 @@ struct QTerm {
     float wik;           // (w*idf[tid])*(k1+1); contribution = wik * quot —
                          // bit-identical to numpy's evaluation order
                          // (index/bm25.py::get_topk)
-    const int64_t* docs;
+    const int32_t* docs;
     const float* quots;
     int64_t len;
     int64_t pos;
@@ -302,7 +304,7 @@ static inline bool heap_worse(float sa, int64_t da, float sb, int64_t db) {
 }  // namespace
 
 static void bm25_topk_maxscore_range(
-    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_quot,
+    const int64_t* inv_indptr, const int32_t* inv_docs, const float* inv_quot,
     const float* idf, const float* term_ub, int64_t n_docs,
     const int64_t* q_indptr, const int64_t* q_termids, const float* q_weights,
     float k1, int32_t k,
@@ -368,7 +370,7 @@ static void bm25_topk_maxscore_range(
             int64_t d = INT64_MAX;
             for (int64_t i = e; i < m; ++i) {
                 if (terms[i].pos < terms[i].len) {
-                    d = std::min(d, terms[i].docs[terms[i].pos]);
+                    d = std::min(d, (int64_t)terms[i].docs[terms[i].pos]);
                 }
             }
             if (d == INT64_MAX) break;
@@ -391,7 +393,7 @@ static void bm25_topk_maxscore_range(
                     }
                     QTerm& t = terms[i];
                     t.pos = std::lower_bound(t.docs + t.pos, t.docs + t.len,
-                                             d) - t.docs;
+                                             (int32_t)d) - t.docs;
                     if (t.pos < t.len && t.docs[t.pos] == d) {
                         const float c = t.wik * t.quots[t.pos];
                         cslots[(size_t)t.slot] = c;
@@ -480,7 +482,7 @@ static void bm25_topk_maxscore_range(
 }
 
 void bm25_topk_maxscore_batch(
-    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_quot,
+    const int64_t* inv_indptr, const int32_t* inv_docs, const float* inv_quot,
     const float* idf,
     const float* term_ub,         // (n_terms) max possible contribution
     int64_t n_docs,
@@ -682,7 +684,7 @@ namespace devbm25 {
 // (same factored ((w*idf)*(k1+1))*quot contraction; build with
 // -ffp-contract=off).
 static inline float exact_score(
-    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_quot,
+    const int64_t* inv_indptr, const int32_t* inv_docs, const float* inv_quot,
     const float* idf, float k1p1,
     const int64_t* q_tids, const float* q_w, int64_t nq_terms, int64_t doc) {
     float acc = 0.0f;
@@ -717,15 +719,15 @@ struct Cand {
 // out_indptr (n_queries+1) receives the per-query unique-doc counts.
 // Touched docs are emitted in ASCENDING doc order.
 void bm25_rare_touch(
-    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_quot,
+    const int64_t* inv_indptr, const int32_t* inv_docs, const float* inv_quot,
     const float* idf, float k1,
     const int64_t* r_indptr,   // (Q+1) into r_tids/r_w
     const int64_t* r_tids, const float* r_w,
     int64_t n_queries,
-    int64_t* out_indptr, int64_t* out_docs, float* out_scores) {
+    int64_t* out_indptr, int32_t* out_docs, float* out_scores) {
     const float k1p1 = k1 + 1.0f;
     out_indptr[0] = 0;
-    std::vector<std::pair<int64_t, float>> merged;
+    std::vector<std::pair<int32_t, float>> merged;
     for (int64_t q = 0; q < n_queries; ++q) {
         merged.clear();
         for (int64_t j = r_indptr[q]; j < r_indptr[q + 1]; ++j) {
@@ -741,7 +743,7 @@ void bm25_rare_touch(
                   });
         int64_t w = out_indptr[q];
         for (size_t i = 0; i < merged.size();) {
-            const int64_t d = merged[i].first;
+            const int32_t d = merged[i].first;
             float acc = 0.0f;
             while (i < merged.size() && merged[i].first == d) {
                 acc += merged[i].second;
@@ -766,10 +768,10 @@ void bm25_rare_touch(
 // fewer than k positive matches (caller resolves those on the host
 // reference path).
 void bm25_device_post(
-    const int64_t* inv_indptr, const int64_t* inv_docs, const float* inv_quot,
+    const int64_t* inv_indptr, const int32_t* inv_docs, const float* inv_quot,
     const float* idf, float k1,
     const float* vals, const int64_t* idx, int32_t kp,    // (Q, K')
-    const int64_t* touch_indptr, const int64_t* touch_docs,
+    const int64_t* touch_indptr, const int32_t* touch_docs,
     const int64_t* q_indptr, const int64_t* q_tids, const float* q_w,
     const float* err_ub,
     int64_t n_queries, int64_t n_docs, int32_t k,
@@ -787,7 +789,7 @@ void bm25_device_post(
                 inv_indptr, inv_docs, inv_quot, idf, k1p1,
                 q_tids + q_indptr[q], q_w + q_indptr[q],
                 q_indptr[q + 1] - q_indptr[q], touch_docs[i]);
-            cands.push_back({touch_docs[i], ex, ex, true});
+            cands.push_back({(int64_t)touch_docs[i], ex, ex, true});
         }
         // device top-K': approx = vals (+ rare part if also touched)
         for (int32_t i = 0; i < kp; ++i) {
@@ -859,6 +861,6 @@ void bm25_device_post(
     }
 }
 
-int32_t semsearch_native_abi_version() { return 8; }
+int32_t semsearch_native_abi_version() { return 9; }
 
 }  // extern "C"

@@ -248,3 +248,41 @@ def test_start_finish_interleaved_matches_get_topk_batch():
     i1, s1 = dev.finish_topk_batch(h1)
     np.testing.assert_array_equal(np.vstack([i1, i2]), ref_i)
     np.testing.assert_array_equal(np.vstack([s1, s2]), ref_s)
+
+
+@pytest.mark.parametrize("residual", [True, False])
+@pytest.mark.parametrize("n_docs", [600, 1000])
+def test_chunked_scoring_matches_host(n_docs, residual):
+    """The column-chunked scoring loop (HBM-bounded transients at corpus
+    scale, see _SCORE_CHUNK) is bit-exact vs the host kernel. 600 docs pad
+    to 768 cols -> one full 512-col chunk + a 256-col remainder tail; 1000
+    docs pad to 1024 -> two full chunks, no remainder."""
+    rng = np.random.default_rng(7)
+    docs = _zipf_corpus(rng, n_docs)
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    dev = DeviceBM25(bm, n_dense_terms=64, topk_device=32, query_chunk=16,
+                     residual=residual, score_chunk_cols=512)
+    q_toks = [tokenize(q) for q in _queries(rng, docs, 30)]
+    d_idx, d_sc = dev.get_topk_batch(q_toks, 10)
+    for qi, toks in enumerate(q_toks):
+        h_idx, h_sc = bm.get_topk(toks, 10)
+        np.testing.assert_array_equal(d_idx[qi], h_idx)
+        np.testing.assert_array_equal(d_sc[qi], h_sc)
+
+
+def test_chunked_scoring_sharded(mesh8):
+    """Chunked scoring inside the shard_map local: each shard's columns
+    run through the fori_loop body and the ICI merge stays exact."""
+    rng = np.random.default_rng(8)
+    # 2500 docs -> 4096-aligned cols -> 512 cols/shard = TWO 256-col
+    # chunks per shard, so the fori_loop body really runs under shard_map
+    docs = _zipf_corpus(rng, 2500)
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    dev = DeviceBM25(bm, n_dense_terms=64, topk_device=32, query_chunk=16,
+                     mesh=mesh8, score_chunk_cols=256)
+    q_toks = [tokenize(q) for q in _queries(rng, docs, 25)]
+    d_idx, d_sc = dev.get_topk_batch(q_toks, 10)
+    for qi, toks in enumerate(q_toks):
+        h_idx, h_sc = bm.get_topk(toks, 10)
+        np.testing.assert_array_equal(d_idx[qi], h_idx)
+        np.testing.assert_array_equal(d_sc[qi], h_sc)
