@@ -76,11 +76,14 @@ _SEL_BLOCK = 256  # two-stage selection block width (C cols pad to this)
 
 # Document-column chunk width for the scoring matmul. Scoring a 1M-doc
 # corpus in one shot materializes full-width transients next to the
-# resident int8 matrix — the bf16 operand convert and (residual mode) TWO
-# (Q, D) f32 einsum outputs before their add — which OOMed 16 GB HBM at
-# 1M docs in residual mode. Chunking bounds every transient at
-# (rows, chunk): peak HBM = int8 matrix + ONE (Q, D) f32 score buffer +
-# ~3 chunk-sized scratch blocks (~13 GB at 1M docs residual).
+# resident int8 matrix — the (Q, D) f32 score matrix and (residual mode)
+# the bf16 operand convert + TWO (Q, D) einsum outputs — which OOMed
+# 16 GB HBM at 1M docs in residual mode once the serve path's dense leg
+# became HBM-co-resident (leg overlap runs both programs concurrently).
+# The chunked path never materializes corpus-width scores at all: each
+# (Q, chunk) score tile is top-K'-selected immediately and merged into a
+# running (Q, K') candidate set, so peak HBM = int8 matrix + chunk-sized
+# scratch (~9.5 GB at 1M docs residual, vs ~16.5 GB one-shot).
 _SCORE_CHUNK = 65536
 
 
@@ -273,38 +276,59 @@ class DeviceBM25:
                 preferred_element_type=jnp.float32,
             )
 
-        def score_all(wq_q, wq_b, wq_v, Cl):
-            # chunk the scoring over document columns so every transient
-            # (bf16 operand convert, per-pass einsum outputs) is bounded at
-            # (rows, chunk) while the full (Q, D_local) f32 score matrix is
-            # written in place via dynamic_update_slice in a fori_loop —
-            # see _SCORE_CHUNK for the HBM accounting
+        def select_all(wq_q, wq_b, wq_v, Cl, kp):
+            # chunk the scoring over document columns AND select inside the
+            # loop: each (Q, chunk) score tile is reduced to its top-kp
+            # immediately and merged into a running candidate set, so the
+            # corpus-width f32 score matrix never exists (see _SCORE_CHUNK
+            # for the HBM accounting). EXACT, including the lower-doc-id
+            # tie policy: chunks run in ascending column order and the
+            # merge concatenates [running, new] — lax.top_k keeps the
+            # FIRST of equal values, i.e. the earlier chunk's (lower) id;
+            # within a chunk _block_topk already ties to the lower id.
             W = densify(wq_q, wq_b, wq_v)
             lc = Cl.shape[1]
             if lc <= chunk:
-                return score_cols(W, Cl)
+                return _block_topk(score_cols(W, Cl), kp)
             nfull, rem = divmod(lc, chunk)
-            S = jnp.zeros((n_q, lc), jnp.float32)
-            if rem:
-                tail = score_cols(W, jax.lax.dynamic_slice_in_dim(
-                    Cl, nfull * chunk, rem, axis=1))
-                S = jax.lax.dynamic_update_slice(S, tail, (0, nfull * chunk))
 
-            def body(i, S):
+            def merge(run_v, run_i, new_v, new_i):
+                av = jnp.concatenate([run_v, new_v], axis=1)
+                ai = jnp.concatenate([run_i, new_i], axis=1)
+                mv, sel = jax.lax.top_k(av, kp)
+                return mv, jnp.take_along_axis(ai, sel, axis=1)
+
+            def body(i, carry):
+                run_v, run_i = carry
                 sl = jax.lax.dynamic_slice_in_dim(Cl, i * chunk, chunk,
                                                   axis=1)
-                return jax.lax.dynamic_update_slice(
-                    S, score_cols(W, sl), (0, i * chunk))
+                cv, ci = _block_topk(score_cols(W, sl), kp)
+                return merge(run_v, run_i,
+                             cv, (ci + i * chunk).astype(jnp.int32))
 
-            return jax.lax.fori_loop(0, nfull, body, S)
+            init = (jnp.full((n_q, kp), -jnp.inf, jnp.float32),
+                    jnp.zeros((n_q, kp), jnp.int32))
+            vals, idx = jax.lax.fori_loop(0, nfull, body, init)
+            if rem:
+                # the tail holds the HIGHEST column ids -> merged LAST so
+                # equal-value ties still resolve to the lower id
+                tv, ti = _block_topk(score_cols(W, jax.lax.dynamic_slice_in_dim(
+                    Cl, nfull * chunk, rem, axis=1)), min(kp, rem))
+                ti = (ti + nfull * chunk).astype(jnp.int32)
+                if ti.shape[1] < kp:
+                    pad_n = kp - ti.shape[1]
+                    tv = jnp.pad(tv, ((0, 0), (0, pad_n)),
+                                 constant_values=-jnp.inf)
+                    ti = jnp.pad(ti, ((0, 0), (0, pad_n)))
+                vals, idx = merge(vals, idx, tv, ti)
+            return vals, idx
 
         if n_shards <= 1:
             self._C = jax.device_put(C)
 
             @functools.partial(jax.jit, static_argnames=("kp",))
             def run(wq_q, wq_b, wq_v, C, kp):
-                S = score_all(wq_q, wq_b, wq_v, C)
-                vals, idx = _block_topk(S, kp)
+                vals, idx = select_all(wq_q, wq_b, wq_v, C, kp)
                 vals = jnp.where(idx < valid_n, vals, -jnp.inf)
                 return vals, idx
 
@@ -324,8 +348,7 @@ class DeviceBM25:
             def local(wq_q, wq_b, wq_v, c_local):
                 my = jax.lax.axis_index("data")
                 base = my * shard_cols
-                S = score_all(wq_q, wq_b, wq_v, c_local)
-                vals, idx = _block_topk(S, kp)
+                vals, idx = select_all(wq_q, wq_b, wq_v, c_local, kp)
                 gidx = (idx + base).astype(jnp.int32)
                 vals = jnp.where(gidx < valid_n, vals, -jnp.inf)
                 # candidate merge over ICI: O(shards * Q * K'), not corpus
