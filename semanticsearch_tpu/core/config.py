@@ -182,6 +182,15 @@ class TrainConfig:
     # L2-normalized GloVe-100 matrix, train_controller.py:564-581); None =
     # learned from scratch
     embedding_init_path: Optional[str] = None
+    # Best-epoch selection: when fit() is given a validation dataset and
+    # keep_best is set, the returned params are from the epoch with the
+    # best primary metric (eval_metrics[0]) instead of the last epoch, and
+    # training stops early after `patience` epochs without improvement
+    # (0 = run every epoch). This is the reference's validate-every-epoch
+    # loop (MatchZoo's trainer validates NDCG@3/5+MAP per epoch and keeps
+    # the best state, train_controller.py:556-560).
+    keep_best: bool = False
+    patience: int = 0
     # Right-length buckets — the TPU analog of MatchZoo's per-batch dynamic
     # padding (reference train_controller.py:53-58): groups bin into the
     # smallest bucket that fits their true right length, each bucket is one

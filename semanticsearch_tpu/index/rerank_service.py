@@ -7,10 +7,15 @@ the reference's architecture implies (rank_chunks -> matchzoo rerank): the
 hybrid engine's top-N RRF candidates are rescored on-device by a trained
 reranker checkpoint and reordered.
 
-TPU shape discipline: one jitted predict signature — all (query, chunk) pairs
-for a whole query batch are packed into fixed-size (SCORE_BATCH, L) id
-blocks, padded with PAD rows whose scores are discarded, so serving never
-triggers a recompile regardless of query count or candidate depth.
+TPU shape discipline: TWO jitted predict signatures — all (query, chunk)
+pairs for a whole query batch are packed into fixed-size (SCORE_BATCH, L) or
+(SCORE_BATCH_LARGE, L) id blocks, padded with PAD rows whose scores are
+discarded, so serving never triggers a recompile regardless of query count or
+candidate depth. Large blocks exist because per-dispatch latency, not
+compute, bounds serve rerank through a remote device link: a 1024-query x
+top-20 rescore is 20,480 pairs = 3 large dispatches instead of 80 small ones.
+All blocks are dispatched before any score is fetched (JAX dispatch is
+async), so block i+1's host packing and upload overlap block i's compute.
 """
 from __future__ import annotations
 
@@ -27,6 +32,10 @@ from ..train.vocab import Preprocessor
 logger = get_logger("rerank")
 
 SCORE_BATCH = 256
+SCORE_BATCH_LARGE = 8192
+# beyond this many leftover pairs, one padded large block beats a train of
+# small dispatches (the pad rows' compute is cheaper than the round trips)
+_LARGE_THRESHOLD = 3 * SCORE_BATCH
 
 
 class RerankService:
@@ -102,9 +111,11 @@ class RerankService:
     ) -> np.ndarray:
         """Score aligned (query, chunk) text pairs: (N,) float32.
 
-        Pairs are packed into fixed SCORE_BATCH-row blocks (last block padded
-        with PAD-id rows, scores discarded) so every call reuses the single
-        compiled predict signature.
+        Pairs are packed into fixed-shape blocks (SCORE_BATCH_LARGE while
+        more than _LARGE_THRESHOLD pairs remain, SCORE_BATCH for the tail;
+        pad rows' scores are discarded) so every call reuses one of two
+        compiled predict signatures. Every block is dispatched before any
+        block's scores are fetched.
         """
         n = len(query_texts)
         assert len(chunk_texts) == n
@@ -112,17 +123,21 @@ class RerankService:
             return np.zeros(0, np.float32)
         enc = self.pp.transform_pair(list(query_texts), list(chunk_texts))
         left, right = enc["left"], enc["right"]
-        out = np.zeros(n, np.float32)
-        for s in range(0, n, SCORE_BATCH):
-            e = min(s + SCORE_BATCH, n)
-            lb = np.zeros((SCORE_BATCH, left.shape[1]), np.int32)
-            rb = np.zeros((SCORE_BATCH, right.shape[1]), np.int32)
+        blocks = []  # (start, end, device handle)
+        s = 0
+        while s < n:
+            rem = n - s
+            bs = SCORE_BATCH_LARGE if rem > _LARGE_THRESHOLD else SCORE_BATCH
+            e = min(s + bs, n)
+            lb = np.zeros((bs, left.shape[1]), np.int32)
+            rb = np.zeros((bs, right.shape[1]), np.int32)
             lb[: e - s] = left[s:e]
             rb[: e - s] = right[s:e]
-            scores = np.asarray(
-                self._predict(self.params, self._jnp.asarray(lb),
-                              self._jnp.asarray(rb))
-            )
-            out[s:e] = scores[: e - s]
+            blocks.append((s, e, self._predict(
+                self.params, self._jnp.asarray(lb), self._jnp.asarray(rb))))
+            s = e
+        out = np.zeros(n, np.float32)
+        for s, e, handle in blocks:
+            out[s:e] = np.asarray(handle)[: e - s]
         return out
 

@@ -72,3 +72,25 @@ def apply_embedding_init(params, matrix: np.ndarray):
     params = dict(params)
     params["embedding"] = {"embedding": jnp.asarray(matrix)}
     return params
+
+
+def encoder_token_embeddings(encoder, normalize: bool = True) -> np.ndarray:
+    """Reranker embedding init from the TRAINED sentence encoder's token table.
+
+    The reference seeds every reranker's embedding layer with downloaded
+    GloVe-100 vectors (``train_controller.py:564-581``) — pretrained
+    distributional vectors are what let its rerankers score surface forms
+    their own training split never ranked. The zero-egress analog: the
+    in-repo contrastively trained encoder's ``token_embed`` table, over the
+    SAME subword vocabulary the query pipeline uses. Rows are L2-normalized
+    like the reference's matrix; the pad row (id 0) stays zero. Use with
+    ``RerankTrainer(embedding_matrix=...)`` and ``embedding_dim`` equal to
+    the encoder's hidden size.
+    """
+    table = np.asarray(encoder.params["token_embed"]["embedding"], np.float32)
+    mat = table.copy()
+    mat[0] = 0.0
+    if normalize:
+        norms = np.linalg.norm(mat[1:], axis=1, keepdims=True)
+        mat[1:] = mat[1:] / np.maximum(norms, 1e-9)
+    return mat

@@ -229,6 +229,10 @@ class RerankTrainer:
             length_buckets = ()
         history: List[Dict[str, float]] = []
         best: Dict[str, float] = {}
+        # best-epoch selection (cfg.keep_best): params are immutable jax
+        # trees, so snapshotting the best epoch is a reference, not a copy
+        best_params = params
+        epochs_since_best = 0
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.perf_counter()
             losses = []
@@ -312,10 +316,29 @@ class RerankTrainer:
             if test_ds is not None:
                 row.update(self.evaluate(params, test_ds))
                 key = cfg.eval_metrics[0] if cfg.eval_metrics else "map"
-                if not best or row.get(key, 0.0) >= best.get(key, -1.0):
+                cur = row.get(key, 0.0)
+                prev = best.get(key, -1.0) if best else -1.0
+                if cur >= prev:
+                    # ties keep the LATER epoch's params but do NOT reset
+                    # the patience counter (a plateau at the max should
+                    # still stop early)
                     best = {m: row[m] for m in cfg.eval_metrics if m in row}
+                    best_params = params
+                    epochs_since_best = (
+                        0 if cur > prev else epochs_since_best + 1
+                    )
+                else:
+                    epochs_since_best += 1
             history.append(row)
             logger.info("epoch %d: %s", epoch, row)
+            if (cfg.keep_best and cfg.patience
+                    and epochs_since_best >= cfg.patience):
+                logger.info(
+                    "early stop at epoch %d: no %s improvement for %d epochs",
+                    epoch, cfg.eval_metrics[0] if cfg.eval_metrics else "map",
+                    cfg.patience,
+                )
+                break
             if checkpoint_dir and checkpoint_every and (
                 (epoch + 1) % checkpoint_every == 0
             ):
@@ -327,6 +350,8 @@ class RerankTrainer:
                               "batch_size": batch_size},
                     async_save=True,
                 )
+        if cfg.keep_best and test_ds is not None:
+            params = best_params
         if checkpoint_dir:
             save_checkpoint(
                 checkpoint_dir,

@@ -5,6 +5,14 @@ Equivalent of MatchZoo's ``BasicPreprocessor`` as the reference configures it
 ``filter_low_freq`` with term- or document-frequency mode per model). Static
 output shapes (pad/truncate to fixed lengths) keep the downstream models
 jit-stable on TPU.
+
+Two vocabulary modes: word-level (fit() builds a frequency-filtered word
+vocab, the MatchZoo default) or SUBWORD (pass a trained
+:class:`~semanticsearch_tpu.models.subword.SubwordTokenizer`): texts encode
+to BPE-piece ids, so surface forms the reranker never trained on decompose
+into trained stems + suffix pieces instead of collapsing to UNK — the same
+robustness the reference's rerankers inherit from pretrained GloVe coverage
+(train_controller.py:564-581) and its encoder from pretrained WordPiece.
 """
 from __future__ import annotations
 
@@ -13,7 +21,7 @@ import os
 import re
 from collections import Counter
 from dataclasses import dataclass, field
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -29,15 +37,24 @@ def word_tokenize(text: str) -> List[str]:
 
 @dataclass
 class Preprocessor:
-    """Vocab + fixed-length transform with low-frequency filtering."""
+    """Vocab + fixed-length transform with low-frequency filtering.
+
+    ``subword``: a trained SubwordTokenizer switches encoding to BPE-piece
+    ids in the TOKENIZER's id space (pad=0 there too); ``fit`` becomes a
+    no-op and ``vocab_size`` is the tokenizer's. No CLS is emitted — the
+    match-matrix models consume content tokens only.
+    """
 
     fixed_length_left: int = 16
     fixed_length_right: int = 128
     filter_low_freq: int = 5
     filter_mode: str = "tf"  # tf | df
     vocab: Dict[str, int] = field(default_factory=dict)
+    subword: Optional[object] = None  # SubwordTokenizer
 
     def fit(self, texts: Sequence[str]) -> "Preprocessor":
+        if self.subword is not None:
+            return self  # vocabulary comes from the trained tokenizer
         counter: Counter = Counter()
         for text in texts:
             toks = word_tokenize(text)
@@ -53,10 +70,21 @@ class Preprocessor:
 
     @property
     def vocab_size(self) -> int:
+        if self.subword is not None:
+            return self.subword.vocab_size
         return len(self.vocab)
 
     def _encode(self, text: str, length: int) -> Tuple[np.ndarray, int]:
-        ids = [self.vocab.get(t, UNK_ID) for t in word_tokenize(text)][:length]
+        if self.subword is not None:
+            ids: List[int] = []
+            for w in self.subword.tokenize(str(text).lower()):
+                ids.extend(self.subword.encode_word(w))
+                if len(ids) >= length:
+                    break
+            ids = ids[:length]
+        else:
+            ids = [self.vocab.get(t, UNK_ID)
+                   for t in word_tokenize(text)][:length]
         arr = np.full(length, PAD_ID, dtype=np.int32)
         arr[: len(ids)] = ids
         return arr, len(ids)
@@ -83,20 +111,32 @@ class Preprocessor:
     #     model checkpoint, train_controller.py:497-498) ---
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        blob = {
+            "fixed_length_left": self.fixed_length_left,
+            "fixed_length_right": self.fixed_length_right,
+            "filter_low_freq": self.filter_low_freq,
+            "filter_mode": self.filter_mode,
+            "vocab": self.vocab,
+        }
+        if self.subword is not None:
+            blob["subword"] = {
+                "max_len": self.subword.max_len,
+                "add_cls": self.subword.add_cls,
+                "vocab": self.subword.vocab,
+            }
         with open(path, "w") as f:
-            json.dump(
-                {
-                    "fixed_length_left": self.fixed_length_left,
-                    "fixed_length_right": self.fixed_length_right,
-                    "filter_low_freq": self.filter_low_freq,
-                    "filter_mode": self.filter_mode,
-                    "vocab": self.vocab,
-                },
-                f,
-            )
+            json.dump(blob, f)
 
     @classmethod
     def load(cls, path: str) -> "Preprocessor":
         with open(path) as f:
             blob = json.load(f)
+        sub = blob.pop("subword", None)
+        if sub is not None:
+            from ..models.subword import SubwordTokenizer
+
+            blob["subword"] = SubwordTokenizer(
+                vocab=sub["vocab"], max_len=sub.get("max_len", 256),
+                add_cls=sub.get("add_cls", True),
+            )
         return cls(**blob)

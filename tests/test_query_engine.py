@@ -261,3 +261,39 @@ def test_search_after_remove_keeps_k_full(tmp_path, mesh8):
     res = engine.search(["the water city station island"], k=4)[0]
     assert len(res) == 4
     assert {h.chunk_id for h in res}.isdisjoint({"c1", "c4"})
+
+
+def test_score_pairs_block_ladder_consistency():
+    """Large-block packing (dispatch-then-fetch) scores identically to
+    small-block scoring: pad rows never leak into real rows' scores and
+    block boundaries don't reorder accumulation per row."""
+    import jax
+
+    from semanticsearch_tpu.core.config import TrainConfig
+    from semanticsearch_tpu.index.rerank_service import (
+        _LARGE_THRESHOLD, RerankService)
+    from semanticsearch_tpu.models.rerankers import make_model
+    from semanticsearch_tpu.train.vocab import Preprocessor
+
+    words = [f"w{i}" for i in range(50)]
+    texts = [" ".join(words[i % 40: i % 40 + 5]) for i in range(60)]
+    pp = Preprocessor(fixed_length_left=8, fixed_length_right=24,
+                      filter_low_freq=1)
+    pp.fit(texts)
+    model = make_model("knrm", vocab_size=pp.vocab_size, embed_dim=16)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((2, 8), np.int32), np.zeros((2, 24), np.int32),
+    )["params"]
+    svc = RerankService("knrm", params, pp,
+                        cfg=TrainConfig(model="knrm", embedding_dim=16))
+    n = _LARGE_THRESHOLD + 132  # one padded LARGE block + exercises the tail
+    qs = [texts[i % len(texts)] for i in range(n)]
+    cs = [texts[(i * 7 + 3) % len(texts)] for i in range(n)]
+    whole = svc.score_pairs(qs, cs)
+    assert whole.shape == (n,)
+    parts = np.concatenate([
+        svc.score_pairs(qs[s: s + 200], cs[s: s + 200])
+        for s in range(0, n, 200)
+    ])
+    np.testing.assert_allclose(whole, parts, rtol=1e-5, atol=1e-6)

@@ -297,3 +297,80 @@ def test_trainer_with_length_buckets_learns(tmp_path):
     trainer2 = RerankTrainer("arcii", vocab_size=120, cfg=cfg2)
     res2 = trainer2.fit(ds2)  # must not crash: buckets ignored for ArcII
     assert np.isfinite(res2.history[-1]["loss"])
+
+
+def test_keep_best_returns_best_epoch_params():
+    """cfg.keep_best: fit() returns the params of the best-validation epoch
+    (not the last), and patience stops a saturated run early. The
+    reference's trainer validates every epoch and keeps the best state
+    (train_controller.py:556-560)."""
+    ds = _learnable_dataset()
+    cfg = TrainConfig(model="knrm", epochs=12, batch_size=4, num_neg=1,
+                      optimizer="adam", learning_rate=0.01,
+                      embedding_dim=16, eval_metrics=("map",),
+                      keep_best=True, patience=2)
+    trainer = RerankTrainer("knrm", vocab_size=64, cfg=cfg)
+    res = trainer.fit(ds, test_ds=ds)
+    # the learnable set saturates at MAP 1.0 within a few epochs, so the
+    # patience window must fire before the epoch budget
+    assert len(res.history) < cfg.epochs
+    best_hist = max(r["map"] for r in res.history)
+    returned = trainer.evaluate(res.params, ds)["map"]
+    assert abs(returned - best_hist) < 1e-9
+
+
+def test_preprocessor_subword_mode(tmp_path):
+    """Subword mode: ids live in the tokenizer's id space (no CLS, no
+    word-level UNK collapse), fit() is a no-op, save/load keeps the mode."""
+    from semanticsearch_tpu.models.subword import train_bpe
+
+    corpus = ["the running dogs jumped over fences",
+              "dogs run and jump while runners watch",
+              "fences keep running dogs from jumping"] * 4
+    tok = train_bpe(corpus, vocab_size=160, max_len=16)
+    pp = Preprocessor(fixed_length_left=8, fixed_length_right=12,
+                      subword=tok)
+    pp.fit(["completely ignored"])  # vocabulary comes from the tokenizer
+    assert pp.vocab_size == tok.vocab_size
+    enc = pp.transform_pair(["running dogs"], ["the dogs jumped quickly"])
+    want = []
+    for w in tok.tokenize("running dogs"):
+        want.extend(tok.encode_word(w))
+    want = want[:8]
+    assert enc["left"][0][: len(want)].tolist() == want
+    assert 1 not in enc["left"][0]  # no CLS in reranker inputs
+    # an unseen inflection decomposes into pieces instead of one UNK:
+    # more non-pad ids than words
+    enc2 = pp.transform_pair(["jumpings"], ["x"])
+    assert (enc2["left"][0] != 0).sum() >= 2
+    pp.save(str(tmp_path / "pp.json"))
+    pp2 = Preprocessor.load(str(tmp_path / "pp.json"))
+    assert pp2.subword is not None
+    enc3 = pp2.transform_pair(["running dogs"], ["the dogs jumped quickly"])
+    np.testing.assert_array_equal(enc["left"], enc3["left"])
+    np.testing.assert_array_equal(enc["right"], enc3["right"])
+
+
+def test_encoder_embedding_transfer_init():
+    """embedding_matrix=encoder_token_embeddings(enc): the reranker's table
+    starts as the encoder's L2-normalized token rows (the zero-egress
+    analog of the reference's GloVe init, train_controller.py:564-581)."""
+    from semanticsearch_tpu.core.config import EncoderConfig
+    from semanticsearch_tpu.models.encoder import SentenceEncoder
+    from semanticsearch_tpu.train.embeddings import encoder_token_embeddings
+
+    enc = SentenceEncoder(EncoderConfig(
+        vocab_size=64, hidden_dim=16, num_layers=1, num_heads=2,
+        mlp_dim=32, max_len=16, dtype="float32"))
+    mat = encoder_token_embeddings(enc)
+    assert mat.shape == (64, 16)
+    assert np.abs(mat[0]).max() == 0.0  # pad row zeroed
+    np.testing.assert_allclose(
+        np.linalg.norm(mat[1:], axis=1), 1.0, rtol=1e-5)
+    cfg = TrainConfig(model="knrm", embedding_dim=16, epochs=1,
+                      batch_size=4, num_neg=1)
+    trainer = RerankTrainer("knrm", vocab_size=64, cfg=cfg,
+                            embedding_matrix=mat)
+    params = trainer.init_params(_learnable_dataset())
+    np.testing.assert_allclose(
+        np.asarray(params["embedding"]["embedding"]), mat, rtol=1e-6)

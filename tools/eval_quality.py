@@ -140,7 +140,31 @@ def main():
                     help="comma list, 'all', or 'none'")
     ap.add_argument("--reranker-epochs", type=int, default=4)
     ap.add_argument("--rerank-top", type=int, default=20)
+    ap.add_argument("--reranker-vocab", choices=["word", "subword"],
+                    default="word",
+                    help="subword: rerankers encode pair texts as BPE "
+                         "pieces of the --tokenizer subword vocabulary, so "
+                         "unseen inflections decompose instead of hitting "
+                         "UNK (requires --tokenizer subword)")
+    ap.add_argument("--reranker-embed-init", choices=["random", "encoder"],
+                    default="random",
+                    help="encoder: init reranker embedding tables from the "
+                         "TRAINED encoder's token table — the zero-egress "
+                         "analog of the reference's GloVe-100 init "
+                         "(train_controller.py:564-581); requires "
+                         "--reranker-vocab subword")
+    ap.add_argument("--reranker-keep-best", action="store_true",
+                    help="carve 1 train query/topic into a validation "
+                         "split; keep each reranker's best-val-MAP epoch "
+                         "(TrainConfig.keep_best) instead of the last")
+    ap.add_argument("--reranker-patience", type=int, default=2)
     args = ap.parse_args()
+    if args.reranker_vocab == "subword" and args.tokenizer != "subword":
+        ap.error("--reranker-vocab subword requires --tokenizer subword")
+    if (args.reranker_embed_init == "encoder"
+            and args.reranker_vocab != "subword"):
+        ap.error("--reranker-embed-init encoder requires --reranker-vocab "
+                 "subword (the id spaces must match the encoder's)")
     if args.scale:
         args.topics = max(args.topics, 200)
         args.eval_qpt = max(args.eval_qpt, 3)
@@ -264,13 +288,22 @@ def main():
 
     if model_names:
         top = args.rerank_top
+        # keep-best: hold out the LAST train query of each topic as the
+        # validation split (train queries are emitted topic-major); the
+        # reranker never trains on them, eval queries stay untouched
+        n_train_q = len(train["queries"])
+        val_qids = (
+            set(range(args.train_qpt - 1, n_train_q, args.train_qpt))
+            if args.reranker_keep_best and args.train_qpt > 1 else set()
+        )
         # shared train subsample: per query, all rel + 24 random irr
-        sub_rows = []
-        for qi in range(len(train["queries"])):
+        sub_rows, val_rows = [], []
+        for qi in range(n_train_q):
             rel = np.nonzero(train_labels[qi])[0]
             irr = rng.choice(np.nonzero(train_labels[qi] == 0)[0], size=24,
                              replace=False)
-            sub_rows.extend((qi, di) for di in list(rel) + list(irr))
+            rows = val_rows if qi in val_qids else sub_rows
+            rows.extend((qi, di) for di in list(rel) + list(irr))
         # eval pairs: ONLY each query's top-`rerank_top` RRF candidates
         # (the serve shape; a full nq x nd cross product would be 1M+ pairs
         # per model at --scale)
@@ -281,41 +314,58 @@ def main():
 
         _bundles = {}
 
+        def _pair_ds(pp, rows, queries, docs, lab):
+            enc = pp.transform_pair([queries[qi] for qi, _ in rows],
+                                    [docs[di] for _, di in rows])
+            return PairDataset(
+                left=enc["left"], right=enc["right"],
+                labels=np.asarray([lab[qi, di] for qi, di in rows],
+                                  np.float32),
+                query_ids=np.asarray([qi for qi, _ in rows]),
+            )
+
         def bundle(lengths):
-            """(pp, train_ds, cand_ds) at the given (left, right) lengths.
-            ArcII's fixed-stride pools + flatten need lengths that survive
-            two 3x3 pools; the other models use the cheaper 8/16."""
+            """(pp, train_ds, val_ds, cand_ds) at the given (left, right)
+            lengths. ArcII's fixed-stride pools + flatten need lengths that
+            survive two 3x3 pools; the other models use the cheaper 8/16
+            (word) / 12/32 (subword pieces run longer than words)."""
             if lengths in _bundles:
                 return _bundles[lengths]
             ll, lr = lengths
-            pp = Preprocessor(fixed_length_left=ll, fixed_length_right=lr,
-                              filter_low_freq=1)
-            pp.fit(list(train["queries"]) + list(train["docs"]))
-            enc3 = pp.transform_pair(
-                [train["queries"][qi] for qi, _ in sub_rows],
-                [train["docs"][di] for _, di in sub_rows])
-            train_ds = PairDataset(
-                left=enc3["left"], right=enc3["right"],
-                labels=np.asarray(
-                    [train_labels[qi, di] for qi, di in sub_rows],
-                    np.float32),
-                query_ids=np.asarray([qi for qi, _ in sub_rows]),
-            )
-            enc4 = pp.transform_pair(
-                [evals["queries"][qi] for qi, _ in cand_rows],
-                [evals["docs"][di] for _, di in cand_rows])
-            cand_ds = PairDataset(
-                left=enc4["left"], right=enc4["right"],
-                labels=np.asarray(
-                    [labels[qi, di] for qi, di in cand_rows], np.float32),
-                query_ids=np.asarray([qi for qi, _ in cand_rows]),
-            )
-            _bundles[lengths] = (pp, train_ds, cand_ds)
+            if args.reranker_vocab == "subword":
+                pp = Preprocessor(fixed_length_left=ll, fixed_length_right=lr,
+                                  filter_low_freq=1, subword=tokenizer)
+            else:
+                pp = Preprocessor(fixed_length_left=ll, fixed_length_right=lr,
+                                  filter_low_freq=1)
+                pp.fit(list(train["queries"]) + list(train["docs"]))
+            train_ds = _pair_ds(pp, sub_rows, train["queries"], train["docs"],
+                                train_labels)
+            val_ds = (_pair_ds(pp, val_rows, train["queries"], train["docs"],
+                               train_labels) if val_rows else None)
+            cand_ds = _pair_ds(pp, cand_rows, evals["queries"], evals["docs"],
+                               labels)
+            _bundles[lengths] = (pp, train_ds, val_ds, cand_ds)
             return _bundles[lengths]
 
+    embed_matrix = None
+    embed_dim = 64
+    if model_names and args.reranker_embed_init == "encoder":
+        from semanticsearch_tpu.train.embeddings import (
+            encoder_token_embeddings,
+        )
+
+        embed_matrix = encoder_token_embeddings(encoder)
+        embed_dim = embed_matrix.shape[1]
+
     for model_name in model_names:
-        lengths = (12, 18) if model_name == "arcii" else (8, 16)
-        pp, train_ds, cand_ds = bundle(lengths)
+        if model_name == "arcii":
+            lengths = (12, 18)  # fixed-stride pools constrain both lengths
+        elif args.reranker_vocab == "subword":
+            lengths = (12, 32)  # pieces run ~2x longer than words
+        else:
+            lengths = (8, 16)
+        pp, train_ds, val_ds, cand_ds = bundle(lengths)
         # each model keeps ITS reference-derived preset loss / clip / arch
         # kwargs (train/presets.py); the optimizer is compute-budget
         # adjusted to adam@1e-3 for every model — measured: adadelta@1.0
@@ -329,14 +379,18 @@ def main():
         preset_cfg, model_kwargs = get_preset(model_name)
         tr_cfg = _dc.replace(
             preset_cfg, epochs=args.reranker_epochs, batch_size=64,
-            num_dup=1, num_neg=4, embedding_dim=64, filter_low_freq=1,
+            num_dup=1, num_neg=4, embedding_dim=embed_dim, filter_low_freq=1,
             optimizer="adam", learning_rate=1e-3,
             fixed_length_left=lengths[0], fixed_length_right=lengths[1],
+            keep_best=args.reranker_keep_best,
+            patience=args.reranker_patience,
+            eval_metrics=("map",),
         )
         t0 = time.perf_counter()
         reranker = RerankTrainer(model_name, vocab_size=pp.vocab_size,
-                                 cfg=tr_cfg, model_kwargs=model_kwargs)
-        fit_res = reranker.fit(train_ds)
+                                 cfg=tr_cfg, model_kwargs=model_kwargs,
+                                 embedding_matrix=embed_matrix)
+        fit_res = reranker.fit(train_ds, test_ds=val_ds)
         cand_pred = reranker.predict(fit_res.params, cand_ds)
         final_scores = np.full((nq, nd), -np.inf, np.float32)
         off = 0
@@ -369,6 +423,9 @@ def main():
         "metric": "quality_map_ndcg", "results": results,
         "eval_queries": nq, "eval_docs": nd, "topics": args.topics,
         "tokenizer": args.tokenizer, "seed": args.seed,
+        "reranker_vocab": args.reranker_vocab,
+        "reranker_embed_init": args.reranker_embed_init,
+        "reranker_keep_best": args.reranker_keep_best,
     }))
 
 

@@ -4,7 +4,9 @@ hash-vs-subword tokenizer delta, and which rerankers beat their candidate
 generator (reference claim surface: MatchZoo_Tool/evaluate_models.py:545-593).
 
 Usage: python tools/quality_report.py [--dir bench_results] [--out -]
-Reads  quality_scale_{hash,subword}_s{N}.json  files (one JSON line each).
+Reads  quality_scale_{variant}_s{N}.json  files (one JSON line each).
+Variants: hash, subword (word-vocab rerankers), subword_rr (rerankers with
+subword vocab + encoder-transfer embedding init + keep-best epoch selection).
 """
 from __future__ import annotations
 
@@ -21,10 +23,14 @@ import numpy as np
 METRICS = ("map", "ndcg@10", "p@10", "mrr")
 
 
+VARIANTS = ("hash", "subword", "subword_rr")
+
+
 def load_runs(d):
-    runs = defaultdict(dict)  # tokenizer -> seed -> results
+    runs = defaultdict(dict)  # variant -> seed -> results
     for path in sorted(glob.glob(os.path.join(d, "quality_scale_*.json"))):
-        m = re.search(r"quality_scale_(hash|subword)_s(\d+)\.json$", path)
+        m = re.search(r"quality_scale_(hash|subword|subword_rr)_s(\d+)\.json$",
+                      path)
         if not m or os.path.getsize(path) == 0:
             continue
         with open(path) as f:
@@ -51,7 +57,7 @@ def main():
         print("no completed runs found", file=sys.stderr)
         return 1
 
-    any_tok = "subword" if "subword" in runs else "hash"
+    any_tok = next(v for v in VARIANTS if v in runs)
     some = next(iter(runs[any_tok].values()))
     methods = list(some["results"].keys())
     lines = []
@@ -63,7 +69,7 @@ def main():
     )
     lines.append("")
     header = "| Method |"
-    for tok in ("hash", "subword"):
+    for tok in VARIANTS:
         if tok in runs:
             seeds = sorted(runs[tok])
             header += (f" {tok} MAP (seeds {seeds}) | {tok} nDCG@10 |")
@@ -71,7 +77,7 @@ def main():
     lines.append("|---" * (header.count("|") - 1) + "|")
     for method in methods:
         row = f"| {method} |"
-        for tok in ("hash", "subword"):
+        for tok in VARIANTS:
             if tok not in runs:
                 continue
             a = agg(runs[tok], method, "map")
