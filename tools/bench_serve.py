@@ -57,6 +57,13 @@ def main():
     ap.add_argument("--dense-terms", type=int, default=4096,
                     help="device-BM25 dense matrix budget B")
     ap.add_argument("--output-dir", default=None)
+    ap.add_argument("--latency", type=int, default=0,
+                    help=">0: also measure SINGLE-QUERY serve latency over "
+                         "N sequential search() calls (p50/p90/p99 ms). "
+                         "Compiles the batch-1 encoder/top-k signatures "
+                         "once (disk-cached); through the remote tunnel "
+                         "each leg adds one round-trip, so these numbers "
+                         "upper-bound attached-hardware latency")
     args = ap.parse_args()
 
     import numpy as np
@@ -162,6 +169,34 @@ def main():
         engine.bm25.get_topk_batch(q_toks, args.depth, n_threads=4)
     bm25_dt = time.perf_counter() - t0
 
+    latency = None
+    if args.latency > 0:
+        # single-query latency: the production tail-latency tier. Batch-1
+        # programs compile on the first call (minutes through the tunnel,
+        # then disk-cached); warm calls measure the steady state.
+        for w in range(3):
+            t0 = time.perf_counter()
+            _ = engine.search(queries[w: w + 1], k=args.k,
+                              candidates=args.depth,
+                              rerank_top=args.rerank_top)
+            log(f"[latency warmup {w}] {time.perf_counter() - t0:.2f}s")
+        lats = []
+        for i in range(args.latency):
+            q = queries[(3 + i) % len(queries)]
+            t0 = time.perf_counter()
+            _ = engine.search([q], k=args.k, candidates=args.depth,
+                              rerank_top=args.rerank_top)
+            lats.append((time.perf_counter() - t0) * 1e3)
+        lats = np.sort(np.asarray(lats))
+        latency = {
+            "n": args.latency,
+            "p50_ms": round(float(np.percentile(lats, 50)), 1),
+            "p90_ms": round(float(np.percentile(lats, 90)), 1),
+            "p99_ms": round(float(np.percentile(lats, 99)), 1),
+            "mean_ms": round(float(lats.mean()), 1),
+        }
+        log(f"[latency] batch-1 x {args.latency}: {latency}")
+
     result = {
         "metric": f"serve_hybrid_qps_{args.docs}docs",
         "value": round(e2e_qps, 1),
@@ -170,6 +205,7 @@ def main():
         "k": args.k,
         "depth": args.depth,
         "rerank_top": args.rerank_top,
+        "latency_single_query": latency,
         "device_bm25": args.device_bm25,
         "device_bm25_stats": (dict(engine._device_bm25.stats)
                               if engine._device_bm25 is not None else None),
