@@ -140,9 +140,11 @@ class SentenceTransformerModel(nn.Module):
             )
         pooled = pooled.astype(jnp.float32)
         if c.normalize:
-            pooled = pooled / jnp.maximum(
-                jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9
-            )
+            # rsqrt of the clamped SQUARED norm: linalg.norm has a NaN
+            # gradient at an exactly-zero vector and maximum() does not
+            # block it (see ops/matching.py::cosine_match_matrix)
+            sq = jnp.sum(pooled * pooled, axis=-1, keepdims=True)
+            pooled = pooled * jax.lax.rsqrt(jnp.maximum(sq, 1e-18))
         return pooled
 
 

@@ -32,14 +32,24 @@ def kernel_mus_sigmas(
 def cosine_match_matrix(
     left_emb: jnp.ndarray, right_emb: jnp.ndarray
 ) -> jnp.ndarray:
-    """(B, L, D) x (B, R, D) -> (B, L, R) cosine match matrix."""
-    ln = left_emb / jnp.maximum(
-        jnp.linalg.norm(left_emb, axis=-1, keepdims=True), 1e-9
-    )
-    rn = right_emb / jnp.maximum(
-        jnp.linalg.norm(right_emb, axis=-1, keepdims=True), 1e-9
-    )
-    return jnp.einsum("bld,brd->blr", ln, rn, preferred_element_type=jnp.float32)
+    """(B, L, D) x (B, R, D) -> (B, L, R) cosine match matrix.
+
+    Normalization via rsqrt of the CLAMPED squared norm, not
+    ``x / max(||x||, eps)``: the gradient of ``linalg.norm`` at an
+    exactly-zero row is NaN, and ``maximum`` does not block it (the chain
+    multiplies 0 * NaN). Exactly-zero embedding rows are real inputs here —
+    the pad row of an encoder-transferred embedding table
+    (train/embeddings.py::encoder_token_embeddings) is zeroed by design,
+    and one NaN row poisons every parameter after the first update. With
+    the clamp on the SQUARED norm, the inactive branch contributes
+    d(max)/d(sq) = 0 against a finite rsqrt — gradients stay finite.
+    """
+    def unit(x):
+        sq = jnp.sum(x * x, axis=-1, keepdims=True)
+        return x * jax.lax.rsqrt(jnp.maximum(sq, 1e-18))
+
+    return jnp.einsum("bld,brd->blr", unit(left_emb), unit(right_emb),
+                      preferred_element_type=jnp.float32)
 
 
 def kernel_pooling(

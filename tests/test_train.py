@@ -374,3 +374,28 @@ def test_encoder_embedding_transfer_init():
     params = trainer.init_params(_learnable_dataset())
     np.testing.assert_allclose(
         np.asarray(params["embedding"]["embedding"]), mat, rtol=1e-6)
+
+
+@pytest.mark.parametrize("model_name", ["knrm", "conv_knrm", "match_pyramid"])
+def test_zero_pad_row_embedding_trains_finite(model_name):
+    """Regression: an embedding table with an EXACTLY-ZERO row (the pad row
+    of encoder_token_embeddings) must not NaN training. linalg.norm has a
+    NaN gradient at a zero vector, and `x / max(norm, eps)` does not block
+    it (0 * NaN = NaN) — cosine_match_matrix normalizes via rsqrt of the
+    clamped squared norm instead. Pre-fix, every cosine-normalizing model
+    (KNRM/Conv-KNRM/MatchPyramid) NaN'd on the FIRST step with this init
+    and poisoned all parameters."""
+    ds = _learnable_dataset()
+    mat = np.random.default_rng(0).standard_normal((64, 16)).astype(
+        np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat[0] = 0.0  # the pad row
+    cfg = TrainConfig(model=model_name, embedding_dim=16, epochs=2,
+                      batch_size=4, num_neg=1, optimizer="adam",
+                      learning_rate=0.01)
+    trainer = RerankTrainer(model_name, vocab_size=64, cfg=cfg,
+                            embedding_matrix=mat)
+    res = trainer.fit(ds)
+    assert all(np.isfinite(r["loss"]) for r in res.history), res.history
+    emb = np.asarray(res.params["embedding"]["embedding"])
+    assert np.isfinite(emb).all()
