@@ -242,12 +242,19 @@ class DeviceBM25:
         chunk = max(_SEL_BLOCK, self.score_chunk_cols
                     - self.score_chunk_cols % _SEL_BLOCK)
 
-        def densify(wq_q, wq_b, wq_v):
+        def densify(wq):
             # densify the sparse query-weight COO on device: the host
             # uploads ~KBs instead of a Q x B f32 matrix per batch
             # (the remote tunnel made that upload the batch bottleneck).
-            # Out-of-range rows/cols are the pad/routing sentinels ->
-            # mode="drop".
+            # wq is ONE packed (3, P) f32 array — [query row; column; value]
+            # — because each device_put is a blocking round trip through the
+            # remote relay, so three small uploads cost three RTTs where one
+            # costs one. f32 carries the int32 rows/cols (< 2^24) and the
+            # host's exact bf16-rounded values losslessly. Out-of-range
+            # rows/cols are the pad/routing sentinels -> mode="drop".
+            wq_q = wq[0].astype(jnp.int32)
+            wq_b = wq[1].astype(jnp.int32)
+            wq_v = wq[2].astype(jnp.bfloat16)
             if not residual:
                 Wq = jnp.zeros((n_q, n_b), jnp.bfloat16)
                 return (Wq.at[wq_q, wq_b].add(wq_v, mode="drop"),)
@@ -276,7 +283,7 @@ class DeviceBM25:
                 preferred_element_type=jnp.float32,
             )
 
-        def select_all(wq_q, wq_b, wq_v, Cl, kp):
+        def select_all(wq, Cl, kp):
             # chunk the scoring over document columns AND select inside the
             # loop: each (Q, chunk) score tile is reduced to its top-kp
             # immediately and merged into a running candidate set, so the
@@ -286,7 +293,7 @@ class DeviceBM25:
             # merge concatenates [running, new] — lax.top_k keeps the
             # FIRST of equal values, i.e. the earlier chunk's (lower) id;
             # within a chunk _block_topk already ties to the lower id.
-            W = densify(wq_q, wq_b, wq_v)
+            W = densify(wq)
             lc = Cl.shape[1]
             if lc <= chunk:
                 return _block_topk(score_cols(W, Cl), kp)
@@ -327,10 +334,15 @@ class DeviceBM25:
             self._C = jax.device_put(C)
 
             @functools.partial(jax.jit, static_argnames=("kp",))
-            def run(wq_q, wq_b, wq_v, C, kp):
-                vals, idx = select_all(wq_q, wq_b, wq_v, C, kp)
+            def run(wq, C, kp):
+                vals, idx = select_all(wq, C, kp)
                 vals = jnp.where(idx < valid_n, vals, -jnp.inf)
-                return vals, idx
+                # ONE (Q, 2K') int32 result — scores bitcast losslessly —
+                # so the host fetches one array (one tunnel round trip)
+                # instead of two
+                return jnp.concatenate(
+                    [jax.lax.bitcast_convert_type(vals, jnp.int32),
+                     idx.astype(jnp.int32)], axis=1)
 
             self._run = run
             return
@@ -344,11 +356,11 @@ class DeviceBM25:
             C, NamedSharding(mesh, P(None, "data")))
 
         @functools.partial(jax.jit, static_argnames=("kp",))
-        def run_sharded(wq_q, wq_b, wq_v, C, kp):
-            def local(wq_q, wq_b, wq_v, c_local):
+        def run_sharded(wq, C, kp):
+            def local(wq, c_local):
                 my = jax.lax.axis_index("data")
                 base = my * shard_cols
-                vals, idx = select_all(wq_q, wq_b, wq_v, c_local, kp)
+                vals, idx = select_all(wq, c_local, kp)
                 gidx = (idx + base).astype(jnp.int32)
                 vals = jnp.where(gidx < valid_n, vals, -jnp.inf)
                 # candidate merge over ICI: O(shards * Q * K'), not corpus
@@ -359,36 +371,21 @@ class DeviceBM25:
                 ai = jnp.transpose(ai, (1, 0, 2)).reshape(q_n, -1)
                 bv, sel = jax.lax.top_k(av, kp)
                 bi = jnp.take_along_axis(ai, sel, axis=1)
-                return bv, bi
+                # single packed fetch, as in the single-device path
+                return jnp.concatenate(
+                    [jax.lax.bitcast_convert_type(bv, jnp.int32), bi],
+                    axis=1)
 
             return shard_map(
                 local, mesh=mesh,
-                in_specs=(P(), P(), P(), P(None, "data")),
-                out_specs=(P(), P()),
+                in_specs=(P(), P(None, "data")),
+                out_specs=P(),
                 check_vma=False,
-            )(wq_q, wq_b, wq_v, C)
+            )(wq, C)
 
         self._run = run_sharded
 
     # --------------------------------------------------------------- helpers
-    def _split_query(self, tokens: Sequence[str]):
-        """(dense_rows, dense_w, rare_tids, rare_w) for one query."""
-        cnt = Counter(t for t in tokens if t in self.bm.vocab)
-        dense_rows: List[int] = []
-        dense_w: List[float] = []
-        rare_t: List[int] = []
-        rare_w: List[float] = []
-        for tok, c in cnt.items():
-            tid = self.bm.vocab[tok]
-            row = self.term_row[tid]
-            if row >= 0:
-                dense_rows.append(int(row))
-                dense_w.append(float(c))
-            else:
-                rare_t.append(int(tid))
-                rare_w.append(float(c))
-        return dense_rows, dense_w, rare_t, rare_w
-
     def _rare_touched(self, rare_t, rare_w):
         """Exact rare-part scores: (docs asc, scores) touched by rare terms."""
         bm = self.bm
@@ -478,7 +475,15 @@ class DeviceBM25:
     def _dispatch_chunk(self, qs, k):
         """Host query split + sparse weight upload + ASYNC device dispatch +
         rare-posting host traversal, in that order — the traversal runs
-        while the MXU scores the frequent part."""
+        while the MXU scores the frequent part.
+
+        The quantization math is BATCHED numpy over every (query, term)
+        entry at once: the original per-query loop ran ~8 tiny-array ops per
+        query (~125 ms/1024 queries of pure host time on the serve critical
+        path); the flat form is one pass over a few-thousand-entry array.
+        The bf16 roundings are elementwise, so the folded weights and error
+        budgets are IDENTICAL to the per-query form (f64 error sums land in
+        a different order, covered by the existing 1e-5 slack factor)."""
         import time as _time
 
         import jax.numpy as jnp
@@ -487,45 +492,52 @@ class DeviceBM25:
         _t0 = _time.perf_counter()
         bm = self.bm
         Q = len(qs)
-        splits = []
-        err_ubs = np.zeros(Q, np.float32)
-        wq_q_l: List[int] = []
-        wq_b_l: List[int] = []
-        wq_v_l: List[float] = []
-        r_indptr = [0]
-        r_tids_l: List[int] = []
-        r_w_l: List[float] = []
         n_b = self.B
+        vocab = bm.vocab
+        # token -> (query, term, count) triples; dict work stays in Python,
+        # everything numeric below is flat numpy
+        q_of_l: List[int] = []
+        tid_l: List[int] = []
+        cnt_l: List[float] = []
         for qi, toks in enumerate(qs):
-            dr, dw, rt, rw = self._split_query(toks)
-            splits.append((dr, dw, rt, rw))
-            # rare bookkeeping runs for EVERY query (indptr must stay Q+1)
-            r_tids_l.extend(rt)
-            r_w_l.extend(rw)
-            r_indptr.append(len(r_tids_l))
-            if not dr:
-                err_ubs[qi] = 1e-6
-                continue
-            rows = np.asarray(dr, np.int64)
-            w64 = np.asarray(dw, np.float64)
-            # fold the int8 scale into the weight: S is directly the
-            # approximate frequent-part score. Uploaded SPARSE (COO,
-            # bf16-rounded here so the error budget is exact).
-            t64 = w64 * self.scale[rows]  # target weight, f64 reference
-            ws_hi = np.asarray(t64.astype(np.float32),
-                               ml_dtypes.bfloat16).astype(np.float32)
-            if not self.residual:
-                wq_q_l.extend([qi] * rows.size)
-                wq_b_l.extend(int(r) for r in rows)
-                wq_v_l.extend(float(v) for v in ws_hi)
-                # exact error budget of the device result vs true BM25:
-                #   int8 rounding: <= 0.5 * s_t per matched term, and
-                #   bf16 weight rounding (computed EXACTLY) times |C8|<=127;
-                #   plus f32 reassociation slack
-                err_ubs[qi] = float(
-                    np.sum(0.5 * t64 + np.abs(t64 - ws_hi) * 127.0)
-                ) * (1.0 + 1e-5) + 1e-6
-                continue
+            cnt = Counter(t for t in toks if t in vocab)
+            for tok, c in cnt.items():
+                q_of_l.append(qi)
+                tid_l.append(vocab[tok])
+                cnt_l.append(float(c))
+        q_of = np.asarray(q_of_l, np.int64)
+        tids = np.asarray(tid_l, np.int64)
+        cnts = np.asarray(cnt_l, np.float64)
+        rows_all = (self.term_row[tids] if tids.size
+                    else np.zeros(0, np.int64))
+        dm = rows_all >= 0
+        dq = q_of[dm]
+        drow = rows_all[dm]
+        w64 = cnts[dm]
+        # rare entries stay query-grouped (q_of is emitted query-major)
+        rq = q_of[~dm]
+        r_tids_a = tids[~dm]
+        r_w_a = cnts[~dm].astype(np.float32)
+        r_indptr_a = np.zeros(Q + 1, np.int64)
+        np.add.at(r_indptr_a, rq + 1, 1)
+        np.cumsum(r_indptr_a, out=r_indptr_a)
+
+        # fold the int8 scale into the weight: S is directly the approximate
+        # frequent-part score. Uploaded SPARSE (COO, bf16-rounded here so
+        # the error budget is exact).
+        t64 = w64 * self.scale[drow]  # target weight, f64 reference
+        ws_hi = np.asarray(t64.astype(np.float32),
+                           ml_dtypes.bfloat16).astype(np.float32)
+        err_acc = np.zeros(Q, np.float64)
+        if not self.residual:
+            # exact error budget of the device result vs true BM25:
+            #   int8 rounding: <= 0.5 * s_t per matched term, and
+            #   bf16 weight rounding (computed EXACTLY) times |C8|<=127;
+            #   plus f32 reassociation slack
+            np.add.at(err_acc, dq, 0.5 * t64 + np.abs(t64 - ws_hi) * 127.0)
+            err_ubs = (err_acc * (1.0 + 1e-5) + 1e-6).astype(np.float32)
+            wq_qi, wq_col, wq_val = dq, drow, ws_hi
+        else:
             # residual mode: split the f32 weight into two bf16 passes
             # (head + tail against C) and add the residual-matrix pass;
             # every rounding leftover is computed EXACTLY in f64
@@ -533,50 +545,58 @@ class DeviceBM25:
                 (t64 - ws_hi).astype(np.float32), ml_dtypes.bfloat16
             ).astype(np.float32)
             left = np.abs(t64 - ws_hi - ws_mid)
-            l64 = w64 * self.scale_lo[rows]
+            l64 = w64 * self.scale_lo[drow]
             ws_lo = np.asarray(l64.astype(np.float32),
                                ml_dtypes.bfloat16).astype(np.float32)
             left_lo = np.abs(l64 - ws_lo)
-            wq_q_l.extend([qi] * (3 * rows.size))
-            wq_b_l.extend(int(r) for r in rows)
-            wq_b_l.extend(int(r) + n_b for r in rows)
-            wq_b_l.extend(int(r) + 2 * n_b for r in rows)
-            wq_v_l.extend(float(v) for v in ws_hi)
-            wq_v_l.extend(float(v) for v in ws_mid)
-            wq_v_l.extend(float(v) for v in ws_lo)
             # error budget: residual-int8 rounding (0.5*s_lo per matched
             # term) + exact bf16 split leftovers x |C8|<=127 + an f32
             # accumulation slack RELATIVE TO THE SCORE MAGNITUDE bound
             # (smax) — with the quantization terms ~100x smaller, summation
             # rounding is no longer negligible next to them
-            smax = float(np.sum(
-                (np.abs(ws_hi) + np.abs(ws_mid) + np.abs(ws_lo)) * 127.0))
-            err_ubs[qi] = float(
-                np.sum(0.5 * w64 * self.scale_lo[rows]
-                       + (left + left_lo) * 127.0)
-            ) * (1.0 + 1e-5) + smax * 1e-6 + 1e-6
-        Pw = next((b for b in _WQ_BUCKETS if b >= len(wq_q_l)),
-                  max(len(wq_q_l), 1))
-        wq_q = np.full(Pw, self.query_chunk, np.int32)  # pad -> dropped
-        wq_b = np.zeros(Pw, np.int32)
-        wq_v = np.zeros(Pw, ml_dtypes.bfloat16)
-        wq_q[: len(wq_q_l)] = wq_q_l
-        wq_b[: len(wq_b_l)] = wq_b_l
-        wq_v[: len(wq_v_l)] = np.asarray(wq_v_l, np.float32).astype(
-            ml_dtypes.bfloat16)
+            np.add.at(err_acc, dq,
+                      0.5 * w64 * self.scale_lo[drow]
+                      + (left + left_lo) * 127.0)
+            smax_acc = np.zeros(Q, np.float64)
+            np.add.at(smax_acc, dq,
+                      (np.abs(ws_hi) + np.abs(ws_mid) + np.abs(ws_lo))
+                      * 127.0)
+            err_ubs = (err_acc * (1.0 + 1e-5) + smax_acc * 1e-6
+                       + 1e-6).astype(np.float32)
+            wq_qi = np.concatenate([dq, dq, dq])
+            wq_col = np.concatenate([drow, drow + n_b, drow + 2 * n_b])
+            wq_val = np.concatenate([ws_hi, ws_mid, ws_lo])
+        n_w = wq_qi.size
+        Pw = next((b for b in _WQ_BUCKETS if b >= n_w), max(n_w, 1))
+        # ONE packed (3, P) f32 upload (see densify): [row; col; value],
+        # pad rows route to the drop sentinel
+        wq = np.zeros((3, Pw), np.float32)
+        wq[0] = self.query_chunk
+        wq[0, :n_w] = wq_qi
+        wq[1, :n_w] = wq_col
+        wq[2, :n_w] = wq_val
+
+        # full per-query term lists (ascending tid) for exact rescoring —
+        # precomputed HERE so the work overlaps the device scoring instead
+        # of sitting on the post-fetch critical path
+        fq = np.concatenate([dq, rq])
+        ft = np.concatenate([self.dense_terms[drow], r_tids_a])
+        fw = np.concatenate([w64, r_w_a.astype(np.float64)])
+        order = np.lexsort((ft, fq))
+        q_tids_a = ft[order]
+        q_w_a = fw[order].astype(np.float32)
+        q_indptr_a = np.zeros(Q + 1, np.int64)
+        np.add.at(q_indptr_a, fq + 1, 1)
+        np.cumsum(q_indptr_a, out=q_indptr_a)
 
         self.stats["t_split_s"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
-        vals_dev, idx_dev = self._run(
-            jnp.asarray(wq_q), jnp.asarray(wq_b), jnp.asarray(wq_v),
-            self._C, self.topk_device,
+        packed_dev = self._run(
+            jnp.asarray(wq), self._C, self.topk_device,
         )
         self.stats["t_dispatch_s"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         # rare-touched docs per query (native when built, Python otherwise)
-        r_indptr_a = np.asarray(r_indptr, np.int64)
-        r_tids_a = np.asarray(r_tids_l, np.int64)
-        r_w_a = np.asarray(r_w_l, np.float32)
         touch = None
         if r_tids_a.size:
             try:
@@ -593,8 +613,10 @@ class DeviceBM25:
         if touch is None:
             ti = [0]
             td_parts, ts_parts = [], []
-            for qi, (dr, dw, rt, rw) in enumerate(splits):
-                d, s = self._rare_touched(rt, rw)
+            for qi in range(Q):
+                rs, re = int(r_indptr_a[qi]), int(r_indptr_a[qi + 1])
+                d, s = self._rare_touched(
+                    r_tids_a[rs:re].tolist(), r_w_a[rs:re].tolist())
                 td_parts.append(d)
                 ts_parts.append(s)
                 ti.append(ti[-1] + d.size)
@@ -606,7 +628,7 @@ class DeviceBM25:
                 np.zeros(0, np.float32),
             )
         self.stats["t_rare_s"] += _time.perf_counter() - _t0
-        return (splits, err_ubs, touch, vals_dev, idx_dev)
+        return (q_indptr_a, q_tids_a, q_w_a, err_ubs, touch, packed_dev)
 
     def _finish_chunk(self, qs, state, k, idx_out, sc_out) -> None:
         """Blocking fetch of the device candidates + exact rescoring +
@@ -614,36 +636,23 @@ class DeviceBM25:
         queries)."""
         import time as _time
 
-        splits, err_ubs, touch, vals_dev, idx_dev = state
+        q_indptr_a, q_tids_a, q_w_a, err_ubs, touch, packed_dev = state
         bm = self.bm
         Q = len(qs)
+        kp = self.topk_device
         touch_indptr, touch_docs, touch_scores = touch
         n_pairs = int(touch_indptr[Q])
         _t0 = _time.perf_counter()
+        # ONE blocking fetch of the packed (Q, 2K') int32 result;
         # ascontiguousarray is LOAD-BEARING: the remote TPU backend
         # materializes device arrays F-contiguous, and the native post
         # kernel reads raw row-major memory
-        vals = np.ascontiguousarray(np.asarray(vals_dev[:Q], np.float32))
-        idx = np.ascontiguousarray(np.asarray(idx_dev[:Q]).astype(np.int64))
+        packed = np.asarray(packed_dev[:Q])
+        vals = np.ascontiguousarray(packed[:, :kp]).view(np.float32)
+        idx = np.ascontiguousarray(packed[:, kp:]).astype(np.int64)
         self.stats["queries"] += Q
         self.stats["t_device_s"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
-
-        # full query term lists (ascending tid) for exact rescoring
-        q_indptr = [0]
-        q_tids_l: List[int] = []
-        q_w_l: List[float] = []
-        for dr, dw, rt, rw in splits:
-            terms = sorted(
-                [(int(self.dense_terms[r]), w) for r, w in zip(dr, dw)]
-                + list(zip(rt, rw))
-            )
-            q_tids_l.extend(t for t, _ in terms)
-            q_w_l.extend(w for _, w in terms)
-            q_indptr.append(len(q_tids_l))
-        q_indptr_a = np.asarray(q_indptr, np.int64)
-        q_tids_a = np.asarray(q_tids_l, np.int64)
-        q_w_a = np.asarray(q_w_l, np.float32)
 
         native_post = None
         try:
@@ -677,14 +686,14 @@ class DeviceBM25:
         # ------------------------- pure-Python reference post-processing
         # (small-corpus correctness path: exact-scores EVERY candidate; the
         # C++ kernel reaches the identical result lazily)
-        for qi, (dr, dw, rt, rw) in enumerate(splits):
+        for qi in range(Q):
             ts_, te_ = int(touch_indptr[qi]), int(touch_indptr[qi + 1])
             r_docs = touch_docs[ts_:te_]
             err_ub = float(err_ubs[qi])
             cand = np.unique(np.concatenate([idx[qi], r_docs]))
-            q_tids = np.asarray(
-                [int(self.dense_terms[r]) for r in dr] + list(rt), np.int64)
-            q_w = np.asarray(list(dw) + list(rw), np.float32)
+            qs_, qe_ = int(q_indptr_a[qi]), int(q_indptr_a[qi + 1])
+            q_tids = q_tids_a[qs_:qe_]
+            q_w = q_w_a[qs_:qe_]
             exact = self._exact_scores(q_tids, q_w, cand)
             t_order = np.lexsort((cand, -exact))
             kth = float(exact[t_order[k - 1]]) if exact.size >= k else -np.inf

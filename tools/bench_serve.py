@@ -142,6 +142,8 @@ def main():
     log(f"[warmup] first search (compiles) {time.perf_counter() - t0:.1f}s")
 
     # --- timed end-to-end ---
+    stats0 = (dict(engine._device_bm25.stats)
+              if engine._device_bm25 is not None else None)
     t0 = time.perf_counter()
     for b in range(1, args.batches + 1):
         batch = queries[b * args.qbatch: (b + 1) * args.qbatch]
@@ -149,6 +151,14 @@ def main():
                           rerank_top=args.rerank_top)
     e2e_dt = time.perf_counter() - t0
     e2e_qps = args.qbatch * args.batches / e2e_dt
+    # steady-state per-batch phase split (warmup/compile excluded)
+    steady = None
+    if stats0 is not None:
+        cur = engine._device_bm25.stats
+        steady = {k2: round((cur[k2] - stats0[k2]) / args.batches * 1e3, 1)
+                  for k2 in cur if k2.startswith("t_")}
+        steady["fallbacks_per_batch"] = (
+            (cur["fallbacks"] - stats0["fallbacks"]) / args.batches)
 
     # --- per-leg breakdown (same shapes -> cached programs) ---
     batch = queries[args.qbatch: 2 * args.qbatch]
@@ -209,6 +219,7 @@ def main():
         "device_bm25": args.device_bm25,
         "device_bm25_stats": (dict(engine._device_bm25.stats)
                               if engine._device_bm25 is not None else None),
+        "device_bm25_steady_ms_per_batch": steady,
         "leg_ms_per_batch": {
             "encode": round(enc_dt * 1e3, 1),
             "dense_topk": round(dense_dt * 1e3, 1),
