@@ -131,6 +131,10 @@ class RankingConfig:
     # residual int8 pass: ~100x tighter certification bound -> near-zero
     # host-fallback rate, at 2x matrix HBM (index/bm25_tpu.py)
     lexical_residual: bool = True
+    # query-weight MXU format in residual mode: "bf16" (f32->bf16x2 split)
+    # or "int8" (per-query-scaled int8 split — int8 MXU rate, no operand
+    # conversion traffic, same certified error class)
+    lexical_weights: str = "bf16"
 
     def resolved_bm25_threads(self) -> int:
         if self.bm25_threads > 0:

@@ -132,6 +132,7 @@ class DeviceBM25:
         mesh=None,
         residual: bool = True,
         score_chunk_cols: int | None = None,
+        weights: str = "bf16",
     ) -> None:
         """``mesh``: a jax Mesh with a ``data`` axis shards C's document
         COLUMNS across chips (5 GB/chip int8 at B=4096 over 10M docs on
@@ -150,8 +151,28 @@ class DeviceBM25:
 
         ``score_chunk_cols``: document-column width of one scoring-matmul
         step (default ``_SCORE_CHUNK``); tests shrink it to exercise the
-        chunked loop on small corpora."""
+        chunked loop on small corpora.
+
+        ``weights`` (residual mode only): how the f64 folded query weights
+        ride the MXU. ``"bf16"`` = f32->bf16x2 head/tail split against C
+        plus one bf16 pass against C_lo (three bf16 passes, operands
+        convert int8->bf16 in HBM). ``"int8"`` = per-query-scaled int8
+        weight split w ~= a_q*hi8 + (a_q/254)*mid8 against C plus c_q*lo8
+        against C_lo — three int8 x int8 -> int32 einsums: the MXU's int8
+        path runs ~2x the bf16 rate AND skips the int8->bf16 operand
+        conversion traffic, with the same ~1e-4-relative weight-split error
+        (a_q/508 per-term leftover vs bf16's t*2^-16; int32 accumulation is
+        EXACT, so no f32 reassociation term). Error budgets are computed
+        from the actual f64 leftovers either way, so certification remains
+        a proof."""
         self.bm = bm25
+        if weights not in ("bf16", "int8"):
+            raise ValueError(f"weights must be bf16|int8, got {weights!r}")
+        if weights == "int8" and not residual:
+            # non-residual error is dominated by C's int8 rounding; the
+            # bf16 single pass is already cheapest there
+            weights = "bf16"
+        self.weights = weights
         self.mesh = mesh
         self.score_chunk_cols = int(score_chunk_cols or _SCORE_CHUNK)
         self.topk_device = max(1, min(int(topk_device), bm25.n_docs))
@@ -232,6 +253,7 @@ class DeviceBM25:
         n_q = self.query_chunk
         n_b = self.B
         residual = self.residual
+        int8_w = self.weights == "int8"
         if residual:
             C = np.concatenate([C, C_lo], axis=0)
         col_align = _SEL_BLOCK * (n_shards if n_shards > 1 else 1)
@@ -252,6 +274,26 @@ class DeviceBM25:
             # costs one. f32 carries the int32 rows/cols (< 2^24) and the
             # host's exact bf16-rounded values losslessly. Out-of-range
             # rows/cols are the pad/routing sentinels -> mode="drop".
+            if int8_w:
+                # trailing n_q columns carry the per-query scales (a, b, c)
+                n_coo = wq.shape[1] - n_q
+                qi = wq[0, :n_coo].astype(jnp.int32)
+                col = wq[1, :n_coo].astype(jnp.int32)
+                v8 = wq[2, :n_coo].astype(jnp.int8)
+                scales = wq[:, n_coo:]  # (3, n_q) f32
+                col_h = jnp.where(col < n_b, col, n_b)
+                col_m = jnp.where((col >= n_b) & (col < 2 * n_b),
+                                  col - n_b, n_b)
+                col_l = jnp.where(col >= 2 * n_b, col - 2 * n_b, n_b)
+                Wz = jnp.zeros((n_q, n_b), jnp.int8)
+                W_hi = Wz.at[qi, col_h].add(
+                    jnp.where(col < n_b, v8, 0), mode="drop")
+                W_mid = Wz.at[qi, col_m].add(
+                    jnp.where((col >= n_b) & (col < 2 * n_b), v8, 0),
+                    mode="drop")
+                W_lo = Wz.at[qi, col_l].add(
+                    jnp.where(col >= 2 * n_b, v8, 0), mode="drop")
+                return (W_hi, W_mid, W_lo, scales)
             wq_q = wq[0].astype(jnp.int32)
             wq_b = wq[1].astype(jnp.int32)
             wq_v = wq[2].astype(jnp.bfloat16)
@@ -268,6 +310,20 @@ class DeviceBM25:
 
         def score_cols(W, Cc):
             # one MXU pass over a (rows, cc) column slice -> (Q, cc) f32
+            if int8_w:
+                # three int8 x int8 -> int32 einsums; operands stay int8 in
+                # HBM (no bf16 conversion pass). int32 accumulation is
+                # exact: |sum| <= n_terms * 127 * 127 << 2^31
+                W_hi, W_mid, W_lo, scales = W
+                hi = jnp.einsum("qb,bd->qd", W_hi, Cc[:n_b],
+                                preferred_element_type=jnp.int32)
+                mid = jnp.einsum("qb,bd->qd", W_mid, Cc[:n_b],
+                                 preferred_element_type=jnp.int32)
+                lo = jnp.einsum("qb,bd->qd", W_lo, Cc[n_b:],
+                                preferred_element_type=jnp.int32)
+                return (scales[0][:, None] * hi.astype(jnp.float32)
+                        + scales[1][:, None] * mid.astype(jnp.float32)
+                        + scales[2][:, None] * lo.astype(jnp.float32))
             Cb = Cc.astype(jnp.bfloat16)
             if not residual:
                 return jnp.einsum(
@@ -526,10 +582,50 @@ class DeviceBM25:
         # frequent-part score. Uploaded SPARSE (COO, bf16-rounded here so
         # the error budget is exact).
         t64 = w64 * self.scale[drow]  # target weight, f64 reference
-        ws_hi = np.asarray(t64.astype(np.float32),
-                           ml_dtypes.bfloat16).astype(np.float32)
         err_acc = np.zeros(Q, np.float64)
-        if not self.residual:
+        scales_blk = None
+        if self.weights == "int8":
+            # per-query int8 weight split (see __init__): w ~= a*hi8 +
+            # (a/254)*mid8; residual weights one int8 at c. Scales are
+            # rounded to f32 FIRST so the f64 leftover bookkeeping below
+            # uses exactly the values the device multiplies by.
+            l64 = w64 * self.scale_lo[drow]
+            amax = np.zeros(Q, np.float64)
+            cmax = np.zeros(Q, np.float64)
+            if dq.size:
+                np.maximum.at(amax, dq, np.abs(t64))
+                np.maximum.at(cmax, dq, np.abs(l64))
+            a = np.where(amax > 0, amax / 127.0, 1.0)
+            a = a.astype(np.float32).astype(np.float64)
+            b = (a / 254.0).astype(np.float32).astype(np.float64)
+            c = np.where(cmax > 0, cmax / 127.0, 1.0)
+            c = c.astype(np.float32).astype(np.float64)
+            ad, bd, cd = a[dq], b[dq], c[dq]
+            w_hi8 = np.clip(np.rint(t64 / ad), -127, 127)
+            w_mid8 = np.clip(np.rint((t64 - w_hi8 * ad) / bd), -127, 127)
+            left = np.abs(t64 - w_hi8 * ad - w_mid8 * bd)
+            w_lo8 = np.clip(np.rint(l64 / cd), -127, 127)
+            left_lo = np.abs(l64 - w_lo8 * cd)
+            np.add.at(err_acc, dq,
+                      0.5 * w64 * self.scale_lo[drow]
+                      + (left + left_lo) * 127.0)
+            smax_acc = np.zeros(Q, np.float64)
+            np.add.at(smax_acc, dq,
+                      (np.abs(w_hi8) * ad + np.abs(w_mid8) * bd
+                       + np.abs(w_lo8) * cd) * 127.0)
+            err_ubs = (err_acc * (1.0 + 1e-5) + smax_acc * 1e-6
+                       + 1e-6).astype(np.float32)
+            wq_qi = np.concatenate([dq, dq, dq])
+            wq_col = np.concatenate([drow, drow + n_b, drow + 2 * n_b])
+            wq_val = np.concatenate([w_hi8, w_mid8, w_lo8]).astype(
+                np.float32)
+            scales_blk = np.zeros((3, self.query_chunk), np.float32)
+            scales_blk[0, :Q] = a
+            scales_blk[1, :Q] = b
+            scales_blk[2, :Q] = c
+        elif not self.residual:
+            ws_hi = np.asarray(t64.astype(np.float32),
+                               ml_dtypes.bfloat16).astype(np.float32)
             # exact error budget of the device result vs true BM25:
             #   int8 rounding: <= 0.5 * s_t per matched term, and
             #   bf16 weight rounding (computed EXACTLY) times |C8|<=127;
@@ -538,9 +634,12 @@ class DeviceBM25:
             err_ubs = (err_acc * (1.0 + 1e-5) + 1e-6).astype(np.float32)
             wq_qi, wq_col, wq_val = dq, drow, ws_hi
         else:
-            # residual mode: split the f32 weight into two bf16 passes
-            # (head + tail against C) and add the residual-matrix pass;
-            # every rounding leftover is computed EXACTLY in f64
+            # residual mode, bf16 weights: split the f32 weight into two
+            # bf16 passes (head + tail against C) and add the
+            # residual-matrix pass; every rounding leftover is computed
+            # EXACTLY in f64
+            ws_hi = np.asarray(t64.astype(np.float32),
+                               ml_dtypes.bfloat16).astype(np.float32)
             ws_mid = np.asarray(
                 (t64 - ws_hi).astype(np.float32), ml_dtypes.bfloat16
             ).astype(np.float32)
@@ -569,12 +668,16 @@ class DeviceBM25:
         n_w = wq_qi.size
         Pw = next((b for b in _WQ_BUCKETS if b >= n_w), max(n_w, 1))
         # ONE packed (3, P) f32 upload (see densify): [row; col; value],
-        # pad rows route to the drop sentinel
-        wq = np.zeros((3, Pw), np.float32)
-        wq[0] = self.query_chunk
+        # pad rows route to the drop sentinel; int8 mode appends the
+        # (3, query_chunk) per-query scale block
+        ncols = Pw + (self.query_chunk if scales_blk is not None else 0)
+        wq = np.zeros((3, ncols), np.float32)
+        wq[0, :Pw] = self.query_chunk
         wq[0, :n_w] = wq_qi
         wq[1, :n_w] = wq_col
         wq[2, :n_w] = wq_val
+        if scales_blk is not None:
+            wq[:, Pw:] = scales_blk
 
         # full per-query term lists (ascending tid) for exact rescoring —
         # precomputed HERE so the work overlaps the device scoring instead

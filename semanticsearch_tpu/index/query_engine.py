@@ -500,6 +500,7 @@ class HybridQueryEngine:
                         topk_device=max(self.cfg.lexical_topk_device,
                                         bm_depth),
                         residual=self.cfg.lexical_residual,
+                        weights=self.cfg.lexical_weights,
                     )
                 # exact MXU-path top-k (certified vs the host kernel);
                 # dispatch now, fetch after the dense leg's fetch

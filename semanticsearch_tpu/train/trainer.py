@@ -313,6 +313,15 @@ class RerankTrainer:
                 "loss": float(np.mean(losses)),
                 "time_s": time.perf_counter() - t0,
             }
+            if not np.isfinite(row["loss"]):
+                # loud, like the zero-step-epoch failure above: a NaN/inf
+                # loss means every parameter is already poisoned and any
+                # eval metric this epoch ranks garbage
+                logger.warning(
+                    "epoch %d: NON-FINITE loss %s — training diverged "
+                    "(check embedding init / learning rate); metrics from "
+                    "this epoch are meaningless", epoch, row["loss"],
+                )
             if test_ds is not None:
                 row.update(self.evaluate(params, test_ds))
                 key = cfg.eval_metrics[0] if cfg.eval_metrics else "map"

@@ -28,17 +28,18 @@ def _queries(rng, docs, n_queries, terms=(2, 6)):
     return qs
 
 
-@pytest.mark.parametrize("residual", [True, False])
+@pytest.mark.parametrize("residual,weights",
+                         [(True, "bf16"), (False, "bf16"), (True, "int8")])
 @pytest.mark.parametrize("n_dense_terms", [8, 64, 10_000])
-def test_device_bm25_matches_host_exactly(n_dense_terms, residual):
+def test_device_bm25_matches_host_exactly(n_dense_terms, residual, weights):
     """Bit-exact parity with BM25Okapi.get_topk across dense budgets:
     tiny B (most terms rare), mid B, and B >= vocab (all terms dense) —
-    with and without the residual second pass."""
+    with/without the residual second pass and with int8-split weights."""
     rng = np.random.default_rng(0)
     docs = _zipf_corpus(rng, 400)
     bm = BM25Okapi([tokenize(d) for d in docs])
     dev = DeviceBM25(bm, n_dense_terms=n_dense_terms, topk_device=16,
-                     query_chunk=32, residual=residual)
+                     query_chunk=32, residual=residual, weights=weights)
     queries = _queries(rng, docs, 50)
     q_toks = [tokenize(q) for q in queries]
     k = 10
@@ -94,6 +95,13 @@ def test_device_bm25_certificate_rate():
     dev2.get_topk_batch(q_toks, 10)
     frac2 = dev2.stats["fallbacks"] / dev2.stats["queries"]
     assert frac2 <= frac1, (dev1.stats, dev2.stats)
+    # int8 weight split: the same certification class as the bf16 split
+    # (per-term leftover ~a_q/508 vs t*2^-16) — must also beat single-matrix
+    dev3 = DeviceBM25(bm, n_dense_terms=128, topk_device=32, query_chunk=64,
+                      residual=True, weights="int8")
+    dev3.get_topk_batch(q_toks, 10)
+    frac3 = dev3.stats["fallbacks"] / dev3.stats["queries"]
+    assert frac3 <= frac1, (dev1.stats, dev3.stats)
 
 
 def test_device_bm25_query_chunking():
@@ -162,14 +170,15 @@ def test_python_reference_post_path(monkeypatch):
         np.testing.assert_array_equal(d_sc[qi], h_sc, err_msg=f"q={qi}")
 
 
-def test_sharded_device_bm25_matches_host(mesh8):
+@pytest.mark.parametrize("weights", ["bf16", "int8"])
+def test_sharded_device_bm25_matches_host(mesh8, weights):
     """Mesh-sharded C (columns over the data axis): exact parity with the
     host kernel and with the single-device path on the 8-device mesh."""
     rng = np.random.default_rng(11)
     docs = _zipf_corpus(rng, 700)  # not divisible by 8: exercises padding
     bm = BM25Okapi([tokenize(d) for d in docs])
     dev = DeviceBM25(bm, n_dense_terms=64, topk_device=48, query_chunk=32,
-                     mesh=mesh8)
+                     mesh=mesh8, weights=weights)
     q_toks = [tokenize(q) for q in _queries(rng, docs, 60)]
     d_idx, d_sc = dev.get_topk_batch(q_toks, 10)
     for qi, toks in enumerate(q_toks):
@@ -250,9 +259,10 @@ def test_start_finish_interleaved_matches_get_topk_batch():
     np.testing.assert_array_equal(np.vstack([s1, s2]), ref_s)
 
 
-@pytest.mark.parametrize("residual", [True, False])
+@pytest.mark.parametrize("residual,weights",
+                         [(True, "bf16"), (False, "bf16"), (True, "int8")])
 @pytest.mark.parametrize("n_docs", [600, 1000])
-def test_chunked_scoring_matches_host(n_docs, residual):
+def test_chunked_scoring_matches_host(n_docs, residual, weights):
     """The column-chunked scoring loop (HBM-bounded transients at corpus
     scale, see _SCORE_CHUNK) is bit-exact vs the host kernel. 600 docs pad
     to 768 cols -> one full 512-col chunk + a 256-col remainder tail; 1000
@@ -261,7 +271,8 @@ def test_chunked_scoring_matches_host(n_docs, residual):
     docs = _zipf_corpus(rng, n_docs)
     bm = BM25Okapi([tokenize(d) for d in docs])
     dev = DeviceBM25(bm, n_dense_terms=64, topk_device=32, query_chunk=16,
-                     residual=residual, score_chunk_cols=512)
+                     residual=residual, score_chunk_cols=512,
+                     weights=weights)
     q_toks = [tokenize(q) for q in _queries(rng, docs, 30)]
     d_idx, d_sc = dev.get_topk_batch(q_toks, 10)
     for qi, toks in enumerate(q_toks):

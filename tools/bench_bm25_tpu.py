@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--vocab", type=int, default=50_000)
     ap.add_argument("--dense-terms", type=int, default=4096)
     ap.add_argument("--topk-device", type=int, default=64)
+    ap.add_argument("--weights", choices=["bf16", "int8"], default="bf16",
+                    help="residual-mode query-weight MXU format "
+                         "(index/bm25_tpu.py)")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--k", type=int, default=40)
@@ -69,7 +72,8 @@ def main():
 
     t0 = time.perf_counter()
     dev = DeviceBM25(bm, n_dense_terms=args.dense_terms,
-                     topk_device=args.topk_device, query_chunk=args.batch)
+                     topk_device=args.topk_device, query_chunk=args.batch,
+                     weights=args.weights)
     build_s = time.perf_counter() - t0
     dense_gb = args.dense_terms * args.docs / 1e9
     print(f"[device] C ({args.dense_terms} x {args.docs}, {dense_gb:.1f} GB "
@@ -120,6 +124,7 @@ def main():
         "docs": args.docs,
         "k": args.k,
         "dense_terms": args.dense_terms,
+        "weights": args.weights,
         "dense_gb_int8": round(dense_gb, 2),
         "build_upload_s": round(build_s, 1),
         "fallback_rate": dev.stats["fallbacks"] / max(dev.stats["queries"], 1),
