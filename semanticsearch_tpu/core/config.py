@@ -184,8 +184,18 @@ class TrainConfig:
     eval_metrics: tuple = ("ndcg@3", "ndcg@5", "map")
     # GloVe-format local file for embedding-table init (reference builds an
     # L2-normalized GloVe-100 matrix, train_controller.py:564-581); None =
-    # learned from scratch
+    # learned from scratch. The "encoder:<ckpt_dir>" scheme instead
+    # transfers the TRAINED sentence encoder's token table
+    # (train/embeddings.py::encoder_token_embeddings — requires
+    # subword_tokenizer_path so the id spaces match, and embedding_dim
+    # equal to the encoder's hidden size)
     embedding_init_path: Optional[str] = None
+    # Rerankers encode pair texts as BPE pieces of this trained
+    # SubwordTokenizer (models/subword.py) instead of a corpus-fit word
+    # vocab: unseen inflections decompose into trained stems + suffixes.
+    # Measured (BASELINE.md subword_rr): with encoder-transfer init +
+    # keep_best this lifts EVERY reranker above its candidate generator.
+    subword_tokenizer_path: Optional[str] = None
     # Best-epoch selection: when fit() is given a validation dataset and
     # keep_best is set, the returned params are from the epoch with the
     # best primary metric (eval_metrics[0]) instead of the last epoch, and

@@ -78,6 +78,11 @@ class CVEvaluator:
         output_dir: Optional[str] = None,
     ) -> CVResult:
         cfg = cfg or TrainConfig(model=model_name)
+        sub_tok = None
+        if cfg.subword_tokenizer_path:
+            from ..models.subword import SubwordTokenizer
+
+            sub_tok = SubwordTokenizer.load(cfg.subword_tokenizer_path)
         per_fold: List[Dict[str, float]] = []
         histories: List[List[Dict[str, float]]] = []
         for k, fold in enumerate(self.folds, 1):
@@ -85,13 +90,35 @@ class CVEvaluator:
                 fixed_length_left=cfg.fixed_length_left,
                 fixed_length_right=cfg.fixed_length_right,
                 filter_low_freq=cfg.filter_low_freq,
+                subword=sub_tok,
             )
             train_rows = load_fold_rows(fold.train)
             pp.fit(train_rows["query_texts"] + train_rows["chunk_texts"])
             train_ds = dataset_from_fold(fold.train, pp)
             test_ds = dataset_from_fold(fold.test, pp)
             emb_init = None
-            if cfg.embedding_init_path:
+            if cfg.embedding_init_path and cfg.embedding_init_path.startswith(
+                    "encoder:"):
+                # transfer the trained encoder's token table (the
+                # zero-egress GloVe analog; BASELINE.md subword_rr recipe)
+                from .embeddings import encoder_token_embeddings
+                from .encoder_train import load_encoder
+
+                if sub_tok is None:
+                    raise ValueError(
+                        "embedding_init_path='encoder:...' requires "
+                        "subword_tokenizer_path (the reranker must share "
+                        "the encoder's subword id space)")
+                enc = load_encoder(cfg.embedding_init_path[len("encoder:"):])
+                emb_init = encoder_token_embeddings(enc)
+                if emb_init.shape != (pp.vocab_size, cfg.embedding_dim):
+                    raise ValueError(
+                        f"encoder token table {emb_init.shape} does not "
+                        f"match (vocab_size={pp.vocab_size}, "
+                        f"embedding_dim={cfg.embedding_dim}); set "
+                        "train.embedding_dim to the encoder hidden size "
+                        "and use the encoder's tokenizer")
+            elif cfg.embedding_init_path:
                 from .embeddings import load_word_embeddings
 
                 emb_init = load_word_embeddings(
@@ -106,7 +133,14 @@ class CVEvaluator:
                 os.path.join(output_dir, model_name, f"fold_{k}")
                 if output_dir else None
             )
-            result = trainer.fit(train_ds, test_ds=None, checkpoint_dir=ckpt)
+            # cfg.keep_best: validate per epoch and keep the best state —
+            # the reference's own loop validates NDCG@3/5+MAP on the TEST
+            # pack each epoch (train_controller.py:556-560), so parity
+            # keeps that (leaky) contract here; eval_quality's --scale
+            # harness carves a held-out validation split instead
+            result = trainer.fit(
+                train_ds, test_ds=test_ds if cfg.keep_best else None,
+                checkpoint_dir=ckpt)
             if ckpt:
                 pp.save(os.path.join(ckpt, "preprocessor.json"))
             fold_metrics = trainer.evaluate(

@@ -399,3 +399,73 @@ def test_zero_pad_row_embedding_trains_finite(model_name):
     assert all(np.isfinite(r["loss"]) for r in res.history), res.history
     emb = np.asarray(res.params["embedding"]["embedding"])
     assert np.isfinite(emb).all()
+
+
+def test_cv_train_with_subword_and_encoder_init(tmp_path):
+    """CVEvaluator honors TrainConfig.subword_tokenizer_path +
+    embedding_init_path="encoder:<dir>" — the CLI-reachable form of the
+    BASELINE subword_rr recipe (--set train.subword_tokenizer_path=... etc).
+    The reranker's vocab becomes the tokenizer's, its embedding table
+    starts as the encoder's token table, and keep_best validates per epoch
+    like the reference's loop (train_controller.py:556-560)."""
+    from semanticsearch_tpu.core.config import EncoderConfig
+    from semanticsearch_tpu.data.folds import FoldPaths
+    from semanticsearch_tpu.data.tsv import write_tsv
+    from semanticsearch_tpu.models.encoder import SentenceEncoder
+    from semanticsearch_tpu.models.subword import train_bpe
+    from semanticsearch_tpu.train.encoder_train import save_encoder
+    from semanticsearch_tpu.train.evaluate import CVEvaluator
+
+    corpus = ["the running dogs jumped over tall fences",
+              "cats watch running dogs jumping fences",
+              "fences keep dogs from running and jumping"] * 3
+    tok = train_bpe(corpus, vocab_size=120, max_len=16)
+    tok.save(str(tmp_path / "tok.json"))
+    enc = SentenceEncoder(EncoderConfig(
+        vocab_size=tok.vocab_size, hidden_dim=16, num_layers=1, num_heads=2,
+        mlp_dim=32, max_len=16, dtype="float32"), tokenizer=tok)
+    save_encoder(enc, str(tmp_path / "enc"))
+
+    rng = np.random.default_rng(0)
+    for k in (1, 2):
+        rows = []
+        for q in range(4):
+            for d in range(4):
+                lab = 1 if d < 2 else 0
+                text = (f"tok{q} dogs running" if lab
+                        else " ".join(f"z{rng.integers(40)}" for _ in range(3)))
+                rows.append({"query_id": f"q{q}",
+                             "query_text": f"tok{q} dogs",
+                             "chunk_text": text, "label": str(lab)})
+        for split in ("train", "test"):
+            write_tsv(str(tmp_path / f"fold_{k}_{split}.tsv"), rows,
+                      ["query_id", "query_text", "chunk_text", "label"])
+
+    cfg = TrainConfig(
+        model="knrm", epochs=2, batch_size=4, num_neg=1, optimizer="adam",
+        learning_rate=0.01, embedding_dim=16, filter_low_freq=1,
+        keep_best=True, eval_metrics=("map",),
+        subword_tokenizer_path=str(tmp_path / "tok.json"),
+        embedding_init_path=f"encoder:{tmp_path / 'enc'}",
+    )
+    folds = [FoldPaths(train=str(tmp_path / f"fold_{k}_train.tsv"),
+                       test=str(tmp_path / f"fold_{k}_test.tsv"))
+             for k in (1, 2)]
+    res = CVEvaluator(folds, metrics=("map", "mrr")).run_model(
+        "knrm", cfg=cfg, output_dir=str(tmp_path / "out"))
+    assert len(res.per_fold) == 2
+    assert all(np.isfinite(f["map"]) for f in res.per_fold)
+    # the persisted preprocessor must round-trip in subword mode
+    from semanticsearch_tpu.train.vocab import Preprocessor
+
+    pp = Preprocessor.load(str(tmp_path / "out" / "knrm" / "fold_1"
+                               / "preprocessor.json"))
+    assert pp.subword is not None
+    assert pp.vocab_size == tok.vocab_size
+
+    # mismatched embedding_dim must fail loudly, not train garbage
+    import dataclasses
+
+    bad = dataclasses.replace(cfg, embedding_dim=8)
+    with pytest.raises(ValueError, match="does not match"):
+        CVEvaluator(folds[:1]).run_model("knrm", cfg=bad)
