@@ -169,9 +169,13 @@ class DeviceBM25:
         if weights not in ("bf16", "int8"):
             raise ValueError(f"weights must be bf16|int8, got {weights!r}")
         if weights == "int8" and not residual:
-            # non-residual error is dominated by C's int8 rounding; the
-            # bf16 single pass is already cheapest there
-            weights = "bf16"
+            # non-residual error is dominated by C's int8 rounding, so an
+            # int8 weight split buys nothing there — reject rather than
+            # silently measure the wrong path
+            raise ValueError(
+                "weights='int8' requires residual=True (the int8 split "
+                "replaces the residual mode's three bf16 passes; "
+                "non-residual scoring is a single bf16 pass already)")
         self.weights = weights
         self.mesh = mesh
         self.score_chunk_cols = int(score_chunk_cols or _SCORE_CHUNK)
@@ -752,7 +756,9 @@ class DeviceBM25:
         # kernel reads raw row-major memory
         packed = np.asarray(packed_dev[:Q])
         vals = np.ascontiguousarray(packed[:, :kp]).view(np.float32)
-        idx = np.ascontiguousarray(packed[:, kp:]).astype(np.int64)
+        # astype on the slice already returns a fresh C-contiguous array
+        # (the contiguity note above matters only for the zero-copy view)
+        idx = packed[:, kp:].astype(np.int64)
         self.stats["queries"] += Q
         self.stats["t_device_s"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()

@@ -7,15 +7,17 @@ the reference's architecture implies (rank_chunks -> matchzoo rerank): the
 hybrid engine's top-N RRF candidates are rescored on-device by a trained
 reranker checkpoint and reordered.
 
-TPU shape discipline: TWO jitted predict signatures — all (query, chunk)
-pairs for a whole query batch are packed into fixed-size (SCORE_BATCH, L) or
-(SCORE_BATCH_LARGE, L) id blocks, padded with PAD rows whose scores are
-discarded, so serving never triggers a recompile regardless of query count or
-candidate depth. Large blocks exist because per-dispatch latency, not
-compute, bounds serve rerank through a remote device link: a 1024-query x
-top-20 rescore is 20,480 pairs = 3 large dispatches instead of 80 small ones.
-All blocks are dispatched before any score is fetched (JAX dispatch is
-async), so block i+1's host packing and upload overlap block i's compute.
+TPU shape discipline: a THREE-RUNG ladder of jitted predict signatures
+(SCORE_BATCH / SCORE_BATCH_MID / SCORE_BATCH_LARGE rows) — all (query,
+chunk) pairs for a whole query batch are packed into fixed-size (rows, L)
+id blocks, padded with PAD rows whose scores are discarded, so serving
+never triggers a recompile regardless of query count or candidate depth.
+Large blocks exist because per-dispatch latency, not compute, bounds serve
+rerank through a remote device link: a 1024-query x top-20 rescore is
+20,480 pairs = 3 large dispatches instead of 80 small ones; the mid rung
+bounds pad waste to ~2.7x for leftover counts between the rungs. All
+blocks are dispatched before any score is fetched (JAX dispatch is async),
+so block i+1's host packing and upload overlap block i's compute.
 """
 from __future__ import annotations
 
@@ -32,10 +34,22 @@ from ..train.vocab import Preprocessor
 logger = get_logger("rerank")
 
 SCORE_BATCH = 256
+SCORE_BATCH_MID = 2048
 SCORE_BATCH_LARGE = 8192
-# beyond this many leftover pairs, one padded large block beats a train of
-# small dispatches (the pad rows' compute is cheaper than the round trips)
-_LARGE_THRESHOLD = 3 * SCORE_BATCH
+# beyond 3x the next-smaller rung of leftover pairs, one padded bigger
+# block beats a train of small dispatches (pad-row compute is cheaper than
+# the round trips); the mid rung bounds worst-case padding waste to ~2.7x
+# (a two-rung ladder wasted up to 10.7x just above the small threshold)
+_LARGE_THRESHOLD = 3 * SCORE_BATCH_MID
+_MID_THRESHOLD = 3 * SCORE_BATCH
+
+
+def _block_size(remaining: int) -> int:
+    if remaining > _LARGE_THRESHOLD:
+        return SCORE_BATCH_LARGE
+    if remaining > _MID_THRESHOLD:
+        return SCORE_BATCH_MID
+    return SCORE_BATCH
 
 
 class RerankService:
@@ -111,11 +125,11 @@ class RerankService:
     ) -> np.ndarray:
         """Score aligned (query, chunk) text pairs: (N,) float32.
 
-        Pairs are packed into fixed-shape blocks (SCORE_BATCH_LARGE while
-        more than _LARGE_THRESHOLD pairs remain, SCORE_BATCH for the tail;
-        pad rows' scores are discarded) so every call reuses one of two
-        compiled predict signatures. Every block is dispatched before any
-        block's scores are fetched.
+        Pairs are packed into fixed-shape blocks (_block_size picks the
+        ladder rung from the remaining count; pad rows' scores are
+        discarded) so every call reuses one of three compiled predict
+        signatures. Every block is dispatched before any block's scores
+        are fetched.
         """
         n = len(query_texts)
         assert len(chunk_texts) == n
@@ -126,8 +140,7 @@ class RerankService:
         blocks = []  # (start, end, device handle)
         s = 0
         while s < n:
-            rem = n - s
-            bs = SCORE_BATCH_LARGE if rem > _LARGE_THRESHOLD else SCORE_BATCH
+            bs = _block_size(n - s)
             e = min(s + bs, n)
             lb = np.zeros((bs, left.shape[1]), np.int32)
             rb = np.zeros((bs, right.shape[1]), np.int32)

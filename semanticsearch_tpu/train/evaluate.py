@@ -119,6 +119,15 @@ class CVEvaluator:
                         "train.embedding_dim to the encoder hidden size "
                         "and use the encoder's tokenizer")
             elif cfg.embedding_init_path:
+                if sub_tok is not None:
+                    # a GloVe-format file is word-keyed; in subword mode
+                    # pp.vocab is empty, so the lookup would match zero
+                    # words and silently return pure random init
+                    raise ValueError(
+                        "embedding_init_path with a word-vector file does "
+                        "not compose with subword_tokenizer_path (piece "
+                        "ids have no word keys) — use the 'encoder:<ckpt>'"
+                        " scheme for subword-mode init")
                 from .embeddings import load_word_embeddings
 
                 emb_init = load_word_embeddings(

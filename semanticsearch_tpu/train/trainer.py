@@ -340,14 +340,6 @@ class RerankTrainer:
                     epochs_since_best += 1
             history.append(row)
             logger.info("epoch %d: %s", epoch, row)
-            if (cfg.keep_best and cfg.patience
-                    and epochs_since_best >= cfg.patience):
-                logger.info(
-                    "early stop at epoch %d: no %s improvement for %d epochs",
-                    epoch, cfg.eval_metrics[0] if cfg.eval_metrics else "map",
-                    cfg.patience,
-                )
-                break
             if checkpoint_dir and checkpoint_every and (
                 (epoch + 1) % checkpoint_every == 0
             ):
@@ -359,6 +351,16 @@ class RerankTrainer:
                               "batch_size": batch_size},
                     async_save=True,
                 )
+            # early-stop AFTER the periodic save so the stopping epoch's
+            # opt_state/epoch cursor stays resumable like any other epoch
+            if (cfg.keep_best and cfg.patience
+                    and epochs_since_best >= cfg.patience):
+                logger.info(
+                    "early stop at epoch %d: no %s improvement for %d epochs",
+                    epoch, cfg.eval_metrics[0] if cfg.eval_metrics else "map",
+                    cfg.patience,
+                )
+                break
         if cfg.keep_best and test_ds is not None:
             params = best_params
         if checkpoint_dir:

@@ -271,7 +271,7 @@ def test_score_pairs_block_ladder_consistency():
 
     from semanticsearch_tpu.core.config import TrainConfig
     from semanticsearch_tpu.index.rerank_service import (
-        _LARGE_THRESHOLD, RerankService)
+        SCORE_BATCH, SCORE_BATCH_LARGE, SCORE_BATCH_MID, RerankService)
     from semanticsearch_tpu.models.rerankers import make_model
     from semanticsearch_tpu.train.vocab import Preprocessor
 
@@ -287,7 +287,9 @@ def test_score_pairs_block_ladder_consistency():
     )["params"]
     svc = RerankService("knrm", params, pp,
                         cfg=TrainConfig(model="knrm", embedding_dim=16))
-    n = _LARGE_THRESHOLD + 132  # one padded LARGE block + exercises the tail
+    # one full LARGE block, one full MID, one full SMALL, plus a padded
+    # SMALL tail — every ladder rung incl. its padding
+    n = SCORE_BATCH_LARGE + SCORE_BATCH_MID + SCORE_BATCH + 44
     qs = [texts[i % len(texts)] for i in range(n)]
     cs = [texts[(i * 7 + 3) % len(texts)] for i in range(n)]
     whole = svc.score_pairs(qs, cs)

@@ -165,6 +165,9 @@ def main():
             and args.reranker_vocab != "subword"):
         ap.error("--reranker-embed-init encoder requires --reranker-vocab "
                  "subword (the id spaces must match the encoder's)")
+    if args.reranker_keep_best and args.train_qpt < 2:
+        ap.error("--reranker-keep-best needs --train-qpt >= 2 (one train "
+                 "query per topic is carved into the validation split)")
     if args.scale:
         args.topics = max(args.topics, 200)
         args.eval_qpt = max(args.eval_qpt, 3)
