@@ -25,6 +25,40 @@ from .bm25 import BM25Okapi, tokenize
 from .builder import EMB_FILE, IDS_FILE, META_FILE, load_index
 from .engine import EmbeddingIndex, SearchResult
 
+_pack_jit = None
+
+
+def _pack_scores_indices(vals, idx):
+    """One (Q, 2k) int32 device array: f32 scores bitcast into [:, :k].
+
+    Each np.asarray of a device array is a blocking round trip through a
+    remote device link, so the serve path fetches ONE packed array per leg
+    instead of (scores, indices) separately — the same trick as the device
+    BM25 result (index/bm25_tpu.py). Dispatched async right after the
+    top-k program, so the pack rides the device queue."""
+    global _pack_jit
+    if _pack_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def pack(v, i):
+            return jnp.concatenate(
+                [jax.lax.bitcast_convert_type(
+                    v.astype(jnp.float32), jnp.int32),
+                 i.astype(jnp.int32)], axis=1)
+
+        _pack_jit = pack
+    return _pack_jit(vals, idx)
+
+
+def _unpack_scores_indices(packed: np.ndarray) -> SearchResult:
+    k = packed.shape[1] // 2
+    return SearchResult(
+        np.ascontiguousarray(packed[:, :k]).view(np.float32),
+        packed[:, k:].astype(np.int64),
+    )
+
 logger = get_logger("query")
 
 BM25_FILE = "bm25.pkl"
@@ -476,6 +510,7 @@ class HybridQueryEngine:
             q_emb = self.encoder.encode(list(queries))
         dense_dev = self.index.search_device(
             q_emb, k=min(fetch, self.index.size))
+        dense_packed = _pack_scores_indices(*dense_dev)
 
         # serve-time adds: search the delta buffer and merge by score (both
         # legs' scores are comparable with the main index — cosine, and
@@ -519,8 +554,7 @@ class HybridQueryEngine:
                 if n_delta and self._delta_bm25 is not None else None
             )
 
-        dense = SearchResult(np.asarray(dense_dev[0]),
-                             np.asarray(dense_dev[1]))
+        dense = _unpack_scores_indices(np.asarray(dense_packed))
         if lex_handle is not None:
             bm_idx, bm_scores = self._device_bm25.finish_topk_batch(
                 lex_handle)
