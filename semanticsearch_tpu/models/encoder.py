@@ -231,8 +231,7 @@ class SentenceEncoder:
             params = jax.device_put(params)
         self.params = params
 
-        @functools.partial(jax.jit, static_argnames=())
-        def _forward(params, ids, mask):
+        def _forward_body(params, ids, mask):
             if self.mesh is not None:
                 ids = jax.lax.with_sharding_constraint(
                     ids, NamedSharding(self.mesh, P("data", None))
@@ -242,7 +241,13 @@ class SentenceEncoder:
                 )
             return self.model.apply({"params": params}, ids, mask)
 
-        self._forward = _forward
+        self._forward = jax.jit(_forward_body)
+        # packed (2, B, L) int32 [ids; mask] variant: each host->device
+        # transfer is a blocking round trip through a remote device link,
+        # so the encode loop ships ONE array per batch instead of two
+        self._forward_packed = jax.jit(
+            lambda params, packed: _forward_body(
+                params, packed[0], packed[1]))
 
     def _bucket_for(self, n_tokens: int) -> int:
         for b in _BUCKETS:
@@ -304,15 +309,15 @@ class SentenceEncoder:
                     continue
                 sel = idxs[s: s + eff_batch]
                 b = len(sel)
-                # pad the batch so it divides the data axis
+                # pad the batch so it divides the data axis; ids+mask ship
+                # as ONE packed (2, b, L) upload (see _forward_packed)
                 b_pad = -(-b // n_dev) * n_dev
-                ids = np.zeros((b_pad, L), np.int32)
-                mask = np.zeros((b_pad, L), np.int32)
-                ids[:b] = ids_full[sel, :L]
-                mask[:b] = mask_full[sel, :L]
+                packed = np.zeros((2, b_pad, L), np.int32)
+                packed[0, :b] = ids_full[sel, :L]
+                packed[1, :b] = mask_full[sel, :L]
                 try:
-                    emb = self._forward(
-                        self.params, jnp.asarray(ids), jnp.asarray(mask)
+                    emb = self._forward_packed(
+                        self.params, jnp.asarray(packed)
                     )
                     _drain()  # fetch the PREVIOUS batch while this one runs
                     pending = (emb, sel, b, s)
@@ -364,13 +369,10 @@ class SentenceEncoder:
                 sel = idxs[s: s + batch_size]
                 b = len(sel)
                 b_pad = -(-b // n_dev) * n_dev
-                ids = np.zeros((b_pad, L), np.int32)
-                mask = np.zeros((b_pad, L), np.int32)
-                ids[:b] = ids_full[sel, :L]
-                mask[:b] = mask_full[sel, :L]
-                emb = self._forward(
-                    self.params, jnp.asarray(ids), jnp.asarray(mask)
-                )
+                packed = np.zeros((2, b_pad, L), np.int32)
+                packed[0, :b] = ids_full[sel, :L]
+                packed[1, :b] = mask_full[sel, :L]
+                emb = self._forward_packed(self.params, jnp.asarray(packed))
                 order_parts.append(np.asarray(sel, np.int64))
                 emb_parts.append(emb[:b])
         order = np.concatenate(order_parts)
