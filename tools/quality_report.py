@@ -39,6 +39,35 @@ def load_runs(d):
     return runs
 
 
+# The subword_rr recipe decomposed one ingredient at a time (all on the
+# subword-tokenized corpus; same trained encoder, same hybrid candidates):
+#   rung 0  word-vocab rerankers, random init, last epoch   (quality_scale_subword)
+#   rung 1  + BPE piece vocab                               (abl_vocab)
+#   rung 2  + encoder-transfer embedding init               (abl_vocab_init)
+#   rung 3  + keep-best-epoch selection = full recipe       (quality_scale_subword_rr)
+LADDER = (
+    ("word vocab", "quality_scale_subword"),
+    ("+piece vocab", "abl_vocab"),
+    ("+encoder init", "abl_vocab_init"),
+    ("+keep best", "quality_scale_subword_rr"),
+)
+
+
+def load_ladder(d):
+    rungs = {}  # label -> seed -> results
+    for label, stem in LADDER:
+        per_seed = {}
+        for path in sorted(glob.glob(os.path.join(d, f"{stem}_s*.json"))):
+            m = re.search(r"_s(\d+)\.json$", path)
+            if not m or os.path.getsize(path) == 0:
+                continue
+            with open(path) as f:
+                per_seed[int(m.group(1))] = json.loads(f.read().strip())
+        if per_seed:
+            rungs[label] = per_seed
+    return rungs
+
+
 def agg(runs_for_tok, method, metric):
     vals = [r["results"][method][metric]
             for r in runs_for_tok.values() if method in r["results"]]
@@ -118,6 +147,27 @@ def main():
             f"[{tok}] rerankers beating their hybrid candidate generator "
             f"(MAP {base[0]:.3f}): {', '.join(beats) or 'none'}; "
             f"not beating: {', '.join(loses) or 'none'}.")
+
+    # recipe-attribution ladder: MAP per reranker at each rung
+    ladder = load_ladder(args.dir)
+    if len(ladder) >= 2:
+        lines.append("")
+        lines.append(
+            "Recipe attribution (reranker MAP per ingredient, cumulative "
+            "left to right; mean over available seeds):")
+        labels = [lb for lb, _ in LADDER if lb in ladder]
+        lines.append("| Reranker | " + " | ".join(
+            f"{lb} (s{sorted(ladder[lb])})" for lb in labels) + " |")
+        lines.append("|---" * (len(labels) + 1) + "|")
+        rr = [m for m in methods if m.startswith("hybrid_plus_")]
+        for method in rr:
+            cells = []
+            for lb in labels:
+                a = agg(ladder[lb], method, "map")
+                cells.append(f"{a[0]:.4f}" if a else "—")
+            lines.append(
+                f"| {method.removeprefix('hybrid_plus_')} | "
+                + " | ".join(cells) + " |")
 
     text = "\n".join(lines)
     if args.out == "-":
