@@ -203,8 +203,19 @@ class DeviceBM25:
         contrib_base = (bm25.idf * (bm25.k1 + 1.0)).astype(np.float32)
         self.scale = np.zeros(B, np.float32)
         self.scale_lo = np.zeros(B, np.float32)
-        C = np.zeros((B, self.n_docs), np.int8)
-        C_lo = np.zeros((B, self.n_docs), np.int8) if self.residual else None
+        # Build DIRECTLY into the final upload layout — [C; C_lo] rows,
+        # columns pre-padded to the selection/shard alignment — so host peak
+        # RSS is exactly the matrix footprint. (A build that materializes
+        # C and C_lo separately and then concatenates + pads copies the
+        # matrix twice more: ~6x footprint transiently, which at the
+        # 10M-doc/B=4096 north star is ~250 GB of host RAM vs this path's
+        # ~82 GB.) Zero pad columns are masked at query time (valid_n).
+        n_shards = mesh.shape.get("data", 1) if mesh is not None else 1
+        col_align = _SEL_BLOCK * (n_shards if n_shards > 1 else 1)
+        d_pad = self.n_docs + ((-self.n_docs) % col_align)
+        CC = np.zeros((2 * B if self.residual else B, d_pad), np.int8)
+        C = CC[:B]
+        C_lo = CC[B:] if self.residual else None
         for row, t in enumerate(self.dense_terms):
             s, e = bm25._inv_indptr[t], bm25._inv_indptr[t + 1]
             contrib = contrib_base[t] * bm25._inv_quot[s:e]
@@ -227,7 +238,7 @@ class DeviceBM25:
                     C_lo[row, docs] = np.clip(
                         np.rint(resid / sc_lo), -127, 127
                     ).astype(np.int8)
-        self._upload(C, C_lo)
+        self._upload(CC)
         self.stats: Dict[str, float] = {
             "queries": 0, "fallbacks": 0, "rescore_expansions": 0,
             "t_split_s": 0.0, "t_dispatch_s": 0.0, "t_rare_s": 0.0,
@@ -235,7 +246,7 @@ class DeviceBM25:
         }
 
     # ------------------------------------------------------------------ jit
-    def _upload(self, C: np.ndarray, C_lo=None) -> None:
+    def _upload(self, C: np.ndarray) -> None:
         """Device-resident contribution matrices + the jitted scoring program.
 
         Residual mode stores ``CC = [C; C_lo]`` (2B, D) and the query COO
@@ -258,12 +269,11 @@ class DeviceBM25:
         n_b = self.B
         residual = self.residual
         int8_w = self.weights == "int8"
-        if residual:
-            C = np.concatenate([C, C_lo], axis=0)
+        # __init__ built C in the final layout: [head; residual] rows,
+        # columns already padded to _SEL_BLOCK * n_shards (zero cols are
+        # masked by valid_n below) — no copies here.
         col_align = _SEL_BLOCK * (n_shards if n_shards > 1 else 1)
-        pad = (-C.shape[1]) % col_align
-        if pad:
-            C = np.pad(C, ((0, 0), (0, pad)))  # zero cols: masked below
+        assert C.shape[1] % col_align == 0, (C.shape, col_align)
 
         chunk = max(_SEL_BLOCK, self.score_chunk_cols
                     - self.score_chunk_cols % _SEL_BLOCK)
