@@ -56,6 +56,10 @@ def main():
                          "(RankingConfig.lexical_device, index/bm25_tpu.py)")
     ap.add_argument("--dense-terms", type=int, default=4096,
                     help="device-BM25 dense matrix budget B")
+    ap.add_argument("--lexical-weights", choices=["bf16", "int8"],
+                    default="bf16",
+                    help="device-BM25 MXU weight path "
+                         "(RankingConfig.lexical_weights)")
     ap.add_argument("--output-dir", default=None)
     ap.add_argument("--latency", type=int, default=0,
                     help=">0: also measure SINGLE-QUERY serve latency over "
@@ -105,6 +109,7 @@ def main():
     rank_cfg = RankingConfig(
         lexical_device=args.device_bm25,
         lexical_dense_terms=args.dense_terms,
+        lexical_weights=args.lexical_weights,
     )
     engine = HybridQueryEngine.build(
         chunks_tsv, enc, os.path.join(out_dir, "idx"), rank_cfg=rank_cfg,
@@ -217,6 +222,7 @@ def main():
         "rerank_top": args.rerank_top,
         "latency_single_query": latency,
         "device_bm25": args.device_bm25,
+        "lexical_weights": args.lexical_weights,
         "device_bm25_stats": (dict(engine._device_bm25.stats)
                               if engine._device_bm25 is not None else None),
         "device_bm25_steady_ms_per_batch": steady,
