@@ -135,6 +135,10 @@ class RankingConfig:
     # or "int8" (per-query-scaled int8 split — int8 MXU rate, no operand
     # conversion traffic, same certified error class)
     lexical_weights: str = "bf16"
+    # persist the built int8 matrix in the index dir: serve restarts memmap
+    # it from disk (no CSR re-quantization, no host-RSS copy) at the cost
+    # of matrix-sized disk (8 GB at 1M docs residual/B=4096)
+    lexical_cache: bool = False
 
     def resolved_bm25_threads(self) -> int:
         if self.bm25_threads > 0:

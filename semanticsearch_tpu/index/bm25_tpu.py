@@ -60,6 +60,8 @@ Measured (BASELINE.md): 2,116 QPS exact at a 1M-doc corpus on v5e-1 vs
 """
 from __future__ import annotations
 
+import json
+import os
 from collections import Counter
 from typing import Dict, List, Sequence, Tuple
 
@@ -133,6 +135,7 @@ class DeviceBM25:
         residual: bool = True,
         score_chunk_cols: int | None = None,
         weights: str = "bf16",
+        cache_dir: str | None = None,
     ) -> None:
         """``mesh``: a jax Mesh with a ``data`` axis shards C's document
         COLUMNS across chips (5 GB/chip int8 at B=4096 over 10M docs on
@@ -164,7 +167,14 @@ class DeviceBM25:
         (a_q/508 per-term leftover vs bf16's t*2^-16; int32 accumulation is
         EXACT, so no f32 reassociation term). Error budgets are computed
         from the actual f64 leftovers either way, so certification remains
-        a proof."""
+        a proof.
+
+        ``cache_dir``: persist the built int8 matrix there and reuse it on
+        the next construction (fingerprinted against the BM25 stats) — a
+        serve restart memmaps the matrix from disk instead of re-quantizing
+        the CSR, and uploads straight from the memmap without holding it in
+        host RAM. Enable via ``RankingConfig.lexical_cache`` (the engine
+        passes its index directory)."""
         self.bm = bm25
         if weights not in ("bf16", "int8"):
             raise ValueError(f"weights must be bf16|int8, got {weights!r}")
@@ -213,37 +223,120 @@ class DeviceBM25:
         n_shards = mesh.shape.get("data", 1) if mesh is not None else 1
         col_align = _SEL_BLOCK * (n_shards if n_shards > 1 else 1)
         d_pad = self.n_docs + ((-self.n_docs) % col_align)
-        CC = np.zeros((2 * B if self.residual else B, d_pad), np.int8)
-        C = CC[:B]
-        C_lo = CC[B:] if self.residual else None
-        for row, t in enumerate(self.dense_terms):
-            s, e = bm25._inv_indptr[t], bm25._inv_indptr[t + 1]
-            contrib = contrib_base[t] * bm25._inv_quot[s:e]
-            amax = float(np.max(np.abs(contrib))) if e > s else 0.0
-            if amax == 0.0:
-                continue
-            sc = amax / 127.0
-            self.scale[row] = sc
-            q8 = np.clip(np.rint(contrib / sc), -127, 127)
-            docs = bm25._inv_docs[s:e]
-            C[row, docs] = q8.astype(np.int8)
-            if self.residual:
-                # residual of the int8 rounding, quantized again at ~s/254:
-                # |contrib - q8*sc - q8_lo*sc_lo| <= 0.5*sc_lo (f64 exact)
-                resid = contrib.astype(np.float64) - q8 * float(sc)
-                rmax = float(np.max(np.abs(resid)))
-                if rmax > 0.0:
-                    sc_lo = rmax / 127.0
-                    self.scale_lo[row] = np.float32(sc_lo)
-                    C_lo[row, docs] = np.clip(
-                        np.rint(resid / sc_lo), -127, 127
-                    ).astype(np.int8)
+        cc_shape = (2 * B if self.residual else B, d_pad)
+
+        CC = self._load_cache(cache_dir, cc_shape) if cache_dir else None
+        if CC is None:
+            CC = np.zeros(cc_shape, np.int8)
+            C = CC[:B]
+            C_lo = CC[B:] if self.residual else None
+            for row, t in enumerate(self.dense_terms):
+                s, e = bm25._inv_indptr[t], bm25._inv_indptr[t + 1]
+                contrib = contrib_base[t] * bm25._inv_quot[s:e]
+                amax = float(np.max(np.abs(contrib))) if e > s else 0.0
+                if amax == 0.0:
+                    continue
+                sc = amax / 127.0
+                self.scale[row] = sc
+                q8 = np.clip(np.rint(contrib / sc), -127, 127)
+                docs = bm25._inv_docs[s:e]
+                C[row, docs] = q8.astype(np.int8)
+                if self.residual:
+                    # residual of the int8 rounding, quantized again at
+                    # ~s/254: |contrib - q8*sc - q8_lo*sc_lo| <= 0.5*sc_lo
+                    # (f64 exact)
+                    resid = contrib.astype(np.float64) - q8 * float(sc)
+                    rmax = float(np.max(np.abs(resid)))
+                    if rmax > 0.0:
+                        sc_lo = rmax / 127.0
+                        self.scale_lo[row] = np.float32(sc_lo)
+                        C_lo[row, docs] = np.clip(
+                            np.rint(resid / sc_lo), -127, 127
+                        ).astype(np.int8)
+            if cache_dir:
+                self._save_cache(cache_dir, CC)
         self._upload(CC)
         self.stats: Dict[str, float] = {
             "queries": 0, "fallbacks": 0, "rescore_expansions": 0,
             "t_split_s": 0.0, "t_dispatch_s": 0.0, "t_rare_s": 0.0,
             "t_device_s": 0.0, "t_post_s": 0.0, "t_fallback_s": 0.0,
         }
+
+    # ---------------------------------------------------------------- cache
+    # The int8 matrix derives deterministically from the BM25 statistics,
+    # so it can persist next to the index: a serve restart memmaps it from
+    # disk instead of re-quantizing the CSR (minutes of single-core work at
+    # the 10M north star) — and the upload streams from the memmap, so the
+    # matrix never occupies host RSS at all. Three files: CC as raw int8
+    # (memmap-loadable), small arrays as npz, and a meta/fingerprint json
+    # written LAST (tmp + os.replace), so a crash mid-save never leaves a
+    # cache that validates.
+    _CACHE_META = "device_bm25.meta.json"
+    _CACHE_CC = "device_bm25.cc.int8"
+    _CACHE_AUX = "device_bm25.aux.npz"
+
+    def _fingerprint(self, cc_shape) -> Dict:
+        bm = self.bm
+        return {
+            "version": 1,
+            "n_docs": int(bm.n_docs),
+            "n_vocab": len(bm.vocab),
+            "n_postings": int(bm._inv_indptr[-1]),
+            "k1": float(bm.k1),
+            "b": float(bm.b),
+            "B": int(self.B),
+            "residual": bool(self.residual),
+            "cc_shape": [int(s) for s in cc_shape],
+            # cheap content checksums over the stats the matrix is built
+            # from (f64 sums are order-stable here: fixed CSR order)
+            "idf_sum": float(np.sum(bm.idf, dtype=np.float64)),
+            "quot_sum": float(np.sum(bm._inv_quot, dtype=np.float64)),
+        }
+
+    def _load_cache(self, cache_dir: str, cc_shape):
+        meta_p = os.path.join(cache_dir, self._CACHE_META)
+        try:
+            with open(meta_p) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return None
+        if meta != self._fingerprint(cc_shape):
+            logger.info("device-BM25 cache stale (fingerprint mismatch), "
+                        "rebuilding")
+            return None
+        try:
+            aux = np.load(os.path.join(cache_dir, self._CACHE_AUX))
+            if not np.array_equal(aux["dense_terms"], self.dense_terms):
+                return None
+            cc = np.memmap(os.path.join(cache_dir, self._CACHE_CC),
+                           dtype=np.int8, mode="r", shape=tuple(cc_shape))
+        except (OSError, ValueError, KeyError):
+            return None
+        self.scale = aux["scale"].astype(np.float32)
+        self.scale_lo = aux["scale_lo"].astype(np.float32)
+        logger.info("device-BM25 matrix loaded from cache (%s, %.2f GB "
+                    "memmap)", cache_dir, cc.nbytes / 1e9)
+        return cc
+
+    def _save_cache(self, cache_dir: str, CC: np.ndarray) -> None:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            cc_p = os.path.join(cache_dir, self._CACHE_CC)
+            aux_p = os.path.join(cache_dir, self._CACHE_AUX)
+            meta_p = os.path.join(cache_dir, self._CACHE_META)
+            CC.tofile(cc_p + ".tmp")
+            os.replace(cc_p + ".tmp", cc_p)
+            with open(aux_p + ".tmp", "wb") as f:
+                np.savez(f, scale=self.scale, scale_lo=self.scale_lo,
+                         dense_terms=self.dense_terms)
+            os.replace(aux_p + ".tmp", aux_p)
+            with open(meta_p + ".tmp", "w") as f:
+                json.dump(self._fingerprint(CC.shape), f)
+            os.replace(meta_p + ".tmp", meta_p)
+            logger.info("device-BM25 matrix cached to %s (%.2f GB)",
+                        cache_dir, CC.nbytes / 1e9)
+        except OSError as exc:  # cache is an optimization, never fatal
+            logger.warning("device-BM25 cache save failed: %s", exc)
 
     # ------------------------------------------------------------------ jit
     def _upload(self, C: np.ndarray) -> None:

@@ -536,6 +536,8 @@ class HybridQueryEngine:
                                         bm_depth),
                         residual=self.cfg.lexical_residual,
                         weights=self.cfg.lexical_weights,
+                        cache_dir=(self._index_dir
+                                   if self.cfg.lexical_cache else None),
                     )
                 # exact MXU-path top-k (certified vs the host kernel);
                 # dispatch now, fetch after the dense leg's fetch

@@ -297,3 +297,85 @@ def test_chunked_scoring_sharded(mesh8):
         h_idx, h_sc = bm.get_topk(toks, 10)
         np.testing.assert_array_equal(d_idx[qi], h_idx)
         np.testing.assert_array_equal(d_sc[qi], h_sc)
+
+
+def test_cache_roundtrip_and_staleness(tmp_path):
+    """The persisted int8 matrix: a second construction loads from disk
+    (meta untouched -> no rebuild) and stays bit-exact; a corpus change
+    invalidates the fingerprint and rebuilds; a tampered meta rebuilds."""
+    import os
+
+    rng = np.random.default_rng(11)
+    docs = _zipf_corpus(rng, 300)
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    q_toks = [tokenize(q) for q in _queries(rng, docs, 25)]
+    cache = str(tmp_path / "idx")
+
+    dev1 = DeviceBM25(bm, n_dense_terms=64, topk_device=16, query_chunk=32,
+                      cache_dir=cache)
+    i1, s1 = dev1.get_topk_batch(q_toks, 10)
+    meta_p = os.path.join(cache, DeviceBM25._CACHE_META)
+    assert os.path.exists(meta_p)
+    assert os.path.exists(os.path.join(cache, DeviceBM25._CACHE_CC))
+    mtime = os.path.getmtime(meta_p)
+
+    # second construction: loads the memmap, does NOT rewrite the cache
+    dev2 = DeviceBM25(bm, n_dense_terms=64, topk_device=16, query_chunk=32,
+                      cache_dir=cache)
+    i2, s2 = dev2.get_topk_batch(q_toks, 10)
+    assert os.path.getmtime(meta_p) == mtime
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(dev1.scale, dev2.scale)
+
+    # different corpus, same cache dir: fingerprint mismatch -> rebuild,
+    # results exact for the NEW corpus
+    docs_b = _zipf_corpus(rng, 300)
+    bm_b = BM25Okapi([tokenize(d) for d in docs_b])
+    dev3 = DeviceBM25(bm_b, n_dense_terms=64, topk_device=16,
+                      query_chunk=32, cache_dir=cache)
+    q_b = [tokenize(q) for q in _queries(rng, docs_b, 25)]
+    d_idx, d_sc = dev3.get_topk_batch(q_b, 10)
+    for qi, toks in enumerate(q_b):
+        h_idx, h_sc = bm_b.get_topk(toks, 10)
+        np.testing.assert_array_equal(d_idx[qi], h_idx)
+        np.testing.assert_array_equal(d_sc[qi], h_sc)
+    assert os.path.getmtime(meta_p) > mtime  # cache was rewritten
+
+    # tampered meta never validates
+    with open(meta_p, "w") as f:
+        f.write("{}")
+    dev4 = DeviceBM25(bm_b, n_dense_terms=64, topk_device=16,
+                      query_chunk=32, cache_dir=cache)
+    i4, _ = dev4.get_topk_batch(q_b, 10)
+    np.testing.assert_array_equal(i4, d_idx)
+
+
+def test_cache_through_engine(tmp_path, mesh8):
+    """RankingConfig.lexical_cache persists the matrix in the index dir;
+    an engine reload serves identical results from the cached memmap."""
+    from semanticsearch_tpu.core.config import EncoderConfig, RankingConfig
+    from semanticsearch_tpu.index.query_engine import HybridQueryEngine
+    from semanticsearch_tpu.models.encoder import SentenceEncoder
+
+    rng = np.random.default_rng(12)
+    docs = _zipf_corpus(rng, 200)
+    chunks = tmp_path / "chunks.tsv"
+    with open(chunks, "w") as f:
+        f.write("chunk_id\tquery_id\tdocument_id\tchunk_text\n")
+        for i, t in enumerate(docs):
+            f.write(f"c{i}\t\td{i}\t{t}\n")
+    enc = SentenceEncoder(EncoderConfig(max_len=32, num_layers=1), seed=0)
+    cfg = RankingConfig(lexical_device=True, lexical_dense_terms=64,
+                        lexical_cache=True)
+    eng = HybridQueryEngine.build(str(chunks), enc, str(tmp_path / "idx"),
+                                  rank_cfg=cfg)
+    r1 = eng.search([docs[3], docs[17]], k=5)
+    import os
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "idx"), "device_bm25.meta.json"))
+
+    eng2 = HybridQueryEngine.load(str(tmp_path / "idx"), enc, rank_cfg=cfg)
+    r2 = eng2.search([docs[3], docs[17]], k=5)
+    assert [h.chunk_id for h in r1[0]] == [h.chunk_id for h in r2[0]]
+    assert [h.chunk_id for h in r1[1]] == [h.chunk_id for h in r2[1]]
