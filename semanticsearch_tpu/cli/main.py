@@ -280,7 +280,9 @@ def cmd_search(args) -> int:
     if getattr(args, "device_bm25", False):
         import dataclasses as _dc
 
-        rank_cfg = _dc.replace(rank_cfg, lexical_device=True)
+        rank_cfg = _dc.replace(
+            rank_cfg, lexical_device=True,
+            lexical_cache=getattr(args, "bm25_cache", False))
     engine = HybridQueryEngine.load(
         args.index_dir, enc, mesh=local_mesh(),
         index_cfg=cfg.index, rank_cfg=rank_cfg,
@@ -559,6 +561,10 @@ def main(argv=None) -> int:
     p.add_argument("--device-bm25", action="store_true",
                    help="score the lexical leg on the TPU "
                         "(index/bm25_tpu.py; exact, certified)")
+    p.add_argument("--bm25-cache", action="store_true",
+                   help="persist/reuse the device-BM25 int8 matrix in the "
+                        "index dir (RankingConfig.lexical_cache): restarts "
+                        "memmap it instead of re-quantizing")
     p.add_argument("query", nargs="+")
     _add_config_args(p)
     p.set_defaults(fn=cmd_search)
