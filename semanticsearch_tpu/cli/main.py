@@ -270,6 +270,37 @@ def cmd_index_add(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from ..core.mesh import local_mesh
+    from ..index.query_engine import HybridQueryEngine
+    from ..index.server import make_server
+
+    cfg = _apply_sets(get_named_config(args.config), args.set)
+    enc = _make_encoder(cfg, args)
+    rank_cfg = cfg.ranking
+    if getattr(args, "device_bm25", False):
+        import dataclasses as _dc
+
+        rank_cfg = _dc.replace(
+            rank_cfg, lexical_device=True,
+            lexical_cache=getattr(args, "bm25_cache", False))
+    engine = HybridQueryEngine.load(
+        args.index_dir, enc, mesh=local_mesh(),
+        index_cfg=cfg.index, rank_cfg=rank_cfg,
+        reranker_dir=getattr(args, "rerank", None),
+    )
+    srv = make_server(engine, host=args.host, port=args.port)
+    print(f"serving http://{srv.server_address[0]}:"
+          f"{srv.server_address[1]} (ctrl-c to stop)", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+    return 0
+
+
 def cmd_search(args) -> int:
     from ..core.mesh import local_mesh
     from ..index.query_engine import HybridQueryEngine
@@ -568,6 +599,22 @@ def main(argv=None) -> int:
     p.add_argument("query", nargs="+")
     _add_config_args(p)
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser(
+        "serve", help="resident HTTP search server over a persisted index")
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--rerank", metavar="CKPT_DIR",
+                   help="trained reranker checkpoint dir (enables "
+                        "rerank_top in /search requests)")
+    p.add_argument("--device-bm25", action="store_true",
+                   help="score the lexical leg on the TPU")
+    p.add_argument("--bm25-cache", action="store_true",
+                   help="persist/reuse the device-BM25 int8 matrix in the "
+                        "index dir")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("oie", help="OpenIE triple enrichment of a chunk TSV")
     p.add_argument("-i", "--input", required=True)

@@ -1,0 +1,112 @@
+"""Resident HTTP search server over a loaded :class:`HybridQueryEngine`.
+
+The reference has no serving story at all (its query path is a batch
+script, ``Tool/rank_chunks_optimized.py``); this is the deployment-shaped
+endpoint for the TPU build: load the index + encoder + (optionally cached)
+device-BM25 matrix ONCE, then answer queries over HTTP. One process per
+chip; front with any standard load balancer for more.
+
+Protocol (JSON over HTTP/1.1, stdlib-only on both ends):
+
+- ``GET  /healthz``  -> ``{"ok": true, "docs": N}``
+- ``POST /search``   body ``{"queries": ["..."], "k": 10,
+  "hybrid": true, "rerank_top": 0}`` -> ``{"results": [[hit, ...], ...]}``
+  where hit = ``{chunk_id, score, dense_rank, lexical_rank
+  [, rerank_score]}``.
+
+Requests are served on a single thread: device dispatch already pipelines
+inside ``engine.search`` (all programs dispatched before any fetch), and
+serializing requests is the correct backpressure for one chip — concurrent
+jit dispatch from multiple threads would interleave into the SAME device
+queue anyway. Batch queries client-side for throughput (the engine's QPS
+comes from batched encode/top-k, see BASELINE.md serve rows).
+"""
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+from ..core.logging import get_logger
+
+logger = get_logger("server")
+
+_MAX_BODY = 64 << 20  # reject absurd request bodies before reading them
+
+
+def _hit_dict(h) -> dict:
+    d = {
+        "chunk_id": h.chunk_id,
+        "score": h.score,
+        "dense_rank": h.dense_rank,
+        "lexical_rank": h.lexical_rank,
+    }
+    if h.rerank_score is not None:
+        d["rerank_score"] = h.rerank_score
+    return d
+
+
+def make_server(engine, host: str = "127.0.0.1", port: int = 8080
+                ) -> HTTPServer:
+    """Build (not start) the HTTP server; ``.serve_forever()`` to run.
+
+    Port 0 binds an ephemeral port (tests); the bound address is
+    ``server.server_address``.
+    """
+
+    class Handler(BaseHTTPRequestHandler):
+        # stdlib logs every request to stderr by default; route to our
+        # namespaced logger at debug level instead
+        def log_message(self, fmt, *args):  # noqa: N802 (stdlib name)
+            logger.debug("%s %s", self.address_string(), fmt % args)
+
+        def _reply(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True,
+                                  "docs": int(engine.index.size)})
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/search":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                if n > _MAX_BODY:
+                    self._reply(413, {"error": "body too large"})
+                    return
+                req = json.loads(self.rfile.read(n) or b"{}")
+                queries = req.get("queries")
+                if (not isinstance(queries, list) or not queries
+                        or not all(isinstance(q, str) for q in queries)):
+                    self._reply(
+                        400, {"error": "queries must be a non-empty "
+                                       "list of strings"})
+                    return
+                results = engine.search(
+                    queries,
+                    k=int(req.get("k", 10)),
+                    hybrid=bool(req.get("hybrid", True)),
+                    rerank_top=int(req.get("rerank_top", 0)),
+                )
+                self._reply(200, {"results": [
+                    [_hit_dict(h) for h in hits] for hits in results
+                ]})
+            except (ValueError, KeyError, TypeError) as exc:
+                self._reply(400, {"error": str(exc)})
+            except Exception as exc:  # engine failure -> 500, keep serving
+                logger.exception("search failed")
+                self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    srv = HTTPServer((host, port), Handler)
+    logger.info("search server on http://%s:%d (docs=%d)",
+                *srv.server_address, engine.index.size)
+    return srv

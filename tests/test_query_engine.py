@@ -299,3 +299,58 @@ def test_score_pairs_block_ladder_consistency():
         for s in range(0, n, 200)
     ])
     np.testing.assert_allclose(whole, parts, rtol=1e-5, atol=1e-6)
+
+
+def test_http_server_search_and_health(tmp_path, mesh8):
+    """The resident HTTP endpoint (index/server.py): health check, batched
+    search over real sockets, malformed-request handling — all against a
+    live server thread."""
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from semanticsearch_tpu.index.server import make_server
+
+    _enc, engine = _build_engine(tmp_path, mesh8, name="srv_idx")
+    srv = make_server(engine, port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] is True and health["docs"] == 6
+
+        req = urllib.request.Request(
+            f"{base}/search",
+            data=json.dumps({"queries": ["fishing quota trawlers",
+                                         "bees and honey"],
+                             "k": 3}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["results"]) == 2
+        assert out["results"][0][0]["chunk_id"] == "c1"
+        assert out["results"][0][0]["lexical_rank"] == 1
+        assert len(out["results"][1]) == 3
+
+        # server-side answers match the in-process engine exactly
+        direct = engine.search(["fishing quota trawlers"], k=3)[0]
+        assert [h["chunk_id"] for h in out["results"][0]] == \
+            [h.chunk_id for h in direct]
+
+        # malformed bodies are a 400, not a dead server
+        bad = urllib.request.Request(
+            f"{base}/search", data=b'{"queries": []}', method="POST")
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
