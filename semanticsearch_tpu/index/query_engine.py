@@ -156,6 +156,7 @@ class HybridQueryEngine:
         # device-resident lexical leg, built lazily on first hybrid search
         # when cfg.lexical_device (index/bm25_tpu.py)
         self._device_bm25 = None
+        self._warned_no_bm25 = False
 
     # ------------------------------------------------------------- build/load
     @classmethod
@@ -500,6 +501,14 @@ class HybridQueryEngine:
         # last. Round-3 baseline had the legs fully serialized: the chip
         # sat idle during each leg's host phase (BASELINE.md serve rows).
         use_bm25 = hybrid and self.bm25 is not None
+        if hybrid and self.bm25 is None and not self._warned_no_bm25:
+            # legitimate for dense-only indexes, but the caller asked for
+            # hybrid — say so once instead of silently serving one leg
+            logger.warning(
+                "hybrid search requested but the index has no BM25 stats "
+                "(build with --bm25 / HybridQueryEngine.build); serving "
+                "dense-only")
+            self._warned_no_bm25 = True
         q_tokens = [tokenize(q) for q in queries] if use_bm25 else None
         # device-resident embeddings when the encoder supports it: the
         # dense leg consumes them directly, skipping a download+re-upload
