@@ -215,11 +215,13 @@ class DeviceBM25:
         self.scale_lo = np.zeros(B, np.float32)
         # Build DIRECTLY into the final upload layout — [C; C_lo] rows,
         # columns pre-padded to the selection/shard alignment — so host peak
-        # RSS is exactly the matrix footprint. (A build that materializes
-        # C and C_lo separately and then concatenates + pads copies the
-        # matrix twice more: ~6x footprint transiently, which at the
-        # 10M-doc/B=4096 north star is ~250 GB of host RAM vs this path's
-        # ~82 GB.) Zero pad columns are masked at query time (valid_n).
+        # RSS is exactly the matrix footprint — and ~ONE ROW when
+        # ``cache_dir`` streams the build to a disk-backed memmap below.
+        # (A build that materializes C and C_lo separately and then
+        # concatenates + pads copies the matrix twice more: ~6x footprint
+        # transiently, which at the 10M-doc/B=4096 north star is ~250 GB
+        # of host RAM vs 82 GB in-RAM / ~10 MB memmapped.) Zero pad
+        # columns are masked at query time (valid_n).
         n_shards = mesh.shape.get("data", 1) if mesh is not None else 1
         col_align = _SEL_BLOCK * (n_shards if n_shards > 1 else 1)
         d_pad = self.n_docs + ((-self.n_docs) % col_align)
@@ -227,7 +229,25 @@ class DeviceBM25:
 
         CC = self._load_cache(cache_dir, cc_shape) if cache_dir else None
         if CC is None:
-            CC = np.zeros(cc_shape, np.int8)
+            if cache_dir:
+                # build STRAIGHT INTO the cache file: the fill is row-major
+                # (one term = one contiguous row), so the dirty page working
+                # set stays ~one row (d_pad bytes) and the host never holds
+                # the matrix in RAM at all — the 10M-doc build fits a
+                # laptop-class serve host
+                try:
+                    os.makedirs(cache_dir, exist_ok=True)
+                    cc_tmp = (os.path.join(cache_dir, self._CACHE_CC)
+                              + ".tmp")
+                    CC = np.memmap(cc_tmp, dtype=np.int8, mode="w+",
+                                   shape=cc_shape)  # zero-filled fresh file
+                except OSError as exc:  # cache unusable -> in-RAM build
+                    logger.warning("device-BM25 cache dir unusable (%s); "
+                                   "building in RAM", exc)
+                    cache_dir = None
+                    CC = np.zeros(cc_shape, np.int8)
+            else:
+                CC = np.zeros(cc_shape, np.int8)
             C = CC[:B]
             C_lo = CC[B:] if self.residual else None
             for row, t in enumerate(self.dense_terms):
@@ -254,7 +274,7 @@ class DeviceBM25:
                             np.rint(resid / sc_lo), -127, 127
                         ).astype(np.int8)
             if cache_dir:
-                self._save_cache(cache_dir, CC)
+                CC = self._commit_cache(cache_dir, CC, cc_shape)
         self._upload(CC)
         self.stats: Dict[str, float] = {
             "queries": 0, "fallbacks": 0, "rescore_expansions": 0,
@@ -318,25 +338,38 @@ class DeviceBM25:
                     "memmap)", cache_dir, cc.nbytes / 1e9)
         return cc
 
-    def _save_cache(self, cache_dir: str, CC: np.ndarray) -> None:
+    def _commit_cache(self, cache_dir: str, CC, cc_shape):
+        """Publish the freshly built matrix (a w+ memmap on the .tmp file):
+        flush, rename into place, write aux + meta (meta LAST), and return
+        a read-only memmap of the published file for the upload."""
+        cc_p = os.path.join(cache_dir, self._CACHE_CC)
+        aux_p = os.path.join(cache_dir, self._CACHE_AUX)
+        meta_p = os.path.join(cache_dir, self._CACHE_META)
         try:
-            os.makedirs(cache_dir, exist_ok=True)
-            cc_p = os.path.join(cache_dir, self._CACHE_CC)
-            aux_p = os.path.join(cache_dir, self._CACHE_AUX)
-            meta_p = os.path.join(cache_dir, self._CACHE_META)
-            CC.tofile(cc_p + ".tmp")
+            CC.flush()
+            del CC  # close the writable mapping before the rename
             os.replace(cc_p + ".tmp", cc_p)
             with open(aux_p + ".tmp", "wb") as f:
                 np.savez(f, scale=self.scale, scale_lo=self.scale_lo,
                          dense_terms=self.dense_terms)
             os.replace(aux_p + ".tmp", aux_p)
             with open(meta_p + ".tmp", "w") as f:
-                json.dump(self._fingerprint(CC.shape), f)
+                json.dump(self._fingerprint(cc_shape), f)
             os.replace(meta_p + ".tmp", meta_p)
             logger.info("device-BM25 matrix cached to %s (%.2f GB)",
-                        cache_dir, CC.nbytes / 1e9)
-        except OSError as exc:  # cache is an optimization, never fatal
-            logger.warning("device-BM25 cache save failed: %s", exc)
+                        cache_dir,
+                        cc_shape[0] * cc_shape[1] / 1e9)
+            return np.memmap(cc_p, dtype=np.int8, mode="r",
+                             shape=tuple(cc_shape))
+        except OSError as exc:
+            # cache is an optimization, never fatal: the matrix bytes are
+            # complete in whichever file survived (published or .tmp) —
+            # serve from it read-only for this process
+            logger.warning("device-BM25 cache commit failed: %s — "
+                           "serving from the un-published build file", exc)
+            path = cc_p if os.path.exists(cc_p) else cc_p + ".tmp"
+            return np.memmap(path, dtype=np.int8, mode="r",
+                             shape=tuple(cc_shape))
 
     # ------------------------------------------------------------------ jit
     def _upload(self, C: np.ndarray) -> None:
