@@ -60,6 +60,11 @@ def main():
                     default="bf16",
                     help="device-BM25 MXU weight path "
                          "(RankingConfig.lexical_weights)")
+    ap.add_argument("--bm25-cache", action="store_true",
+                    help="persist/reuse the device-BM25 int8 matrix in the "
+                         "index dir (RankingConfig.lexical_cache); with "
+                         "--output-dir, reruns measure the cached cold "
+                         "start in t_warmup_s")
     ap.add_argument("--output-dir", default=None)
     ap.add_argument("--latency", type=int, default=0,
                     help=">0: also measure SINGLE-QUERY serve latency over "
@@ -98,6 +103,7 @@ def main():
     log(f"[gen] {args.docs} docs in {time.perf_counter() - t0:.1f}s")
 
     out_dir = args.output_dir or tempfile.mkdtemp(prefix="bench_serve_")
+    os.makedirs(out_dir, exist_ok=True)
     chunks_tsv = os.path.join(out_dir, "chunks.tsv")
     with open(chunks_tsv, "w") as f:
         f.write("chunk_id\tquery_id\tdocument_id\tchunk_text\n")
@@ -110,12 +116,14 @@ def main():
         lexical_device=args.device_bm25,
         lexical_dense_terms=args.dense_terms,
         lexical_weights=args.lexical_weights,
+        lexical_cache=args.bm25_cache,
     )
     engine = HybridQueryEngine.build(
         chunks_tsv, enc, os.path.join(out_dir, "idx"), rank_cfg=rank_cfg,
         resume=True,  # with --output-dir, reruns reuse the built index
     )
-    log(f"[build] index+bm25+texts in {time.perf_counter() - t0:.1f}s")
+    t_build = time.perf_counter() - t0
+    log(f"[build] index+bm25+texts in {t_build:.1f}s")
 
     if args.rerank_top > 0:
         from semanticsearch_tpu.core.config import TrainConfig
@@ -144,7 +152,9 @@ def main():
     t0 = time.perf_counter()
     _ = engine.search(queries[: args.qbatch], k=args.k,
                       candidates=args.depth, rerank_top=args.rerank_top)
-    log(f"[warmup] first search (compiles) {time.perf_counter() - t0:.1f}s")
+    t_warmup = time.perf_counter() - t0
+    log(f"[warmup] first search (compiles + device-BM25 matrix "
+        f"build-or-cache-load) {t_warmup:.1f}s")
 
     # --- timed end-to-end ---
     stats0 = (dict(engine._device_bm25.stats)
@@ -223,6 +233,9 @@ def main():
         "latency_single_query": latency,
         "device_bm25": args.device_bm25,
         "lexical_weights": args.lexical_weights,
+        "bm25_cache": args.bm25_cache,
+        "t_build_s": round(t_build, 1),
+        "t_warmup_s": round(t_warmup, 1),
         "device_bm25_stats": (dict(engine._device_bm25.stats)
                               if engine._device_bm25 is not None else None),
         "device_bm25_steady_ms_per_batch": steady,
