@@ -270,6 +270,17 @@ def cmd_index_add(args) -> int:
     return 0
 
 
+def _lexical_rank_cfg(rank_cfg, args):
+    """Apply the serve-time lexical-leg flags shared by search/serve."""
+    if getattr(args, "device_bm25", False):
+        import dataclasses as _dc
+
+        rank_cfg = _dc.replace(
+            rank_cfg, lexical_device=True,
+            lexical_cache=getattr(args, "bm25_cache", False))
+    return rank_cfg
+
+
 def cmd_serve(args) -> int:
     from ..core.mesh import local_mesh
     from ..index.query_engine import HybridQueryEngine
@@ -277,13 +288,7 @@ def cmd_serve(args) -> int:
 
     cfg = _apply_sets(get_named_config(args.config), args.set)
     enc = _make_encoder(cfg, args)
-    rank_cfg = cfg.ranking
-    if getattr(args, "device_bm25", False):
-        import dataclasses as _dc
-
-        rank_cfg = _dc.replace(
-            rank_cfg, lexical_device=True,
-            lexical_cache=getattr(args, "bm25_cache", False))
+    rank_cfg = _lexical_rank_cfg(cfg.ranking, args)
     engine = HybridQueryEngine.load(
         args.index_dir, enc, mesh=local_mesh(),
         index_cfg=cfg.index, rank_cfg=rank_cfg,
@@ -307,13 +312,7 @@ def cmd_search(args) -> int:
 
     cfg = _apply_sets(get_named_config(args.config), args.set)
     enc = _make_encoder(cfg, args)
-    rank_cfg = cfg.ranking
-    if getattr(args, "device_bm25", False):
-        import dataclasses as _dc
-
-        rank_cfg = _dc.replace(
-            rank_cfg, lexical_device=True,
-            lexical_cache=getattr(args, "bm25_cache", False))
+    rank_cfg = _lexical_rank_cfg(cfg.ranking, args)
     engine = HybridQueryEngine.load(
         args.index_dir, enc, mesh=local_mesh(),
         index_cfg=cfg.index, rank_cfg=rank_cfg,

@@ -237,10 +237,28 @@ class DeviceBM25:
                 # laptop-class serve host
                 try:
                     os.makedirs(cache_dir, exist_ok=True)
+                    # pid-unique tmp: two processes building concurrently
+                    # must not truncate each other's live mapping (last
+                    # publisher wins the final rename, both are correct)
                     cc_tmp = (os.path.join(cache_dir, self._CACHE_CC)
-                              + ".tmp")
-                    CC = np.memmap(cc_tmp, dtype=np.int8, mode="w+",
-                                   shape=cc_shape)  # zero-filled fresh file
+                              + f".{os.getpid()}.tmp")
+                    n_bytes = int(cc_shape[0]) * int(cc_shape[1])
+                    fd = os.open(cc_tmp,
+                                 os.O_CREAT | os.O_RDWR | os.O_TRUNC, 0o644)
+                    try:
+                        # REAL allocation (not a sparse ftruncate): surfaces
+                        # ENOSPC here as a catchable OSError instead of a
+                        # SIGBUS on dirty-page writeback mid-fill
+                        if hasattr(os, "posix_fallocate"):
+                            os.posix_fallocate(fd, 0, n_bytes)
+                        else:  # pragma: no cover (non-POSIX)
+                            os.ftruncate(fd, n_bytes)
+                    finally:
+                        os.close(fd)
+                    # r+ (NOT w+, which would re-truncate to sparse) over
+                    # the preallocated file; fallocate'd bytes read as zero
+                    CC = np.memmap(cc_tmp, dtype=np.int8, mode="r+",
+                                   shape=cc_shape)
                 except OSError as exc:  # cache unusable -> in-RAM build
                     logger.warning("device-BM25 cache dir unusable (%s); "
                                    "building in RAM", exc)
@@ -274,7 +292,7 @@ class DeviceBM25:
                             np.rint(resid / sc_lo), -127, 127
                         ).astype(np.int8)
             if cache_dir:
-                CC = self._commit_cache(cache_dir, CC, cc_shape)
+                CC = self._commit_cache(cache_dir, CC, cc_tmp, cc_shape)
         self._upload(CC)
         self.stats: Dict[str, float] = {
             "queries": 0, "fallbacks": 0, "rescore_expansions": 0,
@@ -338,17 +356,21 @@ class DeviceBM25:
                     "memmap)", cache_dir, cc.nbytes / 1e9)
         return cc
 
-    def _commit_cache(self, cache_dir: str, CC, cc_shape):
-        """Publish the freshly built matrix (a w+ memmap on the .tmp file):
-        flush, rename into place, write aux + meta (meta LAST), and return
-        a read-only memmap of the published file for the upload."""
+    def _commit_cache(self, cache_dir: str, CC, cc_tmp: str, cc_shape):
+        """Publish the freshly built matrix (a live r+ memmap on the
+        pid-unique tmp file): flush, rename into place, write aux + meta
+        (meta LAST), and return a read-only memmap of the published file.
+        On ANY failure, return the live build mapping itself — its bytes
+        are the correct matrix regardless of what the filesystem did, so
+        this process serves correctly and only the cache is lost."""
         cc_p = os.path.join(cache_dir, self._CACHE_CC)
         aux_p = os.path.join(cache_dir, self._CACHE_AUX)
         meta_p = os.path.join(cache_dir, self._CACHE_META)
         try:
             CC.flush()
-            del CC  # close the writable mapping before the rename
-            os.replace(cc_p + ".tmp", cc_p)
+            # Linux allows renaming a file with live mappings; the build
+            # views (C/C_lo) keep the old inode alive until __init__ ends
+            os.replace(cc_tmp, cc_p)
             with open(aux_p + ".tmp", "wb") as f:
                 np.savez(f, scale=self.scale, scale_lo=self.scale_lo,
                          dense_terms=self.dense_terms)
@@ -362,14 +384,13 @@ class DeviceBM25:
             return np.memmap(cc_p, dtype=np.int8, mode="r",
                              shape=tuple(cc_shape))
         except OSError as exc:
-            # cache is an optimization, never fatal: the matrix bytes are
-            # complete in whichever file survived (published or .tmp) —
-            # serve from it read-only for this process
-            logger.warning("device-BM25 cache commit failed: %s — "
-                           "serving from the un-published build file", exc)
-            path = cc_p if os.path.exists(cc_p) else cc_p + ".tmp"
-            return np.memmap(path, dtype=np.int8, mode="r",
-                             shape=tuple(cc_shape))
+            # NEVER fall back to a previously published cc file here: its
+            # bytes may be a DIFFERENT corpus than self.scale/scale_lo,
+            # and the certification proof is unsound with a mismatched
+            # matrix. The live mapping is always the right bytes.
+            logger.warning("device-BM25 cache commit failed: %s — serving "
+                           "from the in-process build mapping", exc)
+            return CC
 
     # ------------------------------------------------------------------ jit
     def _upload(self, C: np.ndarray) -> None:

@@ -104,7 +104,11 @@ def recover_staged_commit(index_dir: str) -> Optional[str]:
                        "staged commit FORWARD (%d artifacts)",
                        index_dir, len(pending))
         return "rolled_forward"
-    stray = [n for n in os.listdir(index_dir) if n.endswith(".tmp")]
+    # device_bm25.* tmps belong to the lexical-matrix cache builder
+    # (bm25_tpu.py), which may be writing CONCURRENTLY in a sibling serve
+    # process — they are not compact artifacts and must not be swept
+    stray = [n for n in os.listdir(index_dir)
+             if n.endswith(".tmp") and not n.startswith("device_bm25.")]
     if stray:
         for n in stray:
             os.unlink(os.path.join(index_dir, n))
@@ -156,6 +160,7 @@ class HybridQueryEngine:
         # device-resident lexical leg, built lazily on first hybrid search
         # when cfg.lexical_device (index/bm25_tpu.py)
         self._device_bm25 = None
+        self._device_bm25_depth = 0
         self._warned_no_bm25 = False
 
     # ------------------------------------------------------------- build/load
@@ -535,9 +540,21 @@ class HybridQueryEngine:
         if use_bm25:
             bm_depth = min(fetch, self.index.size)
             if self.cfg.lexical_device:
+                if (self._device_bm25 is not None
+                        and bm_depth > self._device_bm25_depth):
+                    # a deeper request than the instance was built for
+                    # would cap the candidate pool at the old K' and
+                    # silently degrade every query to the host fallback
+                    # (exact but ~10x slower) — rebuild with the larger K'
+                    logger.info(
+                        "device BM25 rebuilt for depth %d (was %d)",
+                        bm_depth, self._device_bm25_depth)
+                    self._device_bm25 = None
                 if self._device_bm25 is None:
                     from .bm25_tpu import DeviceBM25
 
+                    self._device_bm25_depth = max(
+                        self.cfg.lexical_topk_device, bm_depth)
                     self._device_bm25 = DeviceBM25(
                         self.bm25,
                         n_dense_terms=self.cfg.lexical_dense_terms,

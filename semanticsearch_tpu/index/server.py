@@ -54,6 +54,14 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080
     """
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive; Content-Length is
+        # sent on every reply, so framing is always explicit
+        # Requests serialize on ONE thread: a client that stalls mid-
+        # request (never sends the request line, or undershoots its own
+        # Content-Length) must not wedge the service — time out its socket
+        # and move on
+        timeout = 60
+
         # stdlib logs every request to stderr by default; route to our
         # namespaced logger at debug level instead
         def log_message(self, fmt, *args):  # noqa: N802 (stdlib name)
@@ -69,8 +77,13 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080
 
         def do_GET(self):  # noqa: N802
             if self.path == "/healthz":
-                self._reply(200, {"ok": True,
-                                  "docs": int(engine.index.size)})
+                # LIVE document count: base index + serve-time delta adds
+                # - tombstoned rows (freshness pushes must be visible here)
+                docs = int(engine.index.size)
+                if engine._delta is not None:
+                    docs += int(engine._delta.n)
+                docs -= len(engine._dead)
+                self._reply(200, {"ok": True, "docs": docs})
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -80,8 +93,11 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                if n > _MAX_BODY:
-                    self._reply(413, {"error": "body too large"})
+                if n < 0 or n > _MAX_BODY:
+                    # reject without reading; the unread body poisons the
+                    # connection, so don't reuse it
+                    self.close_connection = True
+                    self._reply(413, {"error": "bad body size"})
                     return
                 req = json.loads(self.rfile.read(n) or b"{}")
                 queries = req.get("queries")

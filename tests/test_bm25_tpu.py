@@ -379,3 +379,39 @@ def test_cache_through_engine(tmp_path, mesh8):
     r2 = eng2.search([docs[3], docs[17]], k=5)
     assert [h.chunk_id for h in r1[0]] == [h.chunk_id for h in r2[0]]
     assert [h.chunk_id for h in r1[1]] == [h.chunk_id for h in r2[1]]
+
+
+def test_engine_rebuilds_device_bm25_for_deeper_requests(tmp_path, mesh8):
+    """A request deeper than the K' the device instance was built for must
+    rebuild the instance (not silently degrade every query to the host
+    fallback) and stay exact."""
+    from semanticsearch_tpu.core.config import EncoderConfig, RankingConfig
+    from semanticsearch_tpu.index.query_engine import HybridQueryEngine
+    from semanticsearch_tpu.models.encoder import SentenceEncoder
+
+    rng = np.random.default_rng(13)
+    docs = _zipf_corpus(rng, 250)
+    chunks = tmp_path / "chunks.tsv"
+    with open(chunks, "w") as f:
+        f.write("chunk_id\tquery_id\tdocument_id\tchunk_text\n")
+        for i, t in enumerate(docs):
+            f.write(f"c{i}\t\td{i}\t{t}\n")
+    enc = SentenceEncoder(EncoderConfig(max_len=32, num_layers=1), seed=0)
+    cfg = RankingConfig(lexical_device=True, lexical_dense_terms=64,
+                        lexical_topk_device=8)
+    eng = HybridQueryEngine.build(str(chunks), enc, str(tmp_path / "idx"),
+                                  rank_cfg=cfg)
+    eng.search([docs[5]], k=3, candidates=8)
+    shallow = eng._device_bm25
+    assert shallow is not None and eng._device_bm25_depth == 8
+
+    # deeper request: instance must be replaced and sized up
+    hits = eng.search([docs[5]], k=3, candidates=48)[0]
+    assert eng._device_bm25 is not shallow
+    assert eng._device_bm25_depth == 48
+    assert hits[0].chunk_id == "c5"
+
+    # shallower request afterwards reuses the deep instance
+    deep = eng._device_bm25
+    eng.search([docs[9]], k=3, candidates=8)
+    assert eng._device_bm25 is deep
