@@ -262,6 +262,10 @@ class DeviceBM25:
                 except OSError as exc:  # cache unusable -> in-RAM build
                     logger.warning("device-BM25 cache dir unusable (%s); "
                                    "building in RAM", exc)
+                    try:  # don't leave a partial preallocation behind
+                        os.unlink(cc_tmp)
+                    except OSError:
+                        pass
                     cache_dir = None
                     CC = np.zeros(cc_shape, np.int8)
             else:
@@ -331,7 +335,29 @@ class DeviceBM25:
             "quot_sum": float(np.sum(bm._inv_quot, dtype=np.float64)),
         }
 
+    def _sweep_dead_tmps(self, cache_dir: str) -> None:
+        """Reclaim matrix-sized build tmps left by CRASHED builders (their
+        pid is embedded in the name); live siblings' tmps are untouched."""
+        if not os.path.isdir("/proc"):  # pragma: no cover (non-Linux)
+            return
+        prefix = self._CACHE_CC + "."
+        try:
+            names = os.listdir(cache_dir)
+        except OSError:
+            return
+        for n in names:
+            if not (n.startswith(prefix) and n.endswith(".tmp")):
+                continue
+            pid = n[len(prefix):-4]
+            if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+                try:
+                    os.unlink(os.path.join(cache_dir, n))
+                    logger.info("removed dead builder tmp %s", n)
+                except OSError:
+                    pass
+
     def _load_cache(self, cache_dir: str, cc_shape):
+        self._sweep_dead_tmps(cache_dir)
         meta_p = os.path.join(cache_dir, self._CACHE_META)
         try:
             with open(meta_p) as f:
@@ -390,6 +416,12 @@ class DeviceBM25:
             # matrix. The live mapping is always the right bytes.
             logger.warning("device-BM25 cache commit failed: %s — serving "
                            "from the in-process build mapping", exc)
+            try:
+                # unlinking a mapped file is safe on Linux (the inode
+                # lives until munmap); reclaims the matrix-sized tmp
+                os.unlink(cc_tmp)
+            except OSError:
+                pass
             return CC
 
     # ------------------------------------------------------------------ jit
