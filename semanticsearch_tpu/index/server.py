@@ -8,11 +8,22 @@ chip; front with any standard load balancer for more.
 
 Protocol (JSON over HTTP/1.1, stdlib-only on both ends):
 
-- ``GET  /healthz``  -> ``{"ok": true, "docs": N}``
+- ``GET  /healthz``  -> ``{"ok": true, "docs": N}`` (live count: base +
+  delta adds - tombstones)
 - ``POST /search``   body ``{"queries": ["..."], "k": 10,
   "hybrid": true, "rerank_top": 0}`` -> ``{"results": [[hit, ...], ...]}``
   where hit = ``{chunk_id, score, dense_rank, lexical_rank
   [, rerank_score]}``.
+- ``POST /add``      body ``{"chunk_ids": ["..."], "texts": ["..."]}``
+  -> ``{"added": N, "docs": total}`` — serve-time freshness: new docs are
+  embedded into the device-resident delta index and searchable on the
+  NEXT request, no restart (engine.add_documents).
+- ``POST /remove``   body ``{"chunk_ids": ["..."]}``
+  -> ``{"removed": N, "docs": total}`` — tombstones, effective
+  immediately (engine.remove_documents).
+- ``POST /compact``  body ``{}`` -> ``{"ok": true, "docs": N}`` — fold
+  delta + tombstones into the persisted layout (journaled crash-safe
+  staged commit) and reload; the call blocks while it runs.
 
 Requests are served on a single thread: device dispatch already pipelines
 inside ``engine.search`` (all programs dispatched before any fetch), and
@@ -75,22 +86,57 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080
             self.end_headers()
             self.wfile.write(body)
 
+        @staticmethod
+        def _live_docs() -> int:
+            # LIVE document count: base index + serve-time delta adds
+            # - tombstoned rows (freshness pushes must be visible here)
+            docs = int(engine.index.size)
+            if engine._delta is not None:
+                docs += int(engine._delta.n)
+            return docs - len(engine._dead)
+
         def do_GET(self):  # noqa: N802
             if self.path == "/healthz":
-                # LIVE document count: base index + serve-time delta adds
-                # - tombstoned rows (freshness pushes must be visible here)
-                docs = int(engine.index.size)
-                if engine._delta is not None:
-                    docs += int(engine._delta.n)
-                docs -= len(engine._dead)
-                self._reply(200, {"ok": True, "docs": docs})
+                self._reply(200, {"ok": True, "docs": self._live_docs()})
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
+        @staticmethod
+        def _str_list(req, key):
+            v = req.get(key)
+            if (not isinstance(v, list) or not v
+                    or not all(isinstance(s, str) for s in v)):
+                raise ValueError(
+                    f"{key} must be a non-empty list of strings")
+            return v
+
+        def _handle(self, req: dict) -> dict:
+            if self.path == "/search":
+                results = engine.search(
+                    self._str_list(req, "queries"),
+                    k=int(req.get("k", 10)),
+                    hybrid=bool(req.get("hybrid", True)),
+                    rerank_top=int(req.get("rerank_top", 0)),
+                )
+                return {"results": [
+                    [_hit_dict(h) for h in hits] for hits in results
+                ]}
+            if self.path == "/add":
+                ids = self._str_list(req, "chunk_ids")
+                texts = self._str_list(req, "texts")
+                if len(ids) != len(texts):
+                    raise ValueError("chunk_ids and texts length mismatch")
+                engine.add_documents(ids, texts)
+                return {"added": len(ids), "docs": self._live_docs()}
+            if self.path == "/remove":
+                n = engine.remove_documents(self._str_list(req, "chunk_ids"))
+                return {"removed": n, "docs": self._live_docs()}
+            if self.path == "/compact":
+                engine.compact()
+                return {"ok": True, "docs": self._live_docs()}
+            raise LookupError(self.path)
+
         def do_POST(self):  # noqa: N802
-            if self.path != "/search":
-                self._reply(404, {"error": f"unknown path {self.path}"})
-                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 if n < 0 or n > _MAX_BODY:
@@ -100,26 +146,13 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080
                     self._reply(413, {"error": "bad body size"})
                     return
                 req = json.loads(self.rfile.read(n) or b"{}")
-                queries = req.get("queries")
-                if (not isinstance(queries, list) or not queries
-                        or not all(isinstance(q, str) for q in queries)):
-                    self._reply(
-                        400, {"error": "queries must be a non-empty "
-                                       "list of strings"})
-                    return
-                results = engine.search(
-                    queries,
-                    k=int(req.get("k", 10)),
-                    hybrid=bool(req.get("hybrid", True)),
-                    rerank_top=int(req.get("rerank_top", 0)),
-                )
-                self._reply(200, {"results": [
-                    [_hit_dict(h) for h in hits] for hits in results
-                ]})
+                self._reply(200, self._handle(req))
+            except LookupError:
+                self._reply(404, {"error": f"unknown path {self.path}"})
             except (ValueError, KeyError, TypeError) as exc:
                 self._reply(400, {"error": str(exc)})
             except Exception as exc:  # engine failure -> 500, keep serving
-                logger.exception("search failed")
+                logger.exception("%s failed", self.path)
                 self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
 
     srv = HTTPServer((host, port), Handler)

@@ -354,3 +354,56 @@ def test_http_server_search_and_health(tmp_path, mesh8):
         srv.shutdown()
         srv.server_close()
         t.join(timeout=10)
+
+
+def test_http_server_freshness_endpoints(tmp_path, mesh8):
+    """Serve-time freshness over the wire: /add makes a doc searchable on
+    the next request, /remove tombstones it, /compact folds the delta —
+    all reflected in /healthz's live doc count."""
+    import json
+    import threading
+    import urllib.request
+
+    from semanticsearch_tpu.index.server import make_server
+
+    _enc, engine = _build_engine(tmp_path, mesh8, name="srv_fresh")
+    srv = make_server(engine, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+
+    def post(path, obj, timeout=120):
+        req = urllib.request.Request(
+            f"{base}{path}", data=json.dumps(obj).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.loads(r.read())
+
+    def docs():
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            return json.loads(r.read())["docs"]
+
+    try:
+        assert docs() == 6
+        out = post("/add", {"chunk_ids": ["c_new"],
+                            "texts": ["quantum computer runs shor "
+                                      "algorithm on qubits"]})
+        assert out == {"added": 1, "docs": 7}
+        hits = post("/search", {"queries": ["quantum qubits shor"],
+                                "k": 3})["results"][0]
+        assert hits[0]["chunk_id"] == "c_new"
+
+        out = post("/remove", {"chunk_ids": ["c_new"]})
+        assert out == {"removed": 1, "docs": 6}
+        hits = post("/search", {"queries": ["quantum qubits shor"],
+                                "k": 3})["results"][0]
+        assert all(h["chunk_id"] != "c_new" for h in hits)
+
+        out = post("/compact", {}, timeout=300)
+        assert out["ok"] is True and out["docs"] == 6
+        hits = post("/search", {"queries": ["fishing quota trawlers"],
+                                "k": 3})["results"][0]
+        assert hits[0]["chunk_id"] == "c1"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
