@@ -10,6 +10,8 @@ Protocol (JSON over HTTP/1.1, stdlib-only on both ends):
 
 - ``GET  /healthz``  -> ``{"ok": true, "docs": N}`` (live count: base +
   delta adds - tombstones)
+- ``GET  /statz``    -> freshness-layer sizes + device-BM25 phase
+  timings/certificate stats
 - ``POST /search``   body ``{"queries": ["..."], "k": 10,
   "hybrid": true, "rerank_top": 0}`` -> ``{"results": [[hit, ...], ...]}``
   where hit = ``{chunk_id, score, dense_rank, lexical_rank
@@ -42,6 +44,8 @@ from ..core.logging import get_logger
 logger = get_logger("server")
 
 _MAX_BODY = 64 << 20  # reject absurd request bodies before reading them
+_MAX_ITEMS = 8192  # per-request query/add cap: one request must not be
+# able to occupy the single serving thread for minutes
 
 
 def _hit_dict(h) -> dict:
@@ -98,6 +102,19 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080
         def do_GET(self):  # noqa: N802
             if self.path == "/healthz":
                 self._reply(200, {"ok": True, "docs": self._live_docs()})
+            elif self.path == "/statz":
+                # ops view: freshness-layer sizes + device-BM25 phase
+                # timings/certificate stats (index/bm25_tpu.py::stats)
+                self._reply(200, {
+                    "docs": self._live_docs(),
+                    "base_docs": int(engine.index.size),
+                    "delta_docs": (int(engine._delta.n)
+                                   if engine._delta is not None else 0),
+                    "tombstones": len(engine._dead),
+                    "device_bm25": (dict(engine._device_bm25.stats)
+                                    if engine._device_bm25 is not None
+                                    else None),
+                })
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -108,6 +125,10 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080
                     or not all(isinstance(s, str) for s in v)):
                 raise ValueError(
                     f"{key} must be a non-empty list of strings")
+            if len(v) > _MAX_ITEMS:
+                raise ValueError(
+                    f"{key} has {len(v)} items (cap {_MAX_ITEMS}); "
+                    "split into multiple requests")
             return v
 
         def _handle(self, req: dict) -> dict:
