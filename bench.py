@@ -54,6 +54,25 @@ def main() -> int:
                              "matmuls with progressive max (MXU/VPU overlap)")
     args = parser.parse_args()
 
+    # Watchdog: when the remote TPU service is down, backend init (or the
+    # first dispatch) hangs forever with no output — seen in the 2026-08-17
+    # axon outage. Abort with a diagnostic and NO json line (a fabricated
+    # metric would be worse than a missing one) so the driver isn't stuck
+    # until its own timeout. Disarmed once the first device value lands.
+    import threading
+
+    watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", "1800"))
+    armed = threading.Event()
+
+    def _watchdog():
+        if not armed.wait(watchdog_s):
+            print(f"WATCHDOG: no device progress within {watchdog_s:.0f}s "
+                  "— TPU service likely unreachable; aborting without a "
+                  "result line", file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
 
@@ -87,6 +106,7 @@ def main() -> int:
     print("STAGE corpus gen...", file=sys.stderr, flush=True)
     corpus = make_corpus()
     _ = float(corpus[0, 0])  # force materialization
+    armed.set()  # device is alive: disarm the init watchdog
     print("STAGE corpus ready", file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(1)
