@@ -415,3 +415,25 @@ def test_engine_rebuilds_device_bm25_for_deeper_requests(tmp_path, mesh8):
     deep = eng._device_bm25
     eng.search([docs[9]], k=3, candidates=8)
     assert eng._device_bm25 is deep
+
+
+def test_cache_sweeps_dead_builder_tmps(tmp_path):
+    """Matrix-sized tmps from CRASHED builders (dead pid in the name) are
+    reclaimed on the next load; a LIVE sibling's tmp is left alone."""
+    import os
+
+    rng = np.random.default_rng(14)
+    docs = _zipf_corpus(rng, 120)
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    cache = str(tmp_path / "idx")
+    os.makedirs(cache)
+    base = os.path.join(cache, DeviceBM25._CACHE_CC)
+    dead = base + ".999999999.tmp"  # pid far beyond pid_max: never alive
+    live = base + ".1.tmp"          # pid 1 (init): alive on any Linux box
+    open(dead, "wb").write(b"x")
+    open(live, "wb").write(b"x")
+
+    DeviceBM25(bm, n_dense_terms=32, topk_device=8, query_chunk=16,
+               cache_dir=cache)
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)
