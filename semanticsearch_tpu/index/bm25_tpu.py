@@ -235,13 +235,14 @@ class DeviceBM25:
                 # set stays ~one row (d_pad bytes) and the host never holds
                 # the matrix in RAM at all — the 10M-doc build fits a
                 # laptop-class serve host
+                # pid-unique tmp: two processes building concurrently
+                # must not truncate each other's live mapping (last
+                # publisher wins the final rename, both are correct).
+                # Named BEFORE the try: the except unlinks it.
+                cc_tmp = (os.path.join(cache_dir, self._CACHE_CC)
+                          + f".{os.getpid()}.tmp")
                 try:
                     os.makedirs(cache_dir, exist_ok=True)
-                    # pid-unique tmp: two processes building concurrently
-                    # must not truncate each other's live mapping (last
-                    # publisher wins the final rename, both are correct)
-                    cc_tmp = (os.path.join(cache_dir, self._CACHE_CC)
-                              + f".{os.getpid()}.tmp")
                     n_bytes = int(cc_shape[0]) * int(cc_shape[1])
                     fd = os.open(cc_tmp,
                                  os.O_CREAT | os.O_RDWR | os.O_TRUNC, 0o644)
@@ -299,7 +300,7 @@ class DeviceBM25:
                 CC = self._commit_cache(cache_dir, CC, cc_tmp, cc_shape)
         self._upload(CC)
         self.stats: Dict[str, float] = {
-            "queries": 0, "fallbacks": 0, "rescore_expansions": 0,
+            "queries": 0, "fallbacks": 0,
             "t_split_s": 0.0, "t_dispatch_s": 0.0, "t_rare_s": 0.0,
             "t_device_s": 0.0, "t_post_s": 0.0, "t_fallback_s": 0.0,
         }
@@ -545,7 +546,18 @@ class DeviceBM25:
             W = densify(wq)
             lc = Cl.shape[1]
             if lc <= chunk:
-                return _block_topk(score_cols(W, Cl), kp)
+                # kp can exceed the (possibly shard-small) column count:
+                # select what exists and pad to the static kp (pad idx lc
+                # is out-of-corpus -> masked by valid_n; pad val -inf
+                # loses every merge)
+                kp2 = min(kp, lc)
+                v, i = _block_topk(score_cols(W, Cl), kp2)
+                if kp2 < kp:
+                    v = jnp.pad(v, ((0, 0), (0, kp - kp2)),
+                                constant_values=-jnp.inf)
+                    i = jnp.pad(i, ((0, 0), (0, kp - kp2)),
+                                constant_values=lc)
+                return v, i
             nfull, rem = divmod(lc, chunk)
 
             def merge(run_v, run_i, new_v, new_i):
@@ -558,7 +570,11 @@ class DeviceBM25:
                 run_v, run_i = carry
                 sl = jax.lax.dynamic_slice_in_dim(Cl, i * chunk, chunk,
                                                   axis=1)
-                cv, ci = _block_topk(score_cols(W, sl), kp)
+                # per-chunk selection width caps at the chunk: with
+                # kp >= chunk the chunk's ENTIRE column set is selected,
+                # so the running merge still sees every possible top-kp
+                # element (exactness preserved)
+                cv, ci = _block_topk(score_cols(W, sl), min(kp, chunk))
                 return merge(run_v, run_i,
                              cv, (ci + i * chunk).astype(jnp.int32))
 
@@ -989,6 +1005,16 @@ class DeviceBM25:
             r_docs = touch_docs[ts_:te_]
             err_ub = float(err_ubs[qi])
             cand = np.unique(np.concatenate([idx[qi], r_docs]))
+            # PAD-COLUMN ids (>= n_docs) can enter the device top-K' when
+            # fewer than K' docs have positive approx scores (pads score
+            # exactly 0.0 pre-mask). They are not documents: drop them from
+            # the pool, and SOUND-ify the outside-pool bound — if a pad was
+            # selected, every real doc with approx > 0 IS a candidate, so
+            # any non-candidate's approx is <= 0 (the masked -inf in
+            # vals[-1] would make the certificate vacuously true).
+            pads = bool(cand[-1] >= self.n_docs) if cand.size else False
+            if pads:
+                cand = cand[cand < self.n_docs]
             qs_, qe_ = int(q_indptr_a[qi]), int(q_indptr_a[qi + 1])
             q_tids = q_tids_a[qs_:qe_]
             q_w = q_w_a[qs_:qe_]
@@ -996,7 +1022,8 @@ class DeviceBM25:
             t_order = np.lexsort((cand, -exact))
             kth = float(exact[t_order[k - 1]]) if exact.size >= k else -np.inf
             # any doc outside the pool: true score <= v_K' + err_ub
-            v_out = (float(vals[qi, -1]) + err_ub) \
+            v_last = 0.0 if pads else float(vals[qi, -1])
+            v_out = (v_last + err_ub) \
                 if cand.size < self.n_docs else -np.inf
             certified = v_out < kth
             kth_val = kth if exact.size >= k else 0.0

@@ -95,6 +95,11 @@ def recover_staged_commit(index_dir: str) -> Optional[str]:
         with open(journal_path) as f:
             pending = json.load(f)["replaces"]
         for tmp, final in pending:
+            # journals store basenames (rejoined to the directory being
+            # loaded); basename() also renders any legacy full-path
+            # journal recoverable from a different cwd
+            tmp = os.path.join(index_dir, os.path.basename(tmp))
+            final = os.path.join(index_dir, os.path.basename(final))
             if os.path.exists(tmp):
                 os.replace(tmp, final)
         _fsync_path(index_dir)
@@ -162,6 +167,8 @@ class HybridQueryEngine:
         self._device_bm25 = None
         self._device_bm25_depth = 0
         self._warned_no_bm25 = False
+        # lazy chunk_id -> [rows] map for remove_documents
+        self._row_index: Optional[Dict[str, List[int]]] = None
 
     # ------------------------------------------------------------- build/load
     @classmethod
@@ -191,10 +198,23 @@ class HybridQueryEngine:
         texts = [r.get(text_column, "")
                  for r in read_tsv(chunks_tsv, limit=limit)]
         bm25_path = os.path.join(output_dir, BM25_FILE)
+        bm25 = None
         if resume and os.path.exists(bm25_path):
             with open(bm25_path, "rb") as f:
                 bm25 = pickle.load(f)
-        else:
+            if (bm25.k1, bm25.b, bm25.epsilon) != (
+                    rank_cfg.bm25_k1, rank_cfg.bm25_b,
+                    rank_cfg.bm25_epsilon):
+                # a resumed build with DIFFERENT BM25 params must not
+                # silently serve the stale statistics
+                logger.warning(
+                    "resume: persisted BM25 stats were built with "
+                    "k1=%s b=%s eps=%s but rank_cfg asks k1=%s b=%s "
+                    "eps=%s — rebuilding the BM25 stage",
+                    bm25.k1, bm25.b, bm25.epsilon, rank_cfg.bm25_k1,
+                    rank_cfg.bm25_b, rank_cfg.bm25_epsilon)
+                bm25 = None
+        if bm25 is None:
             bm25 = BM25Okapi(
                 [tokenize(t) for t in texts],
                 k1=rank_cfg.bm25_k1, b=rank_cfg.bm25_b,
@@ -297,6 +317,7 @@ class HybridQueryEngine:
                 self._delta_bm25 = DeltaBM25(self.bm25)
             self._delta_bm25.add([tokenize(t) for t in texts])
         self.chunk_ids = list(self.chunk_ids) + list(chunk_ids)
+        self._row_index = None  # remove_documents' map: rebuild lazily
         if self.texts is not None:
             self.texts = list(self.texts) + list(texts)
 
@@ -308,12 +329,20 @@ class HybridQueryEngine:
         few); :meth:`compact` drops them physically. Complements
         :meth:`add_documents` for full serve-time freshness.
         """
-        targets = set(chunk_ids)
+        # chunk_id -> rows map, built ONCE lazily (invalidated by
+        # add_documents/compact): a per-call O(corpus) scan is seconds of
+        # host time at the 10M target, blocking the serve thread
+        if self._row_index is None:
+            ri: Dict[str, List[int]] = {}
+            for row, cid in enumerate(self.chunk_ids):
+                ri.setdefault(cid, []).append(row)
+            self._row_index = ri
         hit = 0
-        for row, cid in enumerate(self.chunk_ids):
-            if cid in targets and row not in self._dead:
-                self._dead.add(row)
-                hit += 1
+        for cid in set(chunk_ids):
+            for row in self._row_index.get(cid, ()):
+                if row not in self._dead:
+                    self._dead.add(row)
+                    hit += 1
         return hit
 
     def compact(self, output_dir: Optional[str] = None) -> None:
@@ -446,7 +475,14 @@ class HybridQueryEngine:
         journal_path = os.path.join(out, COMMIT_JOURNAL)
         journal_tmp = journal_path + ".tmp"  # .tmp: swept by rollback
         with open(journal_tmp, "w") as f:
-            json.dump({"replaces": replaces}, f)
+            # BASENAMES only: the recovering process rejoins them to the
+            # directory it is loading, so recovery works from any cwd and
+            # after the index directory moves (a cwd-relative path written
+            # here would replay relative to the RECOVERING process's cwd)
+            json.dump({"replaces": [
+                [os.path.basename(t), os.path.basename(fn)]
+                for t, fn in replaces
+            ]}, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(journal_tmp, journal_path)
@@ -464,6 +500,7 @@ class HybridQueryEngine:
         self._delta_bm25 = None
         self._dead = set()
         self._device_bm25 = None  # stats changed: rebuild on next search
+        self._row_index = None
         self._index_dir = out
 
     # ------------------------------------------------------------------ query
@@ -564,6 +601,10 @@ class HybridQueryEngine:
                         weights=self.cfg.lexical_weights,
                         cache_dir=(self._index_dir
                                    if self.cfg.lexical_cache else None),
+                        # same mesh as the dense index: the int8 matrix
+                        # column-shards across chips (5 GB/chip at the 10M
+                        # north star) instead of OOMing one chip's HBM
+                        mesh=self.index._mesh,
                     )
                 # exact MXU-path top-k (certified vs the host kernel);
                 # dispatch now, fetch after the dense leg's fetch

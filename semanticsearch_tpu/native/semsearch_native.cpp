@@ -791,9 +791,16 @@ void bm25_device_post(
                 q_indptr[q + 1] - q_indptr[q], touch_docs[i]);
             cands.push_back({(int64_t)touch_docs[i], ex, ex, true});
         }
-        // device top-K': approx = vals (+ rare part if also touched)
+        // device top-K': approx = vals (+ rare part if also touched).
+        // PAD-COLUMN ids (>= n_docs) can appear when fewer than K' docs
+        // have positive approx scores (pads score exactly 0.0 pre-mask);
+        // they are not documents — skip them, and remember that a pad's
+        // presence proves every real doc with approx > 0 is already a
+        // candidate (so any non-candidate's approx is <= 0).
+        bool pads_selected = false;
         for (int32_t i = 0; i < kp; ++i) {
             const int64_t d = idx[q * kp + i];
+            if (d < 0 || d >= n_docs) { pads_selected = true; continue; }
             // binary search d among this query's touched docs (ascending)
             int64_t lo = ts, hi = te;
             while (lo < hi) {
@@ -803,9 +810,14 @@ void bm25_device_post(
             if (lo < te && touch_docs[lo] == d) continue;  // already added
             cands.push_back({d, vals[q * kp + i] + err_ub[q], 0.0f, false});
         }
-        // v_out: any doc outside the pool scores at most v_K' + err
+        // v_out: any doc outside the pool scores at most v_K' + err; with
+        // pads selected, the masked -inf in vals[K'-1] would make the
+        // certificate vacuously true — the sound outside-pool approx bound
+        // is 0.0 there
+        const float v_last = pads_selected ? 0.0f
+            : vals[q * kp + (kp - 1)];
         const float v_out = ((int64_t)cands.size() < n_docs)
-            ? vals[q * kp + (kp - 1)] + err_ub[q]
+            ? v_last + err_ub[q]
             : -FLT_MAX;
         // sort by ub desc, doc asc
         std::sort(cands.begin(), cands.end(),

@@ -437,3 +437,65 @@ def test_cache_sweeps_dead_builder_tmps(tmp_path):
                cache_dir=cache)
     assert not os.path.exists(dead)
     assert os.path.exists(live)
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_pad_columns_in_device_topk_stay_exact(use_native, monkeypatch):
+    """PAD-COLUMN ids (>= n_docs) enter the device top-K' when fewer than
+    K' docs have positive approx scores (negative-idf matches rank below
+    the pads' 0.0). The certification must treat them soundly: drop them
+    from the candidate pool and bound non-candidates by 0 + err_ub instead
+    of the masked -inf (which made the certificate vacuously true).
+    Asserts pads REALLY were selected (via the dispatch handle), then
+    bit-exact parity vs the host kernel on both post paths."""
+    if not use_native:
+        import semanticsearch_tpu.native as nm
+
+        monkeypatch.setattr(nm, "bm25_rare_touch", lambda *a, **k: None)
+        monkeypatch.setattr(nm, "bm25_device_post", lambda *a, **k: None)
+
+    # 300 docs -> 512 padded cols (212 pads). Vocab dominated by very
+    # common words => avg idf < 0 => the epsilon floor keeps common idfs
+    # NEGATIVE (index/bm25.py:198), so c0-matching docs score below 0.
+    commons = " ".join(f"c{i}" for i in range(8))
+    docs = []
+    for i in range(20):          # positives: contain "rare" only
+        docs.append("rare rare")
+    for i in range(250):         # negatives: every common word (df=250
+        docs.append(commons)     # each -> raw idf ~ -1.6 -> avg idf < 0)
+    for i in range(30):          # zeros: match no query term
+        docs.append("mid mid")
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    assert bm.idf[bm.vocab["c0"]] < 0  # the construction's load-bearing fact
+
+    dev = DeviceBM25(bm, n_dense_terms=10_000, topk_device=64,
+                     query_chunk=8, residual=False)
+    q_toks = [["rare", "c0"]] * 3
+    h = dev.start_topk_batch(q_toks, 10)
+    packed = np.asarray(h[2][0][2][5])  # (Q, 2K') device result
+    sel_idx = packed[:, dev.topk_device:]
+    assert (sel_idx >= dev.n_docs).any(), \
+        "construction failed: no pad columns selected"
+    d_idx, d_sc = dev.finish_topk_batch(h)
+    for qi, toks in enumerate(q_toks):
+        h_idx, h_sc = bm.get_topk(toks, 10)
+        np.testing.assert_array_equal(d_idx[qi], h_idx, err_msg=f"q={qi}")
+        np.testing.assert_array_equal(d_sc[qi], h_sc, err_msg=f"q={qi}")
+
+
+def test_topk_device_exceeding_score_chunk(monkeypatch):
+    """K' larger than the column-chunk width must not crash the chunked
+    selection (per-chunk selection caps at the chunk width — still exact,
+    every candidate reachable through the running merge)."""
+    rng = np.random.default_rng(16)
+    docs = _zipf_corpus(rng, 600)
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    dev = DeviceBM25(bm, n_dense_terms=64, topk_device=600,
+                     query_chunk=16, score_chunk_cols=512)
+    assert dev.topk_device == 600  # > one 512-col chunk
+    q_toks = [tokenize(q) for q in _queries(rng, docs, 12)]
+    d_idx, d_sc = dev.get_topk_batch(q_toks, 10)
+    for qi, toks in enumerate(q_toks):
+        h_idx, h_sc = bm.get_topk(toks, 10)
+        np.testing.assert_array_equal(d_idx[qi], h_idx, err_msg=f"q={qi}")
+        np.testing.assert_array_equal(d_sc[qi], h_sc, err_msg=f"q={qi}")
