@@ -294,7 +294,9 @@ def cmd_serve(args) -> int:
         index_cfg=cfg.index, rank_cfg=rank_cfg,
         reranker_dir=getattr(args, "rerank", None),
     )
-    srv = make_server(engine, host=args.host, port=args.port)
+    srv = make_server(engine, host=args.host, port=args.port,
+                      coalesce=args.coalesce, max_batch=args.max_batch,
+                      max_wait_ms=args.max_wait_ms)
     print(f"serving http://{srv.server_address[0]}:"
           f"{srv.server_address[1]} (ctrl-c to stop)", flush=True)
     try:
@@ -612,6 +614,15 @@ def main(argv=None) -> int:
     p.add_argument("--bm25-cache", action="store_true",
                    help="persist/reuse the device-BM25 int8 matrix in the "
                         "index dir")
+    p.add_argument("--coalesce", action="store_true",
+                   help="merge concurrent small /search requests into one "
+                        "batched engine call (threaded accept, single "
+                        "engine dispatcher)")
+    p.add_argument("--max-batch", type=int, default=1024,
+                   help="coalescing cap: max queries per merged engine call")
+    p.add_argument("--max-wait-ms", type=float, default=4.0,
+                   help="coalescing window: max extra latency a lone "
+                        "request waits for company")
     _add_config_args(p)
     p.set_defaults(fn=cmd_serve)
 

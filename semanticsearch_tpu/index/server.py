@@ -27,17 +27,36 @@ Protocol (JSON over HTTP/1.1, stdlib-only on both ends):
   delta + tombstones into the persisted layout (journaled crash-safe
   staged commit) and reload; the call blocks while it runs.
 
-Requests are served on a single thread: device dispatch already pipelines
-inside ``engine.search`` (all programs dispatched before any fetch), and
-serializing requests is the correct backpressure for one chip — concurrent
-jit dispatch from multiple threads would interleave into the SAME device
-queue anyway. Batch queries client-side for throughput (the engine's QPS
-comes from batched encode/top-k, see BASELINE.md serve rows).
+Two serving modes:
+
+- ``coalesce=False`` (default): requests are served on a single thread.
+  Device dispatch already pipelines inside ``engine.search`` (all programs
+  dispatched before any fetch), and serializing requests is the correct
+  backpressure for one chip. Batch queries client-side for throughput (the
+  engine's QPS comes from batched encode/top-k, see BASELINE.md serve rows).
+- ``coalesce=True``: REQUEST COALESCING for many concurrent small clients
+  that cannot batch client-side. Connections are accepted on threads, but
+  every engine operation is routed through ONE dispatcher thread (the
+  engine still sees exactly one caller — same safety as the single-thread
+  mode). The dispatcher merges /search requests that arrive within
+  ``max_wait_ms`` of each other (and share k/hybrid/rerank_top) into one
+  ``engine.search`` call of up to ``max_batch`` queries, then splits the
+  results back per request. This converts N per-request device dispatches
+  into one batched dispatch — the continuous-batching pattern production
+  model servers use; on this engine the per-batch fixed costs (encode
+  dispatch, top-k dispatch, tunnel round-trips) dominate small requests,
+  so merging is where small-request throughput comes from. Mutations
+  (/add, /remove, /compact) pass through the same dispatcher as
+  barriers: they never run concurrently with a search, and a client that
+  issues add-then-search sequentially always sees its own write.
 """
 from __future__ import annotations
 
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 
 from ..core.logging import get_logger
 
@@ -60,13 +79,183 @@ def _hit_dict(h) -> dict:
     return d
 
 
-def make_server(engine, host: str = "127.0.0.1", port: int = 8080
-                ) -> HTTPServer:
+class _Op:
+    """One queued engine operation; the submitting handler thread blocks on
+    ``done`` until the dispatcher fills ``result`` or ``error``."""
+
+    __slots__ = ("kind", "queries", "params", "fn", "done", "result", "error")
+
+    def __init__(self, kind, queries=None, params=None, fn=None):
+        self.kind = kind          # "search" | "mutate"
+        self.queries = queries    # search only: list[str]
+        self.params = params      # search only: (k, hybrid, rerank_top)
+        self.fn = fn              # mutate only: zero-arg callable
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
+_SHUTDOWN = _Op("shutdown")
+
+
+class _Coalescer:
+    """Single dispatcher thread that owns every engine call.
+
+    Handler threads ``submit()`` ops; searches arriving within
+    ``max_wait_s`` of each other with identical params are merged into one
+    ``engine.search`` call (up to ``max_batch`` total queries). Anything
+    else — a search with different params, or a mutation — flushes the
+    in-flight batch first, preserving arrival order across op kinds.
+    """
+
+    def __init__(self, engine, max_batch: int = 1024,
+                 max_wait_s: float = 0.004):
+        self.engine = engine
+        self.max_batch = max(1, int(max_batch))
+        self.max_wait_s = max(0.0, float(max_wait_s))
+        self.q: "queue.Queue[_Op]" = queue.Queue()
+        self.batches = 0          # observability: engine.search calls made
+        self.merged_requests = 0  # requests that rode a shared batch
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="search-coalescer")
+        self._thread.start()
+
+    def submit(self, op: _Op):
+        self.q.put(op)
+        op.done.wait()
+        if op.error is not None:
+            raise op.error
+        return op.result
+
+    def shutdown(self) -> None:
+        self.q.put(_SHUTDOWN)
+        self._thread.join(timeout=10)
+
+    # ---- dispatcher thread ----------------------------------------------
+    def _run(self) -> None:
+        # ops pulled off the queue but not yet runnable this turn (searches
+        # of a different param group, mutations, shutdown) — served in
+        # arrival order on later turns, so heterogeneous-k client mixes
+        # don't fragment each other's batches
+        carry: "list[_Op]" = []
+        shutdown = False
+        while not shutdown:
+            op = carry.pop(0) if carry else self.q.get()
+            if op.kind == "shutdown":
+                break
+            if op.kind != "search":
+                self._run_one(op)
+                continue
+            batch = [op]
+            total = len(op.queries)
+
+            def absorb(nxt) -> bool:
+                nonlocal total
+                if (nxt.kind == "search" and nxt.params == op.params
+                        and total + len(nxt.queries) <= self.max_batch):
+                    batch.append(nxt)
+                    total += len(nxt.queries)
+                    return True
+                return False
+
+            # same-group ops already set aside by earlier turns merge first
+            carry = [c for c in carry if not absorb(c)]
+            deadline = time.monotonic() + self.max_wait_s
+            while total < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if absorb(nxt):
+                    continue
+                carry.append(nxt)
+                if nxt.kind != "search":  # mutation/shutdown: stop
+                    shutdown = nxt.kind == "shutdown"  # collecting promptly
+                    break
+            self._run_search(batch)
+        # fail anything still pending so no handler thread hangs forever
+        for op in carry:
+            if op.kind != "shutdown":
+                op.error = RuntimeError("server shutting down")
+                op.done.set()
+        while True:
+            try:
+                op = self.q.get_nowait()
+            except queue.Empty:
+                return
+            if op.kind != "shutdown":
+                op.error = RuntimeError("server shutting down")
+                op.done.set()
+
+    def _run_one(self, op: _Op) -> None:
+        try:
+            op.result = op.fn()
+        except BaseException as exc:  # delivered to the handler thread
+            op.error = exc
+        op.done.set()
+
+    def _run_search(self, batch) -> None:
+        k, hybrid, rerank_top = batch[0].params
+        try:
+            all_q = [q for op in batch for q in op.queries]
+            n = len(all_q)
+            # pad the merged batch to the next power of two: the engine's
+            # device programs specialize on the query count (jit-static
+            # batch dim), and coalesced sizes are as varied as client
+            # arrival patterns — unpadded, every new total would compile a
+            # fresh program (minutes on a remote-compile TPU service).
+            # log2(max_batch) signatures cover everything; <2x padded work
+            target = 1
+            while target < n:
+                target <<= 1
+            all_q.extend(all_q[-1:] * (target - n))
+            results = self.engine.search(all_q, k=k, hybrid=hybrid,
+                                         rerank_top=rerank_top)[:n]
+            self.batches += 1
+            if len(batch) > 1:
+                self.merged_requests += len(batch)
+            off = 0
+            for op in batch:
+                op.result = results[off: off + len(op.queries)]
+                off += len(op.queries)
+        except BaseException as exc:
+            for op in batch:
+                op.error = exc
+        for op in batch:
+            op.done.set()
+
+
+class _CoalescingHTTPServer(ThreadingHTTPServer):
+    """Threaded accept loop whose ``server_close`` also stops the
+    dispatcher thread (failing any queued requests loudly)."""
+
+    daemon_threads = True
+    coalescer: _Coalescer = None
+
+    def server_close(self):  # noqa: N802 (stdlib name)
+        super().server_close()
+        if self.coalescer is not None:
+            self.coalescer.shutdown()
+
+
+def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
+                coalesce: bool = False, max_batch: int = 1024,
+                max_wait_ms: float = 4.0) -> HTTPServer:
     """Build (not start) the HTTP server; ``.serve_forever()`` to run.
 
     Port 0 binds an ephemeral port (tests); the bound address is
-    ``server.server_address``.
+    ``server.server_address``. ``coalesce=True`` serves connections on
+    threads and merges concurrent /search requests into batched engine
+    calls (see module docstring); ``max_wait_ms`` bounds the added latency
+    (a lone request waits at most that long for company). Merged batches
+    are padded up to the next power of two so the engine's jit signatures
+    stay bounded — pick ``max_batch`` as a power of two.
     """
+    coalescer = _Coalescer(engine, max_batch, max_wait_ms / 1e3) \
+        if coalesce else None
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # keep-alive; Content-Length is
@@ -114,6 +303,12 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080
                     "device_bm25": (dict(engine._device_bm25.stats)
                                     if engine._device_bm25 is not None
                                     else None),
+                    "coalesce": (None if coalescer is None else {
+                        "batches": coalescer.batches,
+                        "merged_requests": coalescer.merged_requests,
+                        "max_batch": coalescer.max_batch,
+                        "max_wait_ms": coalescer.max_wait_s * 1e3,
+                    }),
                 })
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
@@ -131,9 +326,25 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080
                     "split into multiple requests")
             return v
 
+        # every engine call goes through exactly one thread: the handler
+        # itself (single-thread mode) or the coalescer's dispatcher
+        @staticmethod
+        def _search(queries, k, hybrid, rerank_top):
+            if coalescer is not None:
+                return coalescer.submit(_Op(
+                    "search", queries=queries, params=(k, hybrid, rerank_top)))
+            return engine.search(queries, k=k, hybrid=hybrid,
+                                 rerank_top=rerank_top)
+
+        @staticmethod
+        def _mutate(fn):
+            if coalescer is not None:
+                return coalescer.submit(_Op("mutate", fn=fn))
+            return fn()
+
         def _handle(self, req: dict) -> dict:
             if self.path == "/search":
-                results = engine.search(
+                results = self._search(
                     self._str_list(req, "queries"),
                     k=int(req.get("k", 10)),
                     hybrid=bool(req.get("hybrid", True)),
@@ -147,13 +358,14 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080
                 texts = self._str_list(req, "texts")
                 if len(ids) != len(texts):
                     raise ValueError("chunk_ids and texts length mismatch")
-                engine.add_documents(ids, texts)
+                self._mutate(lambda: engine.add_documents(ids, texts))
                 return {"added": len(ids), "docs": self._live_docs()}
             if self.path == "/remove":
-                n = engine.remove_documents(self._str_list(req, "chunk_ids"))
+                n = self._mutate(lambda: engine.remove_documents(
+                    self._str_list(req, "chunk_ids")))
                 return {"removed": n, "docs": self._live_docs()}
             if self.path == "/compact":
-                engine.compact()
+                self._mutate(engine.compact)
                 return {"ok": True, "docs": self._live_docs()}
             raise LookupError(self.path)
 
@@ -176,7 +388,11 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080
                 logger.exception("%s failed", self.path)
                 self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
 
-    srv = HTTPServer((host, port), Handler)
-    logger.info("search server on http://%s:%d (docs=%d)",
-                *srv.server_address, engine.index.size)
+    if coalescer is not None:
+        srv = _CoalescingHTTPServer((host, port), Handler)
+        srv.coalescer = coalescer
+    else:
+        srv = HTTPServer((host, port), Handler)
+    logger.info("search server on http://%s:%d (docs=%d, coalesce=%s)",
+                *srv.server_address, engine.index.size, coalesce)
     return srv

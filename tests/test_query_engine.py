@@ -407,3 +407,192 @@ def test_http_server_freshness_endpoints(tmp_path, mesh8):
         srv.shutdown()
         srv.server_close()
         t.join(timeout=10)
+
+
+class _StubServeEngine:
+    """Fake engine for coalescing tests: records every search call's batch
+    shape, optionally sleeps (so concurrent requests pile up behind the
+    dispatcher), and returns deterministic per-query hits."""
+
+    def __init__(self, search_delay_s=0.0, fail=False):
+        from semanticsearch_tpu.index.query_engine import Hit
+
+        self._hit = Hit
+        self.calls = []  # (n_queries, k) per engine.search call
+        self.search_delay_s = search_delay_s
+        self.fail = fail
+
+        class _Idx:
+            size = 0
+
+        self.index = _Idx()
+        self._delta = None
+        self._dead = set()
+        self._device_bm25 = None
+
+    def search(self, queries, k=10, hybrid=True, rerank_top=0):
+        import time as _t
+
+        self.calls.append((len(queries), k))
+        if self.fail:
+            raise RuntimeError("boom")
+        if self.search_delay_s:
+            _t.sleep(self.search_delay_s)
+        return [[self._hit(chunk_id=f"{q}#{r}", score=float(k - r))
+                 for r in range(k)] for q in queries]
+
+
+def _start(srv):
+    import threading
+
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return t, f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+
+
+def _post_json(base, path, obj, timeout=60):
+    import json
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{base}{path}", data=json.dumps(obj).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_coalescer_merges_concurrent_searches():
+    """Concurrent small /search requests merge into few engine.search calls
+    (the continuous-batching serve mode), every client still gets exactly
+    its own results, and requests with different k never share a batch."""
+    import json
+    import threading
+    import urllib.request
+
+    from semanticsearch_tpu.index.server import make_server
+
+    eng = _StubServeEngine(search_delay_s=0.05)
+    srv = make_server(eng, port=0, coalesce=True, max_wait_ms=100.0)
+    t, base = _start(srv)
+    try:
+        n_clients, results, errors = 12, {}, []
+        barrier = threading.Barrier(n_clients)
+
+        def client(i):
+            k = 3 if i % 2 == 0 else 5  # two param groups
+            qs = [f"q{i}a", f"q{i}b"]
+            barrier.wait()
+            try:
+                results[i] = (k, qs, _post_json(
+                    base, "/search", {"queries": qs, "k": k}))
+            except Exception as exc:  # collected, asserted below
+                errors.append(exc)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        assert not errors
+
+        # every client got exactly its own queries' hits at its own k
+        for i, (k, qs, out) in results.items():
+            assert len(out["results"]) == 2
+            for q, hits in zip(qs, out["results"]):
+                assert len(hits) == k
+                assert [h["chunk_id"] for h in hits] == \
+                    [f"{q}#{r}" for r in range(k)]
+
+        # the 12 requests (24 queries) rode far fewer engine calls: the
+        # first call's 50ms sleep queues the rest, which merge per k-group
+        assert sum(n for n, _ in eng.calls) >= 24  # pow2 padding adds rows
+        assert len(eng.calls) <= 6, eng.calls
+        assert any(n > 2 for n, _ in eng.calls), eng.calls  # real merging
+        # merged batches are padded to powers of two (bounded jit shapes)
+        assert all(n & (n - 1) == 0 for n, _ in eng.calls), eng.calls
+        # no call mixed k groups (k is jit-static downstream)
+        with urllib.request.urlopen(f"{base}/statz", timeout=30) as r:
+            stats = json.loads(r.read())["coalesce"]
+        assert stats["batches"] == len(eng.calls)
+        assert stats["merged_requests"] >= 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
+
+
+def test_coalescer_failure_isolated_per_batch():
+    """An engine failure 500s every request in the doomed batch but leaves
+    the server (and dispatcher) serving."""
+    import urllib.error
+    import urllib.request
+
+    from semanticsearch_tpu.index.server import make_server
+
+    eng = _StubServeEngine(fail=True)
+    srv = make_server(eng, port=0, coalesce=True, max_wait_ms=1.0)
+    t, base = _start(srv)
+    try:
+        try:
+            _post_json(base, "/search", {"queries": ["x"], "k": 2})
+            assert False, "expected HTTP 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500 and "boom" in e.read().decode()
+        eng.fail = False
+        out = _post_json(base, "/search", {"queries": ["x"], "k": 2})
+        assert [h["chunk_id"] for h in out["results"][0]] == ["x#0", "x#1"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
+
+
+def test_http_server_coalesce_real_engine(tmp_path, mesh8):
+    """Coalescing mode end-to-end against a real engine: concurrent clients
+    get byte-identical answers to the in-process engine, and mutations
+    (which pass through the same dispatcher) stay sequentially consistent
+    for the issuing client."""
+    import threading
+
+    from semanticsearch_tpu.index.server import make_server
+
+    _enc, engine = _build_engine(tmp_path, mesh8, name="srv_coal")
+    direct = engine.search(["fishing quota trawlers", "bees and honey"], k=3)
+    srv = make_server(engine, port=0, coalesce=True, max_wait_ms=50.0)
+    t, base = _start(srv)
+    try:
+        outs, errors = {}, []
+        barrier = threading.Barrier(2)
+
+        def client(i, q):
+            barrier.wait()
+            try:
+                outs[i] = _post_json(
+                    base, "/search", {"queries": [q], "k": 3}, timeout=300)
+            except Exception as exc:
+                errors.append(exc)
+
+        ths = [threading.Thread(target=client, args=(0, "fishing quota trawlers")),
+               threading.Thread(target=client, args=(1, "bees and honey"))]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join(timeout=300)
+        assert not errors
+        for i in (0, 1):
+            assert [h["chunk_id"] for h in outs[i]["results"][0]] == \
+                [h.chunk_id for h in direct[i]]
+
+        # add-then-search from one client is sequentially consistent
+        out = _post_json(base, "/add", {
+            "chunk_ids": ["c_coal"],
+            "texts": ["tokamak fusion reactor confines plasma"]})
+        assert out["added"] == 1
+        hits = _post_json(base, "/search", {
+            "queries": ["tokamak plasma fusion"], "k": 3},
+            timeout=300)["results"][0]
+        assert hits[0]["chunk_id"] == "c_coal"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)

@@ -66,6 +66,15 @@ def main():
                          "--output-dir, reruns measure the cached cold "
                          "start in t_warmup_s")
     ap.add_argument("--output-dir", default=None)
+    ap.add_argument("--http-clients", type=int, default=0,
+                    help=">0: also bench the resident HTTP server with N "
+                         "concurrent SMALL clients (index/server.py), "
+                         "coalesce=off vs on — measures what request "
+                         "coalescing buys when clients can't batch")
+    ap.add_argument("--http-qper", type=int, default=4,
+                    help="queries per HTTP request in the client bench")
+    ap.add_argument("--http-requests", type=int, default=8,
+                    help="sequential requests per client thread")
     ap.add_argument("--latency", type=int, default=0,
                     help=">0: also measure SINGLE-QUERY serve latency over "
                          "N sequential search() calls (p50/p90/p99 ms). "
@@ -222,6 +231,93 @@ def main():
         }
         log(f"[latency] batch-1 x {args.latency}: {latency}")
 
+    http_bench = None
+    if args.http_clients > 0:
+        # many small concurrent clients against the resident HTTP server:
+        # coalesce=False serializes the requests on one engine thread;
+        # coalesce=True merges arrivals into pow2-padded engine batches
+        # (index/server.py::_Coalescer). Same total query work both ways.
+        import json as _json
+        import threading
+        import urllib.request
+
+        from semanticsearch_tpu.index.server import make_server
+
+        def run_http(coalesce: bool) -> dict:
+            srv = make_server(engine, port=0, coalesce=coalesce,
+                              max_batch=1024, max_wait_ms=8.0)
+            st = threading.Thread(target=srv.serve_forever, daemon=True)
+            st.start()
+            base = (f"http://{srv.server_address[0]}:"
+                    f"{srv.server_address[1]}")
+
+            def run_round(timed: bool) -> float:
+                errs = []
+                barrier = threading.Barrier(args.http_clients)
+
+                def client(ci):
+                    body_base = ci * args.http_requests * args.http_qper
+                    barrier.wait()
+                    try:
+                        for r in range(args.http_requests):
+                            s = (body_base + r * args.http_qper) \
+                                % (len(queries) - args.http_qper)
+                            req = urllib.request.Request(
+                                f"{base}/search",
+                                data=_json.dumps({
+                                    "queries": queries[s: s + args.http_qper],
+                                    "k": args.k,
+                                }).encode(), method="POST")
+                            with urllib.request.urlopen(
+                                    req, timeout=1200) as resp:
+                                resp.read()
+                    except Exception as exc:  # surfaced below
+                        errs.append(exc)
+
+                ths = [threading.Thread(target=client, args=(ci,))
+                       for ci in range(args.http_clients)]
+                t0 = time.perf_counter()
+                for th in ths:
+                    th.start()
+                for th in ths:
+                    th.join()
+                dt = time.perf_counter() - t0
+                if errs:
+                    raise errs[0]
+                return dt
+
+            try:
+                run_round(timed=False)  # compile/warm the merged shapes
+                dt = run_round(timed=True)
+                n_q = args.http_clients * args.http_requests * args.http_qper
+                out = {"qps": round(n_q / dt, 1),
+                       "wall_s": round(dt, 2)}
+                if coalesce:
+                    with urllib.request.urlopen(
+                            f"{base}/statz", timeout=60) as resp:
+                        out["coalesce_stats"] = _json.loads(
+                            resp.read())["coalesce"]
+                return out
+            finally:
+                srv.shutdown()
+                srv.server_close()
+                st.join(timeout=10)
+
+        log(f"[http] {args.http_clients} clients x {args.http_requests} "
+            f"reqs x {args.http_qper} queries, serial server...")
+        serial = run_http(coalesce=False)
+        log(f"[http] serial: {serial}")
+        coal = run_http(coalesce=True)
+        log(f"[http] coalesced: {coal}")
+        http_bench = {
+            "clients": args.http_clients,
+            "qper": args.http_qper,
+            "requests_per_client": args.http_requests,
+            "serial": serial,
+            "coalesced": coal,
+            "speedup": round(coal["qps"] / max(serial["qps"], 1e-9), 2),
+        }
+
     result = {
         "metric": f"serve_hybrid_qps_{args.docs}docs",
         "value": round(e2e_qps, 1),
@@ -231,6 +327,7 @@ def main():
         "depth": args.depth,
         "rerank_top": args.rerank_top,
         "latency_single_query": latency,
+        "http_concurrent_clients": http_bench,
         "device_bm25": args.device_bm25,
         "lexical_weights": args.lexical_weights,
         "bm25_cache": args.bm25_cache,
