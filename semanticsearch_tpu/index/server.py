@@ -114,6 +114,7 @@ class _Coalescer:
         self.max_batch = max(1, int(max_batch))
         self.max_wait_s = max(0.0, float(max_wait_s))
         self.q: "queue.Queue[_Op]" = queue.Queue()
+        self._closed = False
         self.batches = 0          # observability: engine.search calls made
         self.merged_requests = 0  # requests that rode a shared batch
         self._thread = threading.Thread(target=self._run, daemon=True,
@@ -121,6 +122,8 @@ class _Coalescer:
         self._thread.start()
 
     def submit(self, op: _Op):
+        if self._closed:  # in-flight handler racing server_close: fail
+            raise RuntimeError("server shutting down")  # fast, don't hang
         self.q.put(op)
         op.done.wait()
         if op.error is not None:
@@ -128,6 +131,7 @@ class _Coalescer:
         return op.result
 
     def shutdown(self) -> None:
+        self._closed = True
         self.q.put(_SHUTDOWN)
         self._thread.join(timeout=10)
 
