@@ -131,10 +131,12 @@ class RankingConfig:
     # residual int8 pass: ~100x tighter certification bound -> near-zero
     # host-fallback rate, at 2x matrix HBM (index/bm25_tpu.py)
     lexical_residual: bool = True
-    # query-weight MXU format in residual mode: "bf16" (f32->bf16x2 split)
-    # or "int8" (per-query-scaled int8 split — int8 MXU rate, no operand
-    # conversion traffic, same certified error class)
-    lexical_weights: str = "bf16"
+    # query-weight MXU format in residual mode: "int8" (per-query-scaled
+    # int8 split — int8 MXU rate, no operand conversion traffic, same
+    # certified error class) or "bf16" (f32->bf16x2 split). Measured at 1M
+    # docs on v5e: int8 3,700 QPS vs bf16 3,129 (device leg 0.76 s vs 0.96 s
+    # per 4096 queries), identical 32/32 host parity and 0.07% fallback rate
+    lexical_weights: str = "int8"
     # persist the built int8 matrix in the index dir: serve restarts memmap
     # it from disk (no CSR re-quantization, no host-RSS copy) at the cost
     # of matrix-sized disk (8 GB at 1M docs residual/B=4096)

@@ -57,7 +57,7 @@ def main():
     ap.add_argument("--dense-terms", type=int, default=4096,
                     help="device-BM25 dense matrix budget B")
     ap.add_argument("--lexical-weights", choices=["bf16", "int8"],
-                    default="bf16",
+                    default="int8",
                     help="device-BM25 MXU weight path "
                          "(RankingConfig.lexical_weights)")
     ap.add_argument("--bm25-cache", action="store_true",

@@ -62,9 +62,13 @@ def main():
     log(f"[gen] C ({B}, {D}) int8 on host")
     C_h = rng.integers(-127, 128, size=(B, D), dtype=np.int8)
     t0 = time.perf_counter()
-    C = jax.device_put(C_h)
-    CC = jax.device_put(np.concatenate([C_h, C_h], axis=0))  # residual stand-in
-    _ = int(np.asarray(C[0, 0]))
+    # Upload ONLY the residual stand-in (2B, D); the head programs slice its
+    # first half inside jit. One resident copy keeps the HBM budget at
+    # 8.2 GB + one 4.1 GB transient score output (a second C copy + two live
+    # outputs OOMed the 16 GB chip).
+    CC = jax.device_put(np.concatenate([C_h, C_h], axis=0))
+    del C_h
+    _ = int(np.asarray(CC[0, 0]))
     log(f"[upload] {2 * B * D / 1e9:.1f} GB in {time.perf_counter() - t0:.1f}s")
 
     W = jnp.asarray(rng.standard_normal((Q, B)).astype(np.float32),
@@ -74,13 +78,13 @@ def main():
                      jnp.bfloat16)
 
     @jax.jit
-    def mm_bf16(W, C):
-        return jnp.einsum("qb,bd->qd", W, C.astype(jnp.bfloat16),
+    def mm_bf16(W, CC):
+        return jnp.einsum("qb,bd->qd", W, CC[:B].astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
 
     @jax.jit
-    def mm_int8(W8, C):
-        return jnp.einsum("qb,bd->qd", W8, C,
+    def mm_int8(W8, CC):
+        return jnp.einsum("qb,bd->qd", W8, CC[:B],
                           preferred_element_type=jnp.int32)
 
     from semanticsearch_tpu.index.bm25_tpu import _SCORE_CHUNK, _block_topk
@@ -123,6 +127,10 @@ def main():
             out = fn()
             _ = fetch(out)
             dt = time.perf_counter() - t0
+            # Free the (Q, D) score output before the next rep allocates its
+            # own — two live 4.1 GB outputs plus CC exceed HBM.
+            for leaf in jax.tree_util.tree_leaves(out):
+                leaf.delete()
             if r:
                 ts.append(dt)
             log(f"[{name}] rep{r}: {dt * 1e3:.1f} ms")
@@ -130,10 +138,10 @@ def main():
 
     res = {}
     res["bf16_head_ms"] = round(bench(
-        "bf16 head", lambda: mm_bf16(W, C),
+        "bf16 head", lambda: mm_bf16(W, CC),
         lambda o: float(np.asarray(o[0, 0]))) * 1e3, 1)
     res["int8_head_ms"] = round(bench(
-        "int8 head", lambda: mm_int8(W8, C),
+        "int8 head", lambda: mm_int8(W8, CC),
         lambda o: int(np.asarray(o[0, 0]))) * 1e3, 1)
     res["full_residual_select_ms"] = round(bench(
         "full residual+select", lambda: full_residual_select(
