@@ -238,11 +238,26 @@ class _CoalescingHTTPServer(ThreadingHTTPServer):
 
     daemon_threads = True
     coalescer: _Coalescer = None
+    # listen(2) backlog. The stdlib default of 5 resets connection bursts:
+    # once the accept queue is full Linux drops the client's handshake ACK,
+    # the client believes it is connected, and when the server's SYN-ACK
+    # retries exhaust it RSTs — the client sees ECONNRESET mid-response.
+    # Size for serve-time bursts (the serial engine drains one multi-second
+    # request at a time, so the queue really does reach client-count depth).
+    request_queue_size = 128
 
     def server_close(self):  # noqa: N802 (stdlib name)
         super().server_close()
         if self.coalescer is not None:
             self.coalescer.shutdown()
+
+
+class _SerialHTTPServer(HTTPServer):
+    """One-connection-at-a-time server (coalesce=off): requests serialize
+    on the accept loop itself, so waiting clients sit in the listen
+    backlog — which therefore needs burst-depth, not the stdlib 5."""
+
+    request_queue_size = 128
 
 
 def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
@@ -396,7 +411,7 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
         srv = _CoalescingHTTPServer((host, port), Handler)
         srv.coalescer = coalescer
     else:
-        srv = HTTPServer((host, port), Handler)
+        srv = _SerialHTTPServer((host, port), Handler)
     logger.info("search server on http://%s:%d (docs=%d, coalesce=%s)",
                 *srv.server_address, engine.index.size, coalesce)
     return srv

@@ -547,6 +547,54 @@ def test_coalescer_failure_isolated_per_batch():
         t.join(timeout=10)
 
 
+def test_serial_server_survives_connection_burst():
+    """A burst of concurrent clients against the SERIAL (coalesce=off)
+    server must all be answered. Waiting clients sit in the listen(2)
+    backlog while the accept loop drains one request at a time; the stdlib
+    default backlog of 5 made the kernel drop handshake ACKs under a 64-way
+    burst and the clients died with ECONNRESET mid-response (seen in
+    bench_serve --http-clients 64 at 1M docs, where one request holds the
+    engine for seconds). Regression: both server classes size the backlog
+    for bursts, and a real 32-way burst completes cleanly."""
+    import threading
+
+    from semanticsearch_tpu.index import server as server_mod
+
+    # the configuration that caused the resets: burst-depth backlogs
+    assert server_mod._SerialHTTPServer.request_queue_size >= 64
+    assert server_mod._CoalescingHTTPServer.request_queue_size >= 64
+
+    eng = _StubServeEngine(search_delay_s=0.02)
+    srv = server_mod.make_server(eng, port=0)  # serial mode
+    t, base = _start(srv)
+    try:
+        n_clients, done, errors = 32, [], []
+        barrier = threading.Barrier(n_clients)
+
+        def client(i):
+            barrier.wait()
+            try:
+                out = _post_json(base, "/search",
+                                 {"queries": [f"q{i}"], "k": 2}, timeout=120)
+                assert out["results"][0][0]["chunk_id"] == f"q{i}#0"
+                done.append(i)
+            except Exception as exc:  # collected, asserted below
+                errors.append((i, exc))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert not errors, errors[:3]
+        assert len(done) == n_clients
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
+
+
 def test_http_server_coalesce_real_engine(tmp_path, mesh8):
     """Coalescing mode end-to-end against a real engine: concurrent clients
     get byte-identical answers to the in-process engine, and mutations
