@@ -85,8 +85,15 @@ _SEL_BLOCK = 256  # two-stage selection block width (C cols pad to this)
 # The chunked path never materializes corpus-width scores at all: each
 # (Q, chunk) score tile is top-K'-selected immediately and merged into a
 # running (Q, K') candidate set, so peak HBM = int8 matrix + chunk-sized
-# scratch (~9.5 GB at 1M docs residual, vs ~16.5 GB one-shot).
-_SCORE_CHUNK = 65536
+# scratch (~10.3 GB at 1M docs residual, vs ~16.5 GB one-shot).
+# Width is a measured trade: each chunk boundary serializes a
+# select+merge against the matmul stream, and at 65536 those epilogues
+# were HALF the device time (1M docs int8, Q=1024: 3,700 QPS at 65536 ->
+# 5,737 at 262144 -> 5,917 at 524288). 262144 takes nearly all of the win
+# at a 1 GB f32 score tile; 524288's extra +3% doubles the tile, which
+# does not fit next to the 10.2 GB residual matrix pair at the 10M-corpus
+# v5e-8 shard size (1.25M docs/chip).
+_SCORE_CHUNK = 262144
 
 
 def _block_topk(S, kp: int):

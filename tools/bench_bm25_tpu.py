@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--parity-sample", type=int, default=32)
     ap.add_argument("--host-compare", action="store_true",
                     help="also time the host native kernel on this corpus")
+    ap.add_argument("--score-chunk", type=int, default=0,
+                    help=">0: override DeviceBM25 score_chunk_cols (the "
+                         "column width of one scoring matmul; fewer, wider "
+                         "chunks = fewer serialized select/merge points "
+                         "at a bigger transient f32 score tile)")
     args = ap.parse_args()
 
     from semanticsearch_tpu.index.bm25 import BM25Okapi
@@ -73,7 +78,8 @@ def main():
     t0 = time.perf_counter()
     dev = DeviceBM25(bm, n_dense_terms=args.dense_terms,
                      topk_device=args.topk_device, query_chunk=args.batch,
-                     weights=args.weights)
+                     weights=args.weights,
+                     score_chunk_cols=args.score_chunk or None)
     build_s = time.perf_counter() - t0
     dense_gb = args.dense_terms * args.docs / 1e9
     print(f"[device] C ({args.dense_terms} x {args.docs}, {dense_gb:.1f} GB "
@@ -125,6 +131,7 @@ def main():
         "k": args.k,
         "dense_terms": args.dense_terms,
         "weights": args.weights,
+        "score_chunk": dev.score_chunk_cols,
         "dense_gb_int8": round(dense_gb, 2),
         "build_upload_s": round(build_s, 1),
         "fallback_rate": dev.stats["fallbacks"] / max(dev.stats["queries"], 1),
