@@ -35,7 +35,11 @@ def main() -> int:
                              "102.3k -> 113.8k QPS)")
     parser.add_argument("--block-n", type=int, default=32768)
     parser.add_argument("--iters", type=int, default=4)
-    parser.add_argument("--recall-sample", type=int, default=32)
+    parser.add_argument("--recall-sample", type=int, default=128,
+                        help="queries checked against the exact streaming "
+                             "reference; the ref scan runs on-device, so a "
+                             "4x sample costs ~nothing next to the timed "
+                             "loop")
     parser.add_argument("--impl", choices=["twopass", "fused"],
                         default="twopass",
                         help="twopass = segment-max streaming kernel + "

@@ -115,6 +115,7 @@ class _Coalescer:
         self.max_wait_s = max(0.0, float(max_wait_s))
         self.q: "queue.Queue[_Op]" = queue.Queue()
         self._closed = False
+        self._close_lock = threading.Lock()
         self.batches = 0          # observability: engine.search calls made
         self.merged_requests = 0  # requests that rode a shared batch
         self._thread = threading.Thread(target=self._run, daemon=True,
@@ -122,17 +123,26 @@ class _Coalescer:
         self._thread.start()
 
     def submit(self, op: _Op):
-        if self._closed:  # in-flight handler racing server_close: fail
-            raise RuntimeError("server shutting down")  # fast, don't hang
-        self.q.put(op)
+        # the closed-check and the put must be one atomic step against
+        # shutdown(): an op enqueued AFTER the dispatcher's final drain
+        # would leave its handler thread blocked on ``done`` forever
+        with self._close_lock:
+            if self._closed:  # in-flight handler racing server_close: fail
+                raise RuntimeError("server shutting down")  # fast, no hang
+            self.q.put(op)
         op.done.wait()
         if op.error is not None:
             raise op.error
         return op.result
 
     def shutdown(self) -> None:
-        self._closed = True
-        self.q.put(_SHUTDOWN)
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+            # under the lock: every op ever enqueued is now ordered BEFORE
+            # this sentinel, so the dispatcher's drain sees all of them
+            self.q.put(_SHUTDOWN)
         self._thread.join(timeout=10)
 
     # ---- dispatcher thread ----------------------------------------------
