@@ -119,6 +119,14 @@ def _block_topk(S, kp: int):
     Sb = S.reshape(Q, nb, _SEL_BLOCK)
     m = min(nb, kp + 8)
     _, tb = jax.lax.top_k(Sb.max(axis=2), m)            # (Q, m) block ids
+    # ascending block order BEFORE the gather: lax.top_k keeps the FIRST of
+    # equal values, so with blocks (and columns within them) in ascending
+    # global-id order the kp-boundary tie policy is provably lower-doc-id —
+    # unsorted, a tied higher-id doc in an earlier-RANKED block would win,
+    # breaking the tie invariant select_all's chunk merge documents (the
+    # output stayed exact only because boundary ties fail the strict
+    # certificate and fall back; sorting removes those fallbacks too)
+    tb = jnp.sort(tb, axis=1)
     G = jnp.take_along_axis(Sb, tb[:, :, None], axis=1)  # (Q, m, bs)
     vals, loc = jax.lax.top_k(G.reshape(Q, m * _SEL_BLOCK), kp)
     block = jnp.take_along_axis(tb, loc // _SEL_BLOCK, axis=1)
@@ -882,7 +890,13 @@ class DeviceBM25:
             wq_col = np.concatenate([drow, drow + n_b, drow + 2 * n_b])
             wq_val = np.concatenate([ws_hi, ws_mid, ws_lo])
         n_w = wq_qi.size
-        Pw = next((b for b in _WQ_BUCKETS if b >= n_w), max(n_w, 1))
+        # COO sizes above the bucket ladder round UP to the next multiple of
+        # the top bucket: exact-size padding would compile one fresh device
+        # program per distinct n_w (minutes each through the remote compile
+        # service) for long/document-style query batches
+        _top = _WQ_BUCKETS[-1]
+        Pw = next((b for b in _WQ_BUCKETS if b >= n_w),
+                  _top * ((n_w + _top - 1) // _top))
         # ONE packed (3, P) f32 upload (see densify): [row; col; value],
         # pad rows route to the drop sentinel; int8 mode appends the
         # (3, query_chunk) per-query scale block

@@ -184,7 +184,10 @@ class DeltaBM25:
         if nq == 0 or nd == 0:
             return np.zeros((nq, nd), np.float32)
         indptr = np.asarray(self._indptr, np.int64)
-        termids = np.asarray(self._termids, np.int64)
+        # int32: the native scorer's doc_termids contract (_i32p). An int64
+        # array here failed its dtype assert on EVERY call, silently
+        # degrading delta scoring to the pure-Python triple loop below.
+        termids = np.asarray(self._termids, np.int32)
         quot = np.asarray(self._quot, np.float32)
         idf = self._full_idf()
         q_ids: List[int] = []

@@ -108,7 +108,7 @@ class EmbeddingIndex:
         the results are actually needed. ``search`` is this plus the
         blocking fetch. Accepts host or device-resident query embeddings.
         """
-        k = k or self.cfg.top_k
+        k = self.cfg.top_k if k is None else k  # k=0 is a real request
         q = jnp.asarray(queries).astype(self._corpus.dtype)
         n_shards = _n_row_shards(self._mesh) if self._mesh is not None else 1
         use_pallas = jax.default_backend() == "tpu"

@@ -493,9 +493,15 @@ class HybridQueryEngine:
         os.unlink(journal_path)
         _fsync_path(out)
         self.texts = live_texts
-        self.index, self.chunk_ids = load_index(
-            out, mesh=self.index._mesh, cfg=self.index.cfg
-        )
+        mesh, idx_cfg = self.index._mesh, self.index.cfg
+        # Release the OLD device corpus before loading the compacted one:
+        # load_index materializes an (n_pad, dim) f32 normalize transient
+        # next to the new resident corpus, and holding the old corpus too
+        # would roughly double HBM residency during an ONLINE compaction —
+        # at the 10M north-star sizes that OOMs a chip that serves fine in
+        # steady state.
+        self.index = None
+        self.index, self.chunk_ids = load_index(out, mesh=mesh, cfg=idx_cfg)
         self._delta = None
         self._delta_bm25 = None
         self._dead = set()

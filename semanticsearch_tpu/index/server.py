@@ -67,6 +67,13 @@ _MAX_ITEMS = 8192  # per-request query/add cap: one request must not be
 # able to occupy the single serving thread for minutes
 
 
+class _UnknownPath(Exception):
+    """Routing miss -> 404. A dedicated type, NOT LookupError: KeyError and
+    IndexError are LookupError subclasses, so catching LookupError for
+    routing would also swallow real engine failures (e.g. an IndexError
+    from a corrupt index) and misreport them as 404 without logging."""
+
+
 def _hit_dict(h) -> dict:
     d = {
         "chunk_id": h.chunk_id,
@@ -305,6 +312,16 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if coalescer is None:
+                # Serial mode handles ONE connection at a time: a pooled
+                # client (requests.Session, a fronting load balancer)
+                # holding an idle keep-alive socket would head-of-line
+                # block every other client for up to the 60 s timeout.
+                # Close after every response; waiting clients then only
+                # queue behind ACTIVE requests, never idle sockets. The
+                # threaded coalescing mode keeps persistent connections.
+                self.close_connection = True
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 
@@ -396,11 +413,20 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
             if self.path == "/compact":
                 self._mutate(engine.compact)
                 return {"ok": True, "docs": self._live_docs()}
-            raise LookupError(self.path)
+            raise _UnknownPath(self.path)
 
         def do_POST(self):  # noqa: N802
             try:
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", ""))
+                except (TypeError, ValueError):
+                    # absent/malformed framing (incl. chunked TE, which this
+                    # server doesn't parse): the body's extent is unknown,
+                    # so any leftover bytes would desync the next request
+                    # on a kept-alive connection — reply and close it
+                    self.close_connection = True
+                    self._reply(411, {"error": "Content-Length required"})
+                    return
                 if n < 0 or n > _MAX_BODY:
                     # reject without reading; the unread body poisons the
                     # connection, so don't reuse it
@@ -409,9 +435,12 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                     return
                 req = json.loads(self.rfile.read(n) or b"{}")
                 self._reply(200, self._handle(req))
-            except LookupError:
+            except _UnknownPath:
                 self._reply(404, {"error": f"unknown path {self.path}"})
-            except (ValueError, KeyError, TypeError) as exc:
+            except (ValueError, TypeError) as exc:
+                # request-shape errors from _handle's own parsing; engine
+                # exceptions (incl. KeyError/IndexError) take the 500 path
+                # below so they're logged as failures, not blamed on input
                 self._reply(400, {"error": str(exc)})
             except Exception as exc:  # engine failure -> 500, keep serving
                 logger.exception("%s failed", self.path)

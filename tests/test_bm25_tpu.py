@@ -499,3 +499,29 @@ def test_topk_device_exceeding_score_chunk(monkeypatch):
         h_idx, h_sc = bm.get_topk(toks, 10)
         np.testing.assert_array_equal(d_idx[qi], h_idx, err_msg=f"q={qi}")
         np.testing.assert_array_equal(d_sc[qi], h_sc, err_msg=f"q={qi}")
+
+
+def test_block_topk_tie_policy_lower_id():
+    """Equal scores at the kp boundary must resolve to the LOWER column id
+    regardless of which block ranks higher by max — the invariant the
+    chunk-merge exactness argument in select_all is built on (blocks are
+    gathered in ascending id order since the tb sort)."""
+    import jax.numpy as jnp
+
+    from semanticsearch_tpu.index.bm25_tpu import _SEL_BLOCK, _block_topk
+
+    nb = 12
+    S = np.zeros((2, nb * _SEL_BLOCK), np.float32)
+    planted = [11 * _SEL_BLOCK + 7, 3 * _SEL_BLOCK + 9,
+               8 * _SEL_BLOCK + 1, 200]
+    for c in planted:
+        S[:, c] = 5.0
+    vals, idx = _block_topk(jnp.asarray(S), 3)
+    expect = sorted(planted)[:3]
+    for q in range(2):
+        assert np.asarray(vals)[q].tolist() == [5.0, 5.0, 5.0]
+        assert np.asarray(idx)[q].tolist() == expect
+    # below the boundary too: kp > number of planted ties pulls zeros,
+    # which also tie — their ids must be the lowest remaining columns
+    vals4, idx4 = _block_topk(jnp.asarray(S), 5)
+    assert np.asarray(idx4)[0, :4].tolist() == sorted(planted)

@@ -266,3 +266,40 @@ def test_full_serve_stack_integration(tmp_path, mesh8):
         assert scores == sorted(scores, reverse=True)
     # the delta doc is rerankable (its text exists) and findable
     assert "new0" in [h.chunk_id for h in hits[0]]
+
+
+def test_delta_bm25_native_path_engages(monkeypatch):
+    """DeltaBM25.score must hand the native scorer int32 doc termids.
+
+    Regression: an int64 termids array failed the wrapper's dtype assert on
+    EVERY call, silently degrading delta scoring to the pure-Python triple
+    loop on the serve thread (and burning the one-shot native-failure
+    warning). The native result must also equal the Python reference."""
+    import pytest
+
+    from semanticsearch_tpu import native
+    from semanticsearch_tpu.index import bm25 as bm25_mod
+    from semanticsearch_tpu.index.bm25 import BM25Okapi, tokenize
+    from semanticsearch_tpu.index.delta import DeltaBM25
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    failures = []
+    monkeypatch.setattr(bm25_mod, "_warn_native_failure", failures.append)
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(40)]
+    docs = [" ".join(words[t] for t in rng.integers(0, 40, size=10))
+            for _ in range(12)]
+    bm = BM25Okapi([tokenize(d) for d in docs])
+    dbm = DeltaBM25(bm)
+    dbm.add([tokenize(" ".join(docs[i].split()[:5]) + " neverseen")
+             for i in range(4)])
+    queries = [tokenize(docs[0]), tokenize("neverseen " + docs[3])]
+    got = dbm.score(queries)
+    assert not failures, f"native delta scorer failed: {failures}"
+
+    # force the pure-Python loop and compare
+    monkeypatch.setattr(native, "bm25_score_batch", None)
+    ref = dbm.score(queries)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

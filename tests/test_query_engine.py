@@ -644,3 +644,72 @@ def test_http_server_coalesce_real_engine(tmp_path, mesh8):
         srv.shutdown()
         srv.server_close()
         t.join(timeout=10)
+
+
+def test_http_serial_connection_hygiene(tmp_path, mesh8):
+    """Serial mode must (1) close the connection after every response so an
+    idle keep-alive client can't head-of-line block the single accept loop,
+    and (2) answer malformed Content-Length with 411 + close instead of
+    desyncing the HTTP stream."""
+    import json
+    import socket
+    import threading
+    import urllib.request
+
+    from semanticsearch_tpu.index.server import make_server
+
+    _enc, engine = _build_engine(tmp_path, mesh8, name="hyg_idx")
+    srv = make_server(engine, port=0)  # serial mode
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address
+    try:
+        req = urllib.request.Request(f"http://{host}:{port}/healthz")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+            assert r.headers.get("Connection") == "close"
+
+        # malformed Content-Length over a raw socket: 411, then EOF (the
+        # server must drop the connection, not read a body of unknown size)
+        with socket.create_connection((host, port), timeout=30) as s:
+            s.sendall(b"POST /search HTTP/1.1\r\nHost: x\r\n"
+                      b"Content-Length: abc\r\n\r\n")
+            buf = b""
+            while b"\r\n\r\n" not in buf:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                buf += chunk
+            assert b" 411 " in buf.split(b"\r\n", 1)[0], buf[:200]
+            # drain until EOF — a desynced server would keep the socket open
+            s.settimeout(10)
+            while True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+
+        # the server still serves after the malformed client
+        with urllib.request.urlopen(f"http://{host}:{port}/healthz",
+                                    timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
+
+
+def test_dense_index_k_zero_is_empty():
+    """k=0 must return an empty result, not silently substitute cfg.top_k
+    (the old `k or cfg.top_k` treated 0 as 'unset')."""
+    import numpy as np
+
+    from semanticsearch_tpu.index.engine import EmbeddingIndex
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((32, 8)).astype(np.float32)
+    idx = EmbeddingIndex.build(emb)
+    res = idx.search(emb[:3], k=0)
+    assert res.scores.shape == (3, 0) and res.indices.shape == (3, 0)
+    # and None still means the configured default
+    res_def = idx.search(emb[:3], k=None)
+    assert res_def.indices.shape[1] == idx.cfg.top_k
