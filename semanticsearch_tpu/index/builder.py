@@ -101,10 +101,20 @@ def build_corpus_index(
 
     # ---- embed stage (the long one; cursor-resumable) ----
     row_idx = 0
+    checked_col = False
     for batch in batched(read_tsv(chunks_tsv, limit=limit), batch_size):
         if row_idx + len(batch) <= start_row:
             row_idx += len(batch)
             continue  # durably embedded before the restart
+        if not checked_col and batch:
+            # fail FAST on a wrong column name: r.get(col, "") would
+            # otherwise embed N empty strings and build a silently useless
+            # index with no warning
+            if text_column not in batch[0]:
+                raise KeyError(
+                    f"text column {text_column!r} not in {chunks_tsv} "
+                    f"(columns: {sorted(batch[0])})")
+            checked_col = True
         texts = [r.get(text_column, "") for r in batch]
         embs = encoder.encode(texts, batch_size=batch_size)
         mm[row_idx: row_idx + len(batch)] = embs.astype(np.float16)

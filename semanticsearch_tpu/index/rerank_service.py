@@ -62,8 +62,6 @@ class RerankService:
         preprocessor: Preprocessor,
         cfg: Optional[TrainConfig] = None,
     ) -> None:
-        import functools
-
         import jax
         import jax.numpy as jnp
 
@@ -78,7 +76,7 @@ class RerankService:
         )
         self.params = params
 
-        @functools.partial(jax.jit)
+        @jax.jit
         def predict(params, left, right):
             return self.model.apply({"params": params}, left, right,
                                     deterministic=True)

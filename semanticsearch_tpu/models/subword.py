@@ -24,6 +24,9 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .tokenizer import _ASCII_LOWER  # ASCII-only lowering: Python and C++
+# token streams must agree on non-ASCII input (see models/tokenizer.py)
+
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 PAD_ID = 0
@@ -52,23 +55,24 @@ class SubwordTokenizer:
         self.vocab = vocab
         self.max_len = max_len
         self.add_cls = add_cls
-        self.vocab_size = _N_SPECIAL + len(vocab)  # table size incl specials
         # ids in self.vocab are already absolute (>= _N_SPECIAL)
-        if vocab:
-            self.vocab_size = max(vocab.values()) + 1
+        self.vocab_size = (max(vocab.values()) + 1) if vocab else _N_SPECIAL
         self._word_cache: Dict[str, List[int]] = {}
 
     # ------------------------------------------------------------ encoding
     def tokenize(self, text: str) -> List[str]:
-        return _TOKEN_RE.findall(text.lower())
+        return _TOKEN_RE.findall(text.translate(_ASCII_LOWER))
 
     def encode_word(self, word: str) -> List[int]:
         """Greedy longest-match decomposition; whole word -> UNK when any
         position has no matching piece (BERT's rule)."""
+        word = word[:256]  # match the C++ kernel's word buffer cap — and
+        # truncate BEFORE the cache lookup, or >256-char words would look
+        # up under the full key but store under the truncated one (a
+        # permanent cache miss re-running the greedy match every time)
         cached = self._word_cache.get(word)
         if cached is not None:
             return cached
-        word = word[:256]  # match the C++ kernel's word buffer cap
         ids: List[int] = []
         pos = 0
         n = len(word)
@@ -92,11 +96,11 @@ class SubwordTokenizer:
             self._word_cache[word] = ids
         return ids
 
-    def encode(self, text: str) -> List[int]:
+    def encode(self, text: str, max_len: Optional[int] = None) -> List[int]:
         ids: List[int] = [CLS_ID] if self.add_cls else []
         for w in self.tokenize(text):
             ids.extend(self.encode_word(w))
-        return ids[: self.max_len]
+        return ids[: self.max_len if max_len is None else max_len]
 
     def encode_batch(
         self, texts: Sequence[str], max_len: Optional[int] = None
@@ -116,7 +120,9 @@ class SubwordTokenizer:
         ids = np.full((len(texts), L), PAD_ID, dtype=np.int32)
         mask = np.zeros((len(texts), L), dtype=np.int32)
         for i, text in enumerate(texts):
-            enc = self.encode(text)[:L]
+            # honor the CALL's length, not self.max_len — the native kernel
+            # truncates at L, and the two paths must agree when L > default
+            enc = self.encode(text, max_len=L)
             ids[i, : len(enc)] = enc
             mask[i, : len(enc)] = 1
         return ids, mask

@@ -19,6 +19,20 @@ import numpy as np
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
+# ASCII-only lowercasing, NOT str.lower(): the C++ kernels lowercase bytes
+# A-Z and treat every non-ASCII byte as a separator, while str.lower() maps
+# some non-ASCII chars INTO ASCII (U+212A KELVIN SIGN -> 'k', U+0130 -> 'i'
+# + combining dot), which would tokenize differently on the two paths. With
+# this table the Python and native token streams are identical for ALL
+# inputs: ASCII uppercase lowers on both, and any non-ASCII char (one char
+# here, >= 1 non-alnum bytes there) is a separator on both.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+# the native tokenizers cap a single token at 256 bytes before hashing /
+# piece-matching; tokens are ASCII alnum by construction, so chars == bytes
+_MAX_TOKEN_CHARS = 256
+
 PAD_ID = 0
 CLS_ID = 1
 UNK_ID = 2
@@ -47,13 +61,14 @@ class HashingTokenizer:
     add_cls: bool = True
 
     def tokenize(self, text: str) -> List[str]:
-        return _TOKEN_RE.findall(text.lower())
+        return [t[:_MAX_TOKEN_CHARS]
+                for t in _TOKEN_RE.findall(text.translate(_ASCII_LOWER))]
 
-    def encode(self, text: str) -> List[int]:
+    def encode(self, text: str, max_len: int | None = None) -> List[int]:
         ids = [_hash_token(t, self.vocab_size) for t in self.tokenize(text)]
         if self.add_cls:
             ids = [CLS_ID] + ids
-        return ids[: self.max_len]
+        return ids[: self.max_len if max_len is None else max_len]
 
     def encode_batch(
         self, texts: Sequence[str], max_len: int | None = None
@@ -68,14 +83,16 @@ class HashingTokenizer:
             from ..native import hash_tokenize_batch
 
             native = hash_tokenize_batch(texts, self.vocab_size, L, self.add_cls)
-        except Exception:
+        except (ImportError, OSError):  # unavailable, not broken: fallback
             native = None
         if native is not None:
             return native
         ids = np.full((len(texts), L), PAD_ID, dtype=np.int32)
         mask = np.zeros((len(texts), L), dtype=np.int32)
         for i, text in enumerate(texts):
-            enc = self.encode(text)[:L]
+            # honor the CALL's length, not self.max_len — the native kernel
+            # truncates at L, and the two paths must agree when L > default
+            enc = self.encode(text, max_len=L)
             ids[i, : len(enc)] = enc
             mask[i, : len(enc)] = 1
         return ids, mask

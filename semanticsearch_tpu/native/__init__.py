@@ -52,8 +52,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
-    lib.semsearch_native_abi_version.restype = ctypes.c_int32
-    if lib.semsearch_native_abi_version() != _ABI_VERSION:
+    try:
+        lib.semsearch_native_abi_version.restype = ctypes.c_int32
+        abi = lib.semsearch_native_abi_version()
+    except AttributeError:
+        # a .so that predates the ABI-version export (or a foreign library
+        # squatting the name): treat exactly like a stale ABI — rebuild —
+        # rather than raising through callers' (ImportError, OSError)
+        # fallbacks and crashing paths that are documented to degrade
+        abi = -1
+    if abi != _ABI_VERSION:
         # Stale binary from an older source revision: rebuild, then load
         # the fresh build through a COPY at a new path — ctypes never
         # dlcloses, and re-CDLL'ing the original path returns the cached
@@ -78,7 +86,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             os.unlink(tmp.name)
             return None
         os.unlink(tmp.name)  # the mapping survives the unlink (Linux)
-        lib.semsearch_native_abi_version.restype = ctypes.c_int32
+        try:
+            lib.semsearch_native_abi_version.restype = ctypes.c_int32
+            abi = lib.semsearch_native_abi_version()
+        except AttributeError:
+            return None  # rebuild didn't produce our library: fallback
+        if abi != _ABI_VERSION:
+            return None  # stale source tree / wrong Makefile target
     lib.hash_tokenize_batch.argtypes = [
         ctypes.POINTER(ctypes.c_ubyte),
         ctypes.POINTER(ctypes.c_int64),

@@ -98,3 +98,24 @@ def test_build_resume_after_crash(tmp_path, mesh8):
     noop = CrashingEncoder(enc, die_after=0)
     build_corpus_index(str(chunks), noop, str(out_dir), batch_size=4,
                        resume=True)
+
+
+def test_builder_rejects_wrong_text_column(tmp_path):
+    """A wrong text_column must fail fast, not silently embed N empty
+    strings into a useless index."""
+    import pytest
+
+    from semanticsearch_tpu.core.config import EncoderConfig
+    from semanticsearch_tpu.data.tsv import write_tsv
+    from semanticsearch_tpu.index.builder import build_corpus_index
+    from semanticsearch_tpu.models.encoder import SentenceEncoder
+
+    rows = [{"chunk_id": "c0", "chunk_text": "some text here"}]
+    p = tmp_path / "chunks.tsv"
+    write_tsv(str(p), rows, ["chunk_id", "chunk_text"])
+    enc = SentenceEncoder(EncoderConfig(
+        vocab_size=200, hidden_dim=16, num_layers=1, num_heads=2,
+        mlp_dim=32, max_len=16, dtype="float32"))
+    with pytest.raises(KeyError, match="text column"):
+        build_corpus_index(str(p), enc, str(tmp_path / "idx"),
+                           text_column="text")

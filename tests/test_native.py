@@ -22,7 +22,10 @@ def test_native_tokenizer_matches_python():
         "MiXeD CaSe 123 tokens-with-dashes",
         "",
         "unicode café naïve 東京 text",
-        "x" * 500,
+        "x" * 500,  # run longer than the 256-byte token cap: both paths
+        # hash only the first 256 bytes and drop the rest of the run
+        "Kelvin İstanbul",  # KELVIN SIGN / dotted-I: str.lower()
+        # would map INTO ascii; both paths must treat them as separators
     ]
     tok = HashingTokenizer(vocab_size=5000, max_len=32)
     ids_n, mask_n = hash_tokenize_batch(texts, 5000, 32, True)
@@ -33,9 +36,8 @@ def test_native_tokenizer_matches_python():
         e = tok.encode(t)[:32]
         ids_p[i, : len(e)] = e
         mask_p[i, : len(e)] = 1
-    # the 500-char token exceeds the native 256-byte token buffer; skip it
-    np.testing.assert_array_equal(ids_n[:4], ids_p[:4])
-    np.testing.assert_array_equal(mask_n[:4], mask_p[:4])
+    np.testing.assert_array_equal(ids_n, ids_p)
+    np.testing.assert_array_equal(mask_n, mask_p)
 
 
 def test_native_bm25_matches_python():

@@ -169,3 +169,25 @@ def test_train_from_counts_determinism():
     a = train_bpe_from_counts(wc, vocab_size=64)
     b = train_bpe_from_counts(wc, vocab_size=64)
     assert a.vocab == b.vocab
+
+
+def test_encode_batch_max_len_override_paths_agree():
+    """encode_batch(max_len=L) with L above the tokenizer default must
+    truncate at L on BOTH the native and the Python fallback path
+    (regression: the fallback capped at self.max_len first)."""
+    from semanticsearch_tpu import native as nm
+
+    tok = _toy_tokenizer()
+    tok.max_len = 4
+    text = "the quick fox jumps the quick fox jumps"
+    ids_py = np.full((1, 12), 0, np.int32)
+    enc = tok.encode(text, max_len=12)
+    assert len(enc) > 4, "override must beat the default cap"
+    ids_py[0, : len(enc)] = enc
+    got_ids, got_mask = tok.encode_batch([text], max_len=12)
+    np.testing.assert_array_equal(got_ids, ids_py)
+    assert int(got_mask.sum()) == len(enc)
+    if nm.get_lib() is not None:
+        nat_ids, _ = nm.subword_tokenize_batch(
+            [text], tok._native_tables(), 12, tok.add_cls)
+        np.testing.assert_array_equal(nat_ids, ids_py)
