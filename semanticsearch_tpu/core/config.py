@@ -175,7 +175,10 @@ class TrainConfig:
     model: str = "knrm"
     epochs: int = 10
     batch_size: int = 32
-    learning_rate: float = 1.0  # adadelta-style default in the reference
+    # None = the optimizer's conventional default (adadelta 1.0, adam 1e-3)
+    # resolved in train.trainer.make_optimizer; an explicit value is always
+    # honored verbatim — no magic-number remapping
+    learning_rate: Optional[float] = None
     optimizer: str = "adadelta"  # adadelta | adam
     loss: str = "hinge"  # hinge | rank_xent
     num_dup: int = 1

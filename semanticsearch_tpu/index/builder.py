@@ -177,10 +177,10 @@ def load_index(
     if mesh is None:
         mesh = local_mesh()
     n_shards = mesh.shape["data"]
-    # align shards to the kernel block (multi-device) so the cached
-    # per-shard swizzled layout is buildable — see engine.search
-    align = cfg.block_rows if n_shards > 1 else 1
-    step = n_shards * align
+    # pad ONLY to the shard count: every global pad row costs +1 of local
+    # over-selection in sharded_topk (see engine.build) — the per-shard
+    # swizzled layout block-pads itself internally
+    step = n_shards
     n_pad = ((n + step - 1) // step) * step
     sharding = NamedSharding(mesh, P("data", None))
 

@@ -80,9 +80,12 @@ class EmbeddingIndex:
             mesh = local_mesh()
         n_shards = _n_row_shards(mesh)
         if n_shards > 1:
-            # align shards to the kernel block so the cached per-shard
-            # swizzled layout is buildable without cross-shard traffic
-            emb, valid_n = pad_to_shards(emb, mesh, align=cfg.block_rows)
+            # pad ONLY to the shard count (n_pad < n_shards): every global
+            # pad row forces +1 of local over-selection in sharded_topk
+            # (zero rows score 0.0 and can displace negative-score real
+            # candidates), so block-aligning here would explode k_local.
+            # The per-shard swizzled layout pads itself internally.
+            emb, valid_n = pad_to_shards(emb, mesh)
             emb = shard_corpus(emb, mesh)
         else:
             valid_n = emb.shape[0]
@@ -114,9 +117,12 @@ class EmbeddingIndex:
         use_pallas = jax.default_backend() == "tpu"
         if n_shards > 1:
             shard_rows = self._corpus.shape[0] // n_shards
+            # k_local = k + n_pad must fit the segment kernel's lane width;
+            # with pad_to_shards' n_pad < n_shards this holds for any
+            # practical k (shard block-alignment is NOT required — the
+            # kernel pads internally)
             use_twopass = (
                 use_pallas
-                and shard_rows % self.cfg.block_rows == 0
                 and min(shard_rows,
                         k + self._corpus.shape[0] - self._valid_n) < 128
             )

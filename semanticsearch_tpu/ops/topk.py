@@ -503,12 +503,28 @@ def topk_scores_twopass(
     # VMEM: 65536 queries = 64MB, which blows the 100MB scoped limit once
     # the corpus window + score tile join it (measured OOM on v5e). Chunk
     # very large batches; 32768 is the measured sweet spot anyway.
+    if gather_from_swizzled:
+        # single-copy mode scores the PADDED swizzled layout: without the
+        # true row count, zero pad rows (score 0.0) would be returned as
+        # real documents for queries whose true top-k is negative
+        assert valid_n >= 0, (
+            "gather_from_swizzled=True requires valid_n (the true corpus "
+            "row count) — the padded layout's zero rows are not documents"
+        )
     max_q = 32768
     if q > max_q:
         if corpus_swizzled is None and not gather_from_swizzled:
             # swizzle ONCE here — otherwise every chunk would rebuild the
             # full-corpus pass-A layout
             corpus_swizzled = swizzle_corpus(corpus, block_n)
+        if not gather_from_swizzled:
+            # pad the natural layout once too: the per-chunk calls would
+            # otherwise each recompute the full-corpus jnp.pad copy
+            if valid_n < 0:
+                valid_n = corpus.shape[0]
+            full_pad = _round_up(valid_n, block_n) - corpus.shape[0]
+            if full_pad > 0:
+                corpus = jnp.pad(corpus, ((0, full_pad), (0, 0)))
         parts = [
             topk_scores_twopass(
                 queries[s: s + max_q], corpus, k=k, block_q=block_q,

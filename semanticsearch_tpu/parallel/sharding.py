@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.topk import (
+    _LANE,
     topk_scores_pallas,
     topk_scores_ref,
     topk_scores_twopass,
@@ -53,9 +54,16 @@ def shard_corpus(emb: jax.Array, mesh: Mesh) -> jax.Array:
 
 def pad_to_shards(emb: jax.Array, mesh: Mesh,
                   align: int = 1) -> Tuple[jax.Array, int]:
-    """Zero-pad to a multiple of n_shards (and of n_shards*align when
-    ``align`` > 1, so every shard's row count is align-divisible — required
-    for the cached per-shard swizzled layout to equal the global swizzle)."""
+    """Zero-pad to a multiple of n_shards (times ``align`` when > 1).
+
+    Keep ``align`` at 1: pad rows score 0.0 and force every shard to
+    over-select ``k + n_pad`` local candidates for exactness (they can
+    displace real candidates with negative scores inside the local top-k),
+    so n_pad must stay < n_shards. Kernel-block alignment of the shard is
+    NOT needed — each shard's two-pass kernel pads internally and masks
+    its own pad segments exactly (``topk_scores_twopass`` n_valid_segs /
+    cand_rows < n). ``align`` survives for layouts that need it; the cost
+    is on the caller."""
     n_shards = _n_row_shards(mesh)
     step = n_shards * max(1, align)
     n = emb.shape[0]
@@ -69,20 +77,14 @@ def swizzle_corpus_sharded(corpus_sharded: jax.Array, mesh: Mesh,
                            block_n: int = 8192) -> jax.Array:
     """Per-shard pass-A layout for the two-pass kernel, kept row-sharded.
 
-    Requires shard_rows % block_n == 0 (use ``pad_to_shards(align=block_n)``)
-    so swizzle blocks never cross shard boundaries — then each device
-    transposes only its local rows (no collectives) and the cached result
-    feeds ``sharded_topk(..., corpus_swizzled_sharded=...)``.
+    Each device swizzles only its local rows (no collectives), padding them
+    internally to a ``block_n`` multiple (``swizzle_corpus`` does); the
+    cached result feeds ``sharded_topk(..., corpus_swizzled_sharded=...)``,
+    whose local two-pass call masks the per-shard internal pad exactly.
+    The output is sharded with uniform per-device shape
+    ``round_up(shard_rows, block_n)``.
     """
     from ..ops.topk import swizzle_corpus
-
-    n_total = corpus_sharded.shape[0]
-    n_shards = _n_row_shards(mesh)
-    shard_rows = n_total // n_shards
-    assert shard_rows % block_n == 0, (
-        f"shard_rows={shard_rows} must divide block_n={block_n}; pad with "
-        "pad_to_shards(align=block_n)"
-    )
 
     def local(c_local):
         return swizzle_corpus(c_local, block_n)
@@ -93,6 +95,85 @@ def swizzle_corpus_sharded(corpus_sharded: jax.Array, mesh: Mesh,
         in_specs=P(axes, None), out_specs=P(axes, None),
         check_vma=False,
     ))(corpus_sharded)
+
+
+def _sharded_topk_impl(
+    queries, corpus_sharded, mesh, k, valid_n, use_pallas, impl,
+    interpret, corpus_swizzled_sharded, block_n, seg_split,
+):
+    """Shared body of :func:`sharded_topk` / :func:`sharded_topk_2level`:
+    per-shard local top-k, then one gather+re-select per row axis, merged
+    minor-to-major (ICI before DCN). The flat merge is the one-axis case."""
+    axes = _row_axes(mesh)
+    n_total = corpus_sharded.shape[0]
+    n_shards = _n_row_shards(mesh)
+    shard_rows = n_total // n_shards
+    # Pad rows (zero vectors, score 0) can outrank real candidates with
+    # negative scores INSIDE a shard's local selection; over-select
+    # k + n_pad locally so every shard still contributes its true local
+    # top-k after the pads mask to -inf. pad_to_shards keeps n_pad below
+    # n_shards, so this stays a few extra candidates — NOT a selection
+    # width that would blow the kernels (a block-aligned global pad once
+    # pushed k_local into the tens of thousands here, unrolling the fused
+    # kernel's selection loop at trace time).
+    n_pad = 0 if valid_n < 0 else n_total - valid_n
+    k_local = min(shard_rows, k + n_pad)
+    use_twopass = (use_pallas and impl == "twopass" and k_local < _LANE)
+    have_cached_swz = corpus_swizzled_sharded is not None
+
+    def local_search(q, c_local, *c_swz):
+        # c_local: (shard_rows, D) — this device's corpus rows; global row
+        # base follows the axes-major row order of P(axes, None)
+        my_shard = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            my_shard = my_shard * mesh.shape[ax] + jax.lax.axis_index(ax)
+        base = my_shard * shard_rows
+        if use_twopass:
+            # with a cached per-shard swizzle this is transpose-free; else
+            # the swizzle is rebuilt per call (opt-in cost). The kernel
+            # masks its own internal block padding (shard_rows need not be
+            # block_n-aligned).
+            vals, idx = topk_scores_twopass(
+                q, c_local, k=k_local, block_n=block_n,
+                interpret=interpret, seg_split=seg_split,
+                corpus_swizzled=c_swz[0] if have_cached_swz else None,
+            )
+        elif use_pallas:
+            vals, idx = topk_scores_pallas(q, c_local, k=k_local,
+                                           interpret=interpret)
+        else:
+            vals, idx = topk_scores_ref(q, c_local, k=k_local)
+        gidx = idx + base
+        if valid_n >= 0:
+            vals = jnp.where(gidx < valid_n, vals, -jnp.inf)
+        q_n = q.shape[0]
+
+        def gather_select(v, i, axis):
+            av = jax.lax.all_gather(v, axis)   # (axis_size, Q, k_in)
+            ai = jax.lax.all_gather(i, axis)
+            av = jnp.transpose(av, (1, 0, 2)).reshape(q_n, -1)
+            ai = jnp.transpose(ai, (1, 0, 2)).reshape(q_n, -1)
+            bv, sel = jax.lax.top_k(av, k)
+            return bv, jnp.take_along_axis(ai, sel, axis=1)
+
+        # merge minor-to-major: the fast/near network first, so each outer
+        # axis carries only already-merged k-candidate lists
+        for ax in reversed(axes):
+            vals, gidx = gather_select(vals, gidx, ax)
+        return vals, gidx
+
+    args = (queries, corpus_sharded)
+    in_specs = [P(), P(axes, None)]
+    if have_cached_swz:
+        args = args + (corpus_swizzled_sharded,)
+        in_specs.append(P(axes, None))
+    return shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(*args)
 
 
 @functools.partial(
@@ -124,59 +205,13 @@ def sharded_topk(
                     impl="twopass"), each shard runs the faster two-pass
                     segment kernel with no per-call transpose.
     """
-    n_total = corpus_sharded.shape[0]
-    shard_rows = n_total // mesh.shape["data"]
-    # Pad rows (zero vectors, score 0) can outrank real candidates with
-    # negative scores INSIDE the padded shard's local selection. Request
-    # k + n_pad local candidates so that after masking pads to -inf every
-    # shard still contributes its true local top-k.
-    n_pad = 0 if valid_n < 0 else n_total - valid_n
-    k_local = min(shard_rows, k + n_pad)
-    use_twopass = use_pallas and impl == "twopass" and k_local < 128
-    have_cached_swz = corpus_swizzled_sharded is not None
-
-    def local_search(q, c_local, *c_swz):
-        # c_local: (shard_rows, D) — this device's corpus rows.
-        my_shard = jax.lax.axis_index("data")
-        base = my_shard * shard_rows
-        if use_twopass:
-            # with a cached per-shard swizzle this is transpose-free; else
-            # the swizzle is rebuilt per call (opt-in cost)
-            vals, idx = topk_scores_twopass(
-                q, c_local, k=k_local, block_n=block_n,
-                interpret=interpret, seg_split=seg_split,
-                corpus_swizzled=c_swz[0] if have_cached_swz else None,
-            )
-        elif use_pallas:
-            vals, idx = topk_scores_pallas(q, c_local, k=k_local,
-                                           interpret=interpret)
-        else:
-            vals, idx = topk_scores_ref(q, c_local, k=k_local)
-        gidx = idx + base
-        if valid_n >= 0:
-            vals = jnp.where(gidx < valid_n, vals, -jnp.inf)
-        # Gather all shards' candidates: (n_shards, Q, k) -> (Q, n_shards*k)
-        all_vals = jax.lax.all_gather(vals, "data")
-        all_idx = jax.lax.all_gather(gidx, "data")
-        q_n = q.shape[0]
-        all_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(q_n, -1)
-        all_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(q_n, -1)
-        best_v, sel = jax.lax.top_k(all_vals, k)
-        best_i = jnp.take_along_axis(all_idx, sel, axis=1)
-        return best_v, best_i
-
-    args = (queries, corpus_sharded)
-    in_specs = [P(), P("data", None)]
-    if have_cached_swz:
-        args = args + (corpus_swizzled_sharded,)
-        in_specs.append(P("data", None))
-    return shard_map(
-        local_search,
-        mesh=mesh,
-        in_specs=tuple(in_specs),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )(*args)
+    assert "dcn" not in mesh.axis_names, (
+        "use sharded_topk_2level on ('dcn', 'data') hybrid meshes"
+    )
+    return _sharded_topk_impl(
+        queries, corpus_sharded, mesh, k, valid_n, use_pallas, impl,
+        interpret, corpus_swizzled_sharded, block_n, seg_split,
+    )
 
 
 @functools.partial(
@@ -213,59 +248,7 @@ def sharded_topk_2level(
         "sharded_topk_2level needs a ('dcn', 'data') mesh; "
         "use sharded_topk on single-slice meshes"
     )
-    n_total = corpus_sharded.shape[0]
-    n_dcn = mesh.shape["dcn"]
-    n_data = mesh.shape["data"]
-    shard_rows = n_total // (n_dcn * n_data)
-    n_pad = 0 if valid_n < 0 else n_total - valid_n
-    k_local = min(shard_rows, k + n_pad)
-    use_twopass = use_pallas and impl == "twopass" and k_local < 128
-    have_cached_swz = corpus_swizzled_sharded is not None
-
-    def local_search(q, c_local, *c_swz):
-        # global row base: dcn-major, data-minor (matches P(("dcn","data")))
-        my_shard = (
-            jax.lax.axis_index("dcn") * n_data + jax.lax.axis_index("data")
-        )
-        base = my_shard * shard_rows
-        if use_twopass:
-            vals, idx = topk_scores_twopass(
-                q, c_local, k=k_local, block_n=block_n,
-                interpret=interpret, seg_split=seg_split,
-                corpus_swizzled=c_swz[0] if have_cached_swz else None,
-            )
-        elif use_pallas:
-            vals, idx = topk_scores_pallas(q, c_local, k=k_local,
-                                           interpret=interpret)
-        else:
-            vals, idx = topk_scores_ref(q, c_local, k=k_local)
-        gidx = idx + base
-        if valid_n >= 0:
-            vals = jnp.where(gidx < valid_n, vals, -jnp.inf)
-        q_n = q.shape[0]
-
-        def gather_select(v, i, axis, kk):
-            av = jax.lax.all_gather(v, axis)   # (axis_size, Q, k_in)
-            ai = jax.lax.all_gather(i, axis)
-            av = jnp.transpose(av, (1, 0, 2)).reshape(q_n, -1)
-            ai = jnp.transpose(ai, (1, 0, 2)).reshape(q_n, -1)
-            bv, sel = jax.lax.top_k(av, kk)
-            return bv, jnp.take_along_axis(ai, sel, axis=1)
-
-        # level 1: merge the slice's shards over ICI
-        vals, gidx = gather_select(vals, gidx, "data", k)
-        # level 2: one exchange of per-slice winners over DCN
-        return gather_select(vals, gidx, "dcn", k)
-
-    args = (queries, corpus_sharded)
-    in_specs = [P(), P(("dcn", "data"), None)]
-    if have_cached_swz:
-        args = args + (corpus_swizzled_sharded,)
-        in_specs.append(P(("dcn", "data"), None))
-    return shard_map(
-        local_search,
-        mesh=mesh,
-        in_specs=tuple(in_specs),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )(*args)
+    return _sharded_topk_impl(
+        queries, corpus_sharded, mesh, k, valid_n, use_pallas, impl,
+        interpret, corpus_swizzled_sharded, block_n, seg_split,
+    )

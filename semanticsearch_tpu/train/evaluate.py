@@ -186,7 +186,8 @@ def evaluate_saved_model(
     cfg_dict["eval_metrics"] = tuple(cfg_dict.get("eval_metrics", ("map",)))
     cfg = TrainConfig(**cfg_dict) if cfg_dict else TrainConfig()
     pp = Preprocessor.load(os.path.join(checkpoint_dir, "preprocessor.json"))
-    trainer = RerankTrainer(cfg.model, vocab_size=pp.vocab_size, cfg=cfg)
+    trainer = RerankTrainer(cfg.model, vocab_size=pp.vocab_size, cfg=cfg,
+                            model_kwargs=meta.get("model_kwargs") or {})
     test_ds = dataset_from_fold(test_fold, pp)
     template = {"params": trainer.init_params(test_ds)}
     params = restore_checkpoint(checkpoint_dir, template)["params"]

@@ -53,10 +53,14 @@ def rank_xent_loss(scores: jnp.ndarray, group_size: int):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    # learning_rate=None -> the optimizer's conventional default; an
+    # explicit value is honored verbatim (an earlier magic-number guard
+    # remapped adam lr=1.0 to 1e-3, silently ignoring a deliberate 1.0)
+    lr = cfg.learning_rate
     if cfg.optimizer == "adam":
-        tx = optax.adam(cfg.learning_rate if cfg.learning_rate != 1.0 else 1e-3)
+        tx = optax.adam(1e-3 if lr is None else lr)
     elif cfg.optimizer == "adadelta":
-        tx = optax.adadelta(cfg.learning_rate)
+        tx = optax.adadelta(1.0 if lr is None else lr)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     if cfg.clip_norm:
@@ -95,9 +99,12 @@ class RerankTrainer:
         ``train.embeddings.load_word_embeddings``."""
         self.cfg = cfg
         self._embedding_matrix = embedding_matrix
+        # kept for checkpoint metadata: evaluate_saved_model must rebuild
+        # the SAME architecture, not the model's defaults
+        self._model_kwargs = dict(model_kwargs or {})
         self.model = make_model(
             model_name, vocab_size=vocab_size,
-            embed_dim=cfg.embedding_dim, **(model_kwargs or {}),
+            embed_dim=cfg.embedding_dim, **self._model_kwargs,
         )
         self.tx = make_optimizer(cfg)
         self._loss_fn = (
@@ -293,6 +300,22 @@ class RerankTrainer:
                     if oom and batch_size > 1:
                         batch_size = max(1, batch_size // 2)
                         losses = []
+                        if skip_through >= 0:
+                            # the resume cursor counts steps AT THE BATCH
+                            # SIZE THAT PRODUCED IT, and the batch plan
+                            # (chunking, wrap-around padding, bucket
+                            # interleave) is not a prefix-stable function
+                            # of batch size — rescaling the cursor would
+                            # silently skip the wrong groups. Drop it and
+                            # retrain this epoch from step 0 (the same
+                            # semantics the non-resumed OOM retry has).
+                            logger.warning(
+                                "OOM halved batch_size under a resume "
+                                "cursor; restarting epoch %d from step 0 "
+                                "(cursor units don't survive a batch-size "
+                                "change)", epoch,
+                            )
+                            skip_through = -1
                         logger.warning(
                             "OOM at epoch %d; retrying with batch_size=%d",
                             epoch, batch_size,
@@ -368,7 +391,12 @@ class RerankTrainer:
                 checkpoint_dir,
                 {"params": params},
                 metadata={"model": type(self.model).__name__,
-                          "config": cfg.__dict__ | {"eval_metrics": list(cfg.eval_metrics)}},
+                          "config": cfg.__dict__ | {"eval_metrics": list(cfg.eval_metrics)},
+                          # architecture overrides (e.g. kernel_num):
+                          # without these, evaluate_saved_model would
+                          # rebuild the DEFAULT architecture and fail (or
+                          # silently mis-evaluate) on the saved params
+                          "model_kwargs": self._model_kwargs},
             )
             from ..core.checkpoint import wait_for_checkpoints
 

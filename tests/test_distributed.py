@@ -115,3 +115,63 @@ def test_sharded_topk_cached_swizzle(mesh8, rng):
     brute = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
     for got, want in zip(np.asarray(idx), brute):
         assert set(got.tolist()) == set(want.tolist())
+
+
+def test_sharded_swizzle_unaligned_shards_exact(mesh8, rng):
+    """Cached per-shard swizzle with shard_rows NOT block_n-aligned: each
+    shard pads internally and the local two-pass kernel masks its own pad
+    segments, so the merged result stays exact — including global pad rows
+    (score 0.0) vs real candidates with NEGATIVE scores."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from semanticsearch_tpu.parallel.sharding import (
+        pad_to_shards,
+        sharded_topk,
+        swizzle_corpus_sharded,
+    )
+
+    n, d, k, block_n = 357, 32, 5, 128
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    # one query pointing AWAY from every document: its true top-k is all
+    # negative, exactly the regime where 0.0-scoring pad rows would win
+    queries = np.concatenate([
+        rng.standard_normal((2, d)),
+        -corpus.sum(axis=0, keepdims=True),
+    ]).astype(np.float32)
+    emb, valid_n = pad_to_shards(jnp.asarray(corpus), mesh8)
+    assert emb.shape[0] - valid_n < 8, "pad must stay below the shard count"
+    emb = jax.device_put(emb, NamedSharding(mesh8, P("data", None)))
+    assert (emb.shape[0] // 8) % block_n != 0  # genuinely unaligned shards
+    swz = swizzle_corpus_sharded(emb, mesh8, block_n)
+    vals, idx = sharded_topk(
+        jnp.asarray(queries), emb, mesh8, k=k, valid_n=valid_n,
+        use_pallas=True, impl="twopass", interpret=True,
+        corpus_swizzled_sharded=swz, block_n=block_n,
+    )
+    ref = queries @ corpus.T
+    brute = np.argsort(-ref, axis=1)[:, :k]
+    for qi, (got, want) in enumerate(zip(np.asarray(idx), brute)):
+        assert set(got.tolist()) == set(want.tolist()), (qi, got, want)
+    assert (np.asarray(idx) < n).all(), "pad rows must never be returned"
+    np.testing.assert_allclose(
+        np.asarray(vals), np.sort(ref, axis=1)[:, ::-1][:, :k],
+        rtol=1e-5, atol=1e-5)
+
+
+def test_embedding_index_pad_stays_small(mesh8, rng):
+    """EmbeddingIndex.build on a mesh must pad only to the shard count —
+    block-aligned padding once pushed sharded_topk's local over-selection
+    (k + n_pad) into the tens of thousands at corpus scale."""
+    import numpy as np
+
+    from semanticsearch_tpu.index.engine import EmbeddingIndex
+
+    emb = rng.standard_normal((123, 16)).astype(np.float32)
+    idx = EmbeddingIndex.build(emb, mesh=mesh8)
+    assert idx._corpus.shape[0] - idx.size < 8, (
+        idx._corpus.shape, idx.size)
+    res = idx.search(emb[:4], k=3)
+    assert (res.indices[:, 0] == np.arange(4)).all()

@@ -469,3 +469,38 @@ def test_cv_train_with_subword_and_encoder_init(tmp_path):
     bad = dataclasses.replace(cfg, embedding_dim=8)
     with pytest.raises(ValueError, match="does not match"):
         CVEvaluator(folds[:1]).run_model("knrm", cfg=bad)
+
+
+def test_saved_model_roundtrip_with_model_kwargs(tmp_path):
+    """evaluate_saved_model must rebuild the architecture TRAINED, not the
+    model's defaults: run_model's model_kwargs ride the checkpoint
+    metadata (regression: a non-default kernel_num made the saved params
+    unrestorable or silently mis-shaped)."""
+    from semanticsearch_tpu.data.folds import FoldPaths
+    from semanticsearch_tpu.data.tsv import write_tsv
+    from semanticsearch_tpu.train.evaluate import CVEvaluator, evaluate_saved_model
+
+    rows = []
+    for q in range(4):
+        for d in range(4):
+            lab = 1 if d < 2 else 0
+            text = f"tok{q} sig relevant text" if lab else f"noise z{q} {d}"
+            rows.append({"query_id": f"q{q}", "query_text": f"tok{q} sig",
+                         "chunk_text": text, "label": str(lab)})
+    for split in ("train", "test"):
+        write_tsv(str(tmp_path / f"fold_1_{split}.tsv"), rows,
+                  ["query_id", "query_text", "chunk_text", "label"])
+    cfg = TrainConfig(model="knrm", epochs=1, batch_size=4, num_neg=1,
+                      optimizer="adam", learning_rate=0.01,
+                      embedding_dim=16, filter_low_freq=1)
+    folds = [FoldPaths(train=str(tmp_path / "fold_1_train.tsv"),
+                       test=str(tmp_path / "fold_1_test.tsv"))]
+    res = CVEvaluator(folds, metrics=("map",)).run_model(
+        "knrm", cfg=cfg, output_dir=str(tmp_path / "out"),
+        model_kwargs={"kernel_num": 7})
+    assert np.isfinite(res.per_fold[0]["map"])
+    got = evaluate_saved_model(str(tmp_path / "out" / "knrm" / "fold_1"),
+                               str(tmp_path / "fold_1_test.tsv"),
+                               metrics=("map",))
+    # same params + same architecture -> identical metric
+    assert got["map"] == pytest.approx(res.per_fold[0]["map"], abs=1e-6)
