@@ -108,7 +108,8 @@ def clean_document(text: str) -> str:
     s = re.sub(r"\s+", " ", s)
     s = re.sub(r"\s+([.!?])", r"\1", s)
     s = re.sub(r"([.!?])\s*([A-Z])", r"\1 \2", s)
-    s = " ".join(line.strip() for line in s.split("\n") if line.strip())
+    # (no newline handling here: the \s+ collapse above already removed
+    # every newline — matching the reference, which also collapses first)
     # Conservative boundary insertion at big gaps; spurious-period cleanup.
     s = re.sub(r"([a-z])\s{2,}([A-Z][a-z])", r"\1. \2", s)
     s = re.sub(r"([a-z])\.\s+([a-z])", r"\1 \2", s)

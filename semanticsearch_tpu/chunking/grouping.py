@@ -91,11 +91,16 @@ def build_knn_graph(S: np.ndarray, k: int, floor: float) -> np.ndarray:
     n = S.shape[0]
     k_eff = max(1, min(k, n - 1))
     W = np.zeros((n, n))
-    # top (k_eff+1) per row, excluding self
-    order = np.argsort(-S, axis=1)[:, : k_eff + 1]
+    # top k_eff per row with self EXCLUDED BEFORE the cut: every caller
+    # zeroes the diagonal, so the old "select k+1 and drop self" approach
+    # never actually dropped anything — each node got k+1 neighbors, one
+    # degree denser than configured
+    Sx = S.copy()
+    np.fill_diagonal(Sx, -np.inf)
+    order = np.argsort(-Sx, axis=1)[:, :k_eff]
     for i in range(n):
         for j in order[i]:
-            if j != i and S[i, j] >= floor:
+            if Sx[i, j] >= floor:
                 W[i, j] = S[i, j]
     return np.maximum(W, W.T)
 
@@ -393,11 +398,13 @@ def group_by_similarity(
         min_len = max(2, cfg.small_group_min)
         tau_merge = float(cfg.tau_merge)
     merged: List[List[int]] = []
+    where: dict = {}  # original group index -> its slot in ``merged``
     consumed = set()
     for i, g in enumerate(groups):
         if i in consumed:
             continue
         if len(g) >= min_len:
+            where[i] = len(merged)
             merged.append(g)
             continue
         best_j, best_gain = None, 0.0
@@ -412,9 +419,18 @@ def group_by_similarity(
             if gain > best_gain:
                 best_gain, best_j = gain, j
         if best_j is not None:
-            consumed.add(best_j)
-            merged.append(sorted(groups[best_j] + g))
+            if best_j in where:
+                # the partner was emitted on an earlier iteration: grow
+                # THAT cluster in place — appending a fresh copy would
+                # duplicate its sentences across two output clusters
+                slot = where[best_j]
+                merged[slot] = sorted(merged[slot] + g)
+            else:
+                consumed.add(best_j)
+                where[best_j] = len(merged)
+                merged.append(sorted(groups[best_j] + g))
         else:
+            where[i] = len(merged)
             merged.append(g)
 
     # ---- refine loose clusters + greedy adjacent merge (:494-553) ----

@@ -459,15 +459,19 @@ def split_by_embeddings(
     if cfg.use_dp_refine:
         from .dp_segment import auto_penalty, dp_optimal_segmentation
 
-        cand = sorted(c99_set | valley_set | set(boundaries))
+        cand = [c for c in sorted(c99_set | valley_set | set(boundaries))
+                if 0 < c < n]
         if cand:
             penalty = (
                 cfg.dp_penalty if cfg.dp_penalty is not None
                 else auto_penalty(adj_base)
             )
-            refined = dp_optimal_segmentation(adj_base, cand, penalty=penalty)
-            if refined:
-                boundaries = refined
+            # the DP's answer is authoritative, INCLUDING the empty list —
+            # zero cuts means the whole document is the optimal segmentation
+            # (every candidate's coherence gain is below the penalty), not a
+            # failure to refine
+            boundaries = dp_optimal_segmentation(adj_base, cand,
+                                                 penalty=penalty)
 
     # --- soft cap: re-cut overlong segments at local sim minima (:543-595) ---
     cap = cfg.soft_cap

@@ -53,6 +53,7 @@ def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None,
     Call :func:`wait_for_checkpoints` before depending on the file.
     """
     os.makedirs(path, exist_ok=True)
+    fmt = "orbax"
     try:
         import orbax.checkpoint as ocp
 
@@ -65,6 +66,7 @@ def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None,
             ckptr.save(ckpt_dir, _to_pytree_of_numpy(state), force=True)
             ckptr.wait_until_finished()
     except Exception:
+        fmt = "npz"
         flat, treedef = jax.tree.flatten(state)
         np.savez(
             os.path.join(path, "state.npz"),
@@ -72,6 +74,14 @@ def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None,
         )
         with open(os.path.join(path, "treedef.txt"), "w") as f:
             f.write(str(treedef))
+    # Record which format THIS save completed with (tmp + replace: atomic).
+    # restore must follow the LATEST save: preferring any existing orbax
+    # state/ dir would silently restore a stale orbax save written before
+    # a later save that fell back to npz (e.g. under disk pressure).
+    fmt_tmp = os.path.join(path, "format.json.tmp")
+    with open(fmt_tmp, "w") as f:
+        json.dump({"format": fmt}, f)
+    os.replace(fmt_tmp, os.path.join(path, "format.json"))
     if metadata is not None:
         with open(os.path.join(path, "metadata.json"), "w") as f:
             json.dump(metadata, f, indent=2, default=str)
@@ -84,7 +94,19 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     ``target`` provides the pytree structure (and shapes for orbax).
     """
     state_dir = os.path.join(os.path.abspath(path), "state")
-    if os.path.isdir(state_dir):
+    # honor the format of the LATEST completed save (format.json, written
+    # atomically after each save): an orbax state/ dir may be STALE next to
+    # a newer npz written by a fallback save. Older checkpoints without the
+    # marker keep the orbax-first preference.
+    fmt = None
+    fmt_path = os.path.join(path, "format.json")
+    if os.path.exists(fmt_path):
+        try:
+            with open(fmt_path) as f:
+                fmt = json.load(f).get("format")
+        except (OSError, ValueError):
+            fmt = None
+    if fmt != "npz" and os.path.isdir(state_dir):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()

@@ -113,10 +113,10 @@ def validate_and_clean(
 
     write_tsv(output_path, clean_rows(), ["query_id", text_column, "label"])
 
-    if report_path or True:
-        report_path = report_path or output_path + ".report.json"
-        with open(report_path, "w") as f:
-            json.dump(report.to_dict(), f, indent=2)
+    # the report is ALWAYS written (default path next to the output)
+    report_path = report_path or output_path + ".report.json"
+    with open(report_path, "w") as f:
+        json.dump(report.to_dict(), f, indent=2)
     if pairability_path or label_counts:
         pairability_path = pairability_path or output_path + ".pairability.tsv"
         write_tsv(

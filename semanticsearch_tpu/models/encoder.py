@@ -392,7 +392,12 @@ def get_encoder(
 ) -> SentenceEncoder:
     """Cached encoder lookup (one instance per config), like the reference's
     ``loaded_models`` cache."""
-    key = (cfg, id(mesh), seed)
+    # key on the Mesh OBJECT, not id(mesh): a garbage-collected mesh whose
+    # address CPython reuses for a new Mesh would alias the cache entry and
+    # hand back an encoder sharded over the dead mesh. Holding the mesh in
+    # the key pins it alive for the cache's (process) lifetime — the right
+    # trade for a handful of long-lived meshes. jax Mesh is hashable.
+    key = (cfg, mesh, seed)
     if key not in _ENCODER_CACHE:
         _ENCODER_CACHE[key] = SentenceEncoder(cfg, mesh=mesh, seed=seed)
     return _ENCODER_CACHE[key]

@@ -203,7 +203,12 @@ def train_bpe(
     """
     word_counts: Counter = Counter()
     for text in texts:
-        word_counts.update(_TOKEN_RE.findall(str(text).lower()))
+        # the ENCODE-time rule (ASCII-only lowering), not str.lower():
+        # fitting the vocabulary to a token stream the encoder will never
+        # produce (e.g. U+212A lowering into ascii 'k') wastes merges and
+        # breaks the same-rule claim above
+        word_counts.update(
+            _TOKEN_RE.findall(str(text).translate(_ASCII_LOWER)))
     return train_bpe_from_counts(
         word_counts, vocab_size=vocab_size, min_pair_freq=min_pair_freq,
         max_len=max_len, add_cls=add_cls,

@@ -212,3 +212,30 @@ def test_grouping_modularity_engine(rng):
     groups = group_by_similarity(S, cfg)
     all_idx = sorted(i for g in groups for i in g)
     assert all_idx == list(range(20))
+
+
+def test_group_by_similarity_no_duplicate_sentences(rng):
+    """Undersized-cluster merge must keep the output a PARTITION: merging a
+    small group into a cluster emitted on an earlier iteration must grow
+    that cluster in place (regression: it appended a second copy, so the
+    partner's sentences appeared in TWO output chunks)."""
+    # Force the path deterministically with an explicit similarity matrix:
+    # a 7-clique (0.9), a mutually-DISSIMILAR pair {7,8} (0.1) that both
+    # lean on the clique (0.7). spectral_kmax=2 -> min-ncut separates
+    # {7,8}; small_group_min=3 makes it undersized; its merge gain into the
+    # clique is positive (merged within 0.8 > 0.5*(0.1+0.9)), and the
+    # clique was emitted on an EARLIER iteration — exactly the case that
+    # used to append a second copy of it.
+    n = 9
+    S = np.full((n, n), 0.7)
+    S[:7, :7] = 0.9
+    S[7, 8] = S[8, 7] = 0.1
+    np.fill_diagonal(S, 0.0)
+    cfg = ChunkingConfig(
+        method="grouping", auto_params=False, spectral_kmax=2,
+        small_group_min=3, tau_merge=0.05, knn_k=4, edge_floor=0.0,
+    )
+    groups = group_by_similarity(S, cfg)
+    flat = [i for g in groups for i in g]
+    assert sorted(flat) == list(range(9)), groups
+    assert len(flat) == len(set(flat)), f"duplicated sentences: {groups}"
