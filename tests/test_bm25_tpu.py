@@ -525,3 +525,29 @@ def test_block_topk_tie_policy_lower_id():
     # which also tie — their ids must be the lowest remaining columns
     vals4, idx4 = _block_topk(jnp.asarray(S), 5)
     assert np.asarray(idx4)[0, :4].tolist() == sorted(planted)
+
+
+def test_block_topk_stage3_exact_vs_numpy():
+    """The third selection stage (sub-block max -> narrow sort) engages on
+    wide gathered tiles and stays exact — values AND the lower-id tie
+    policy — against a numpy stable-sort reference."""
+    import jax.numpy as jnp
+
+    from semanticsearch_tpu.index.bm25_tpu import (
+        _SEL_BLOCK, _SEL_STAGE3_MIN, _block_topk)
+
+    rng = np.random.default_rng(7)
+    kp = 40
+    nb = 128                      # m = kp+8 = 48 -> tile 48*256 = 12288
+    assert (kp + 8) * _SEL_BLOCK >= _SEL_STAGE3_MIN  # stage 3 engages
+    Dp = nb * _SEL_BLOCK
+    # few distinct values -> dense tie plateaus at every boundary
+    S = rng.integers(0, 50, size=(4, Dp)).astype(np.float32)
+    # plus a plateau wider than kp+8 sub-blocks sharing the global max
+    S[0, rng.choice(Dp, size=3000, replace=False)] = 60.0
+    vals, idx = _block_topk(jnp.asarray(S), kp)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    for q in range(S.shape[0]):
+        order = np.argsort(-S[q], kind="stable")[:kp]  # lower id on ties
+        np.testing.assert_array_equal(idx[q], order, err_msg=f"q={q}")
+        np.testing.assert_array_equal(vals[q], S[q][order], err_msg=f"q={q}")
