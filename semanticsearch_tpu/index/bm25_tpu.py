@@ -74,15 +74,11 @@ logger = get_logger("bm25_tpu")
 
 _WQ_BUCKETS = (8192, 65536)  # static COO sizes for the sparse Wq upload
 
-_SEL_BLOCK = 256  # two-stage selection block width (C cols pad to this)
-
-_SEL_SUB = 32  # third-stage sub-block width inside the gathered block tile
-
-# Engage the third selection stage only when the gathered tile is wide
-# enough that its full-row sort dominates (lax.top_k on TPU is a full-width
-# sort network; below this width the extra max/gather passes cost more than
-# the narrower sort saves).
-_SEL_STAGE3_MIN = 8192
+# Selection block width: the column-padding contract for the dense matrix
+# build (host-side, jax-free import path). Must equal ``ops.topk.SEL_BLOCK``
+# — asserted at upload time; kept literal here so building/persisting the
+# matrix never imports jax.
+_SEL_BLOCK = 256
 
 # Document-column chunk width for the scoring matmul. Scoring a 1M-doc
 # corpus in one shot materializes full-width transients next to the
@@ -105,63 +101,14 @@ _SCORE_CHUNK = 262144
 
 
 def _block_topk(S, kp: int):
-    """EXACT top-kp over huge rows without a full-width sort.
+    """EXACT top-kp over huge rows — delegates to the shared staged
+    selection :func:`semanticsearch_tpu.ops.topk.block_topk` (per-block max
+    -> top blocks -> sub-block stage on wide tiles -> narrow exact sort;
+    exactness + lower-id tie-policy proof in its docstring). Lazy import:
+    this module stays importable without jax for host-only index builds."""
+    from ..ops.topk import block_topk
 
-    ``lax.top_k`` over a (Q, 1M) score matrix costs a full-row sort on TPU;
-    this staged selection is exact and touches far less: (1) per-block
-    max (fused with the matmul's output pass), (2) top-(kp+8) BLOCKS by
-    max, (3) the same max->select->gather applied ONCE MORE inside the
-    gathered tile over ``_SEL_SUB``-wide sub-blocks when the tile is wide
-    (>= ``_SEL_STAGE3_MIN`` columns — the tile sort was the dominant VPU
-    cost of the serve scoring loop), (4) exact top-kp over what remains.
-
-    Correctness of each stage (identical argument at both levels): let e be
-    an element of the true top-kp under the lower-id tie policy, in block b.
-    If b is not among the kept ``kp+8`` blocks, every kept block has
-    (max > e) or (max == e and lower block id) — the former each contain an
-    element strictly greater than e, the latter an element equal to e at a
-    lower global id (ids ascend with block order after the tb sort). Either
-    way each kept block contributes one element ranking ahead of e, so
-    >= kp+8 > kp elements beat e — contradiction. The +8 is margin, not a
-    correctness requirement. Ties: kept ids are sorted ascending before the
-    gather and ``lax.top_k`` keeps the FIRST of equal values, so the
-    kp-boundary tie resolves to the lower doc id at every stage — the
-    invariant ``select_all``'s chunk merge is built on.
-
-    Returns (vals, global col indices), both (Q, kp).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    Q, Dp = S.shape
-    if Dp <= 4 * _SEL_BLOCK or Dp % _SEL_BLOCK:
-        return jax.lax.top_k(S, kp)
-    nb = Dp // _SEL_BLOCK
-    Sb = S.reshape(Q, nb, _SEL_BLOCK)
-    m = min(nb, kp + 8)
-    _, tb = jax.lax.top_k(Sb.max(axis=2), m)            # (Q, m) block ids
-    tb = jnp.sort(tb, axis=1)  # ascending ids BEFORE the gather (tie policy)
-    G = jnp.take_along_axis(Sb, tb[:, :, None], axis=1)  # (Q, m, bs)
-    width = m * _SEL_BLOCK
-    Gf = G.reshape(Q, width)
-    if width < _SEL_STAGE3_MIN or _SEL_BLOCK % _SEL_SUB:
-        vals, loc = jax.lax.top_k(Gf, kp)
-    else:
-        # stage 3: sub-block max -> top sub-blocks -> narrow exact sort.
-        # Gathered columns ascend in global id (tb sorted), so sub-block
-        # order inside Gf is already the global id order the tie policy
-        # needs; sorting ts keeps it after the second gather.
-        ns = width // _SEL_SUB
-        Gs = Gf.reshape(Q, ns, _SEL_SUB)
-        ms = min(ns, kp + 8)
-        _, ts = jax.lax.top_k(Gs.max(axis=2), ms)       # (Q, ms) sub ids
-        ts = jnp.sort(ts, axis=1)
-        G2 = jnp.take_along_axis(Gs, ts[:, :, None], axis=1)
-        vals, l2 = jax.lax.top_k(G2.reshape(Q, ms * _SEL_SUB), kp)
-        sub = jnp.take_along_axis(ts, l2 // _SEL_SUB, axis=1)
-        loc = sub * _SEL_SUB + (l2 % _SEL_SUB)
-    block = jnp.take_along_axis(tb, loc // _SEL_BLOCK, axis=1)
-    return vals, block * _SEL_BLOCK + (loc % _SEL_BLOCK)
+    return block_topk(S, kp)
 
 
 class DeviceBM25:
@@ -489,6 +436,12 @@ class DeviceBM25:
         import jax
         import jax.numpy as jnp
 
+        from ..ops.topk import SEL_BLOCK
+
+        assert SEL_BLOCK == _SEL_BLOCK, (
+            "dense-matrix column padding (built host-side against "
+            "_SEL_BLOCK) must match the shared selection's block width"
+        )
         n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
         valid_n = self.n_docs
         n_q = self.query_chunk

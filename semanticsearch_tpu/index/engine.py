@@ -21,6 +21,7 @@ from ..core.mesh import local_mesh
 from ..ops.topk import (
     swizzle_corpus,
     topk_scores,
+    topk_scores_chunked,
     topk_scores_pallas,
     topk_scores_ref,
     topk_scores_twopass,
@@ -158,10 +159,21 @@ class EmbeddingIndex:
                 corpus_swizzled=self._corpus_swizzled,
                 seg_split=self.cfg.seg_split,
             )
+        elif use_pallas and q.shape[0] <= 8192:
+            # the segment kernel supports only k < 128; deeper candidate
+            # lists (the hybrid dense leg at depth 4*k) use the
+            # column-chunked XLA matmul + staged block selection — at
+            # serve-sized query batches it beats the fused kernel's
+            # k*128-wide per-tile merges. The score-tile budget shrinks
+            # the chunk as Q grows;
+            # past ~8k queries the shrunken chunks' select epilogues
+            # dominate and the fused kernel wins again.
+            vals, idx = topk_scores_chunked(
+                q, self._corpus, k=k, valid_n=self._valid_n,
+            )
         elif use_pallas:
-            # the segment kernel supports k < 128; deeper candidate lists
-            # (e.g. hybrid depth 4*k) fall back to the fused kernel, which
-            # pads k to any width
+            # huge query batches at k >= 128: the fused kernel keeps the
+            # running top-k in VMEM and never materializes score tiles
             vals, idx = topk_scores_pallas(
                 q, self._corpus, k=k,
                 block_q=self.cfg.query_batch, block_n=self.cfg.block_rows,

@@ -708,3 +708,155 @@ def topk_scores(
     if jax.default_backend() == "tpu":
         return topk_scores_pallas(queries, corpus, k=k, **kw)
     return topk_scores_ref(queries, corpus, k=k)
+
+
+# ---- staged exact block selection + chunked wide-k scoring (pure XLA) ----
+#
+# The segment kernels above keep their running top-k in a 128-lane VMEM
+# scratch, so they support k < 128 — the retrieval regime. The hybrid serve
+# path also needs EXACT top-k at k >= 128 (RRF fuses depth = 4*k candidate
+# lists, reference behavior `Tool/rank_chunks_optimized.py:225-239`), where
+# the fused kernel's per-tile k*128-wide merges get expensive. At serve-sized
+# query batches the idiomatic XLA alternative wins: a column-chunked matmul
+# whose (Q, chunk) score tiles are reduced immediately by a staged exact
+# block selection, so the corpus-width score matrix never materializes.
+# ``block_topk`` is that selection; the device-BM25 leg
+# (``index/bm25_tpu.py``) shares it.
+
+SEL_BLOCK = 256        # stage-2 block width (score cols pad to this)
+SEL_SUB = 32           # stage-3 sub-block width inside the gathered tile
+SEL_STAGE3_MIN = 8192  # engage stage 3 only when the gathered tile is wide
+
+
+def block_topk(S: jax.Array, kp: int) -> Tuple[jax.Array, jax.Array]:
+    """EXACT top-kp over huge rows without a full-width sort.
+
+    ``lax.top_k`` over a (Q, 1M) score matrix costs a full-row sort on TPU;
+    this staged selection is exact and touches far less: (1) per-block max
+    (fused with the matmul's output pass), (2) top-(kp+8) BLOCKS by max,
+    (3) the same max->select->gather applied ONCE MORE inside the gathered
+    tile over ``SEL_SUB``-wide sub-blocks when the tile is wide
+    (>= ``SEL_STAGE3_MIN`` columns — the tile sort dominated the serve
+    scoring loop's VPU time), (4) exact top-kp over what remains.
+
+    Correctness of each stage (identical argument at both levels): let e be
+    an element of the true top-kp under the lower-id tie policy, in block b.
+    If b is not among the kept ``kp+8`` blocks, every kept block has
+    (max > e) or (max == e and lower block id) — the former each contain an
+    element strictly greater than e, the latter an element equal to e at a
+    lower global id (ids ascend with block order after the sort below).
+    Either way each kept block contributes one element ranking ahead of e,
+    so >= kp+8 > kp elements beat e — contradiction. The +8 is margin, not
+    a correctness requirement. Ties: kept ids are sorted ascending before
+    the gather and ``lax.top_k`` keeps the FIRST of equal values, so the
+    kp-boundary tie resolves to the lower column id at every stage.
+
+    Returns (vals, column indices), both (Q, kp).
+    """
+    Q, Dp = S.shape
+    if Dp <= 4 * SEL_BLOCK or Dp % SEL_BLOCK:
+        return jax.lax.top_k(S, kp)
+    nb = Dp // SEL_BLOCK
+    Sb = S.reshape(Q, nb, SEL_BLOCK)
+    m = min(nb, kp + 8)
+    _, tb = jax.lax.top_k(Sb.max(axis=2), m)            # (Q, m) block ids
+    tb = jnp.sort(tb, axis=1)  # ascending ids BEFORE the gather (ties)
+    G = jnp.take_along_axis(Sb, tb[:, :, None], axis=1)  # (Q, m, bs)
+    width = m * SEL_BLOCK
+    Gf = G.reshape(Q, width)
+    if width < SEL_STAGE3_MIN or SEL_BLOCK % SEL_SUB:
+        vals, loc = jax.lax.top_k(Gf, kp)
+    else:
+        # stage 3: sub-block max -> top sub-blocks -> narrow exact sort.
+        # Gathered columns ascend in global id (tb sorted), so sub-block
+        # order inside Gf is already the global id order the tie policy
+        # needs; sorting ts keeps it after the second gather.
+        ns = width // SEL_SUB
+        Gs = Gf.reshape(Q, ns, SEL_SUB)
+        ms = min(ns, kp + 8)
+        _, ts = jax.lax.top_k(Gs.max(axis=2), ms)       # (Q, ms) sub ids
+        ts = jnp.sort(ts, axis=1)
+        G2 = jnp.take_along_axis(Gs, ts[:, :, None], axis=1)
+        vals, l2 = jax.lax.top_k(G2.reshape(Q, ms * SEL_SUB), kp)
+        sub = jnp.take_along_axis(ts, l2 // SEL_SUB, axis=1)
+        loc = sub * SEL_SUB + (l2 % SEL_SUB)
+    block = jnp.take_along_axis(tb, loc // SEL_BLOCK, axis=1)
+    return vals, block * SEL_BLOCK + (loc % SEL_BLOCK)
+
+
+def topk_scores_chunked(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    chunk: int = 262144,
+    valid_n: int = -1,
+    score_budget_bytes: int = 1 << 30,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k scoring for WIDE k (>= 128) at serve-sized query batches.
+
+    Column-chunked ``Q @ C.T`` (one MXU einsum per chunk, f32 accumulation;
+    the contraction axis is never split, so each score is one full-depth
+    dot — equal to :func:`topk_scores_ref` up to the backend gemm's
+    accumulation order, and exactly equal whenever dots are exactly
+    representable) with :func:`block_topk` reducing each (Q, chunk)
+    tile to its top-k immediately; a running ``lax.top_k`` merge keeps the
+    candidate set at (Q, k). Peak transient HBM is one score tile, capped at
+    ``score_budget_bytes`` by shrinking the chunk for larger query batches.
+    Ties: chunks ascend and the merge concatenates [running, new], so the
+    lower row id wins at every boundary — same policy as the segment
+    kernels and ``topk_scores_ref``.
+    """
+    q, d = queries.shape
+    n = corpus.shape[0]
+    vn = n if valid_n < 0 else valid_n
+    k_eff = min(k, n)
+    # fit the f32 score tile in budget; keep SEL_BLOCK alignment
+    max_chunk = max(SEL_BLOCK, score_budget_bytes // (4 * max(q, 1)))
+    chunk = min(chunk, _round_up(max_chunk, SEL_BLOCK) - SEL_BLOCK
+                if max_chunk % SEL_BLOCK else max_chunk)
+    chunk = max(SEL_BLOCK, chunk - chunk % SEL_BLOCK)
+
+    def score(rows_slice, off):
+        s = jnp.einsum("qd,nd->qn", queries, rows_slice,
+                       preferred_element_type=jnp.float32)
+        col = jnp.arange(rows_slice.shape[0], dtype=jnp.int32)[None, :] + off
+        return jnp.where(col < vn, s, NEG_INF)
+
+    def sel(S, off, kp):
+        kp2 = min(kp, S.shape[1])
+        v, i = block_topk(S, kp2)
+        i = (i + off).astype(jnp.int32)
+        if kp2 < kp:
+            v = jnp.pad(v, ((0, 0), (0, kp - kp2)), constant_values=NEG_INF)
+            i = jnp.pad(i, ((0, 0), (0, kp - kp2)))
+        return v, i
+
+    if n <= chunk:
+        vals, idx = sel(score(corpus, 0), 0, k_eff)
+    else:
+        nfull, rem = divmod(n, chunk)
+
+        def merge(run, new):
+            av = jnp.concatenate([run[0], new[0]], axis=1)
+            ai = jnp.concatenate([run[1], new[1]], axis=1)
+            mv, s = jax.lax.top_k(av, k_eff)
+            return mv, jnp.take_along_axis(ai, s, axis=1)
+
+        def body(i, carry):
+            off = i * chunk
+            rows = jax.lax.dynamic_slice_in_dim(corpus, off, chunk, axis=0)
+            return merge(carry, sel(score(rows, off), off, min(k_eff, chunk)))
+
+        init = (jnp.full((q, k_eff), NEG_INF, jnp.float32),
+                jnp.zeros((q, k_eff), jnp.int32))
+        vals, idx = jax.lax.fori_loop(0, nfull, body, init)
+        if rem:
+            off = nfull * chunk
+            tail = jax.lax.dynamic_slice_in_dim(corpus, off, rem, axis=0)
+            vals, idx = merge((vals, idx),
+                              sel(score(tail, off), off, min(k_eff, rem)))
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
+                       constant_values=NEG_INF)
+        idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)))
+    return vals, idx

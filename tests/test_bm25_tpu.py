@@ -533,8 +533,8 @@ def test_block_topk_stage3_exact_vs_numpy():
     policy — against a numpy stable-sort reference."""
     import jax.numpy as jnp
 
-    from semanticsearch_tpu.index.bm25_tpu import (
-        _SEL_BLOCK, _SEL_STAGE3_MIN, _block_topk)
+    from semanticsearch_tpu.index.bm25_tpu import _SEL_BLOCK, _block_topk
+    from semanticsearch_tpu.ops.topk import SEL_STAGE3_MIN as _SEL_STAGE3_MIN
 
     rng = np.random.default_rng(7)
     kp = 40

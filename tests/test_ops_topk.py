@@ -207,3 +207,64 @@ def test_topk_twopass_mxu_overlap_matches(rng, seg_split):
     ref = np.asarray(queries) @ np.asarray(corpus).T
     ref_idx = np.argsort(-ref, axis=1, kind="stable")[:, :k]
     np.testing.assert_array_equal(np.asarray(ib), ref_idx)
+
+
+def test_topk_chunked_matches_ref_wide_k(rng):
+    """The wide-k serve path (column-chunked matmul + staged block
+    selection) matches topk_scores_ref bit-exactly — values, indices, and
+    the lower-id tie policy — across chunk boundaries and a remainder
+    tail, at k >= 128 where the segment kernel cannot run."""
+    from semanticsearch_tpu.ops.topk import topk_scores_chunked
+
+    q, d, n, k = 5, 64, 3333, 160
+    # integer-valued f32: every dot is exactly representable, so scores are
+    # identical under ANY accumulation order (gemm tiling differs between
+    # the two paths) and equality below is exact, not tolerance-based
+    queries = rng.integers(-4, 5, size=(q, d)).astype(np.float32)
+    corpus = rng.integers(-4, 5, size=(n, d)).astype(np.float32)
+    corpus[: n // 2] = corpus[:1]  # many identical rows -> massive ties
+    rv, ri = topk_scores_ref(jnp.asarray(queries), jnp.asarray(corpus), k=k)
+    cv, ci = topk_scores_chunked(
+        jnp.asarray(queries), jnp.asarray(corpus), k=k, chunk=512)
+    np.testing.assert_array_equal(np.asarray(ci), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(cv), np.asarray(rv))
+
+
+def test_topk_chunked_valid_n_and_k_gt_n(rng):
+    """Pad rows past valid_n never surface (even when every real score is
+    negative), and k > n pads with NEG_INF like the other paths."""
+    from semanticsearch_tpu.ops.topk import NEG_INF, topk_scores_chunked
+
+    q, d, n_real, n_pad = 3, 32, 40, 64
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    corpus = np.zeros((n_pad, d), np.float32)
+    real = rng.standard_normal((n_real, d)).astype(np.float32)
+    corpus[:n_real] = -np.abs(real)  # negative scores vs zero pad rows
+    queries = np.abs(queries)
+    vals, idx = topk_scores_chunked(
+        jnp.asarray(queries), jnp.asarray(corpus), k=50,
+        chunk=256, valid_n=n_real)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    assert (idx[:, :n_real] < n_real).all()
+    bf_v, bf_i = _brute_force(queries, corpus[:n_real], 40)
+    np.testing.assert_allclose(vals[:, :n_real], bf_v, rtol=1e-5)
+    assert (vals[:, n_real:] <= NEG_INF).all()
+
+
+def test_topk_chunked_single_chunk_and_budget(rng):
+    """n <= chunk takes the unchunked path; a tiny score budget shrinks the
+    chunk without changing results."""
+    from semanticsearch_tpu.ops.topk import topk_scores_chunked
+
+    q, d, n, k = 4, 48, 700, 130
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    rv, ri = topk_scores_ref(jnp.asarray(queries), jnp.asarray(corpus), k=k)
+    one_v, one_i = topk_scores_chunked(
+        jnp.asarray(queries), jnp.asarray(corpus), k=k)
+    np.testing.assert_array_equal(np.asarray(one_i), np.asarray(ri))
+    small_v, small_i = topk_scores_chunked(
+        jnp.asarray(queries), jnp.asarray(corpus), k=k,
+        score_budget_bytes=4 * 4 * 256)  # chunk -> 256 cols
+    np.testing.assert_array_equal(np.asarray(small_i), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(small_v), np.asarray(rv))
