@@ -164,8 +164,9 @@ class EmbeddingIndex:
             # lists (the hybrid dense leg at depth 4*k) use the
             # column-chunked XLA matmul + staged block selection — at
             # serve-sized query batches it beats the fused kernel's
-            # k*128-wide per-tile merges. The score-tile budget shrinks
-            # the chunk as Q grows;
+            # k*128-wide per-tile merges (measured 1M rows, Q=1024, k=160:
+            # 249.8 ms vs 528.9 ms, tools/bench_wide_k.py). The score-tile
+            # budget shrinks the chunk as Q grows;
             # past ~8k queries the shrunken chunks' select epilogues
             # dominate and the fused kernel wins again.
             vals, idx = topk_scores_chunked(
