@@ -54,9 +54,9 @@ DESIGN — frequency-split exact scoring:
   fallback rate. 2x matrix memory; ``residual=False`` restores the single-
   matrix layout where HBM is binding.
 
-Measured (BASELINE.md): 2,116 QPS exact at a 1M-doc corpus on v5e-1 vs
-216 QPS/core for the host C++ kernel; hybrid serve 911 QPS end-to-end
-(round 3, pre-residual/pre-overlap).
+Measured (BASELINE.md): 7,112 QPS exact at a 1M-doc corpus on v5e-1 vs
+216 QPS/core for the host C++ kernel (progression from 584 pre-optimization;
+the full ladder lives in BASELINE.md); hybrid serve 2,810 QPS end-to-end.
 """
 from __future__ import annotations
 

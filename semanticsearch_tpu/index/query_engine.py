@@ -531,6 +531,60 @@ class HybridQueryEngine:
         """
         if not len(queries):
             return []
+        state = self._dispatch_legs(queries, k, candidates, hybrid)
+        return self._finish_legs(state, k, rerank_top)
+
+    def search_pipelined(
+        self,
+        query_batches: Sequence[Sequence[str]],
+        k: int = 10,
+        candidates: Optional[int] = None,
+        hybrid: bool = True,
+        rerank_top: int = 0,
+    ) -> List[List[List[Hit]]]:
+        """``search`` over a stream of query batches with CROSS-BATCH
+        overlap: batch i+1's device programs (encode, dense top-k, delta,
+        device BM25) are dispatched BEFORE batch i's results are fetched,
+        so batch i's fetch round trips and host fusion run while the chip
+        already works on batch i+1. Within-batch overlap (dispatch-then-
+        fetch) hides host phases behind the chip; this hides the chip's
+        idle gaps between batches behind host work — the two compose.
+
+        Returns one ``search``-shaped result list per input batch. NOT
+        concurrency-safe against index mutations (add/remove/compact):
+        callers must serialize, as the resident server's dispatcher does.
+        """
+        out: List[List[List[Hit]]] = []
+        prev = None
+
+        def flush():
+            nonlocal prev
+            if prev is not None:
+                out.append(self._finish_legs(prev, k, rerank_top))
+                prev = None
+
+        for qb in query_batches:
+            if not len(qb):
+                flush()  # keep output order aligned with the input batches
+                out.append([])
+                continue
+            state = self._dispatch_legs(qb, k, candidates, hybrid)
+            flush()
+            prev = state
+        flush()
+        return out
+
+    def _dispatch_legs(
+        self,
+        queries: Sequence[str],
+        k: int,
+        candidates: Optional[int],
+        hybrid: bool,
+    ) -> Dict:
+        """Phase 1 of ``search``: dispatch every device program and run the
+        in-flight host leg work; no blocking result fetch happens here
+        (the encode/COO uploads block on the transfer itself, as any
+        dispatch does). Returns the state ``_finish_legs`` consumes."""
         depth = candidates or max(4 * k, 20)
         # tombstones: over-fetch so the post-filter candidate lists stay
         # full while tombstones are few (exact as long as n_dead fits the
@@ -629,10 +683,40 @@ class HybridQueryEngine:
                 if n_delta and self._delta_bm25 is not None else None
             )
 
-        dense = _unpack_scores_indices(np.asarray(dense_packed))
+        return {
+            "queries": queries,
+            "depth": depth,
+            "use_bm25": use_bm25,
+            "base": base,
+            "n_delta": n_delta,
+            "dense_packed": dense_packed,
+            "delta": (delta_vals, delta_idx) if n_delta else None,
+            "lex_handle": lex_handle,
+            "bm_host": (None if (not use_bm25 or lex_handle is not None)
+                        else (bm_idx, bm_scores)),
+            "delta_lex": delta_lex if use_bm25 else None,
+        }
+
+    def _finish_legs(self, state: Dict, k: int, rerank_top: int
+                     ) -> List[List[Hit]]:
+        """Phase 2 of ``search``: blocking result fetches, RRF fusion, and
+        the optional neural rerank over the fused head."""
+        queries = state["queries"]
+        depth = state["depth"]
+        use_bm25 = state["use_bm25"]
+        base = state["base"]
+        n_delta = state["n_delta"]
+        lex_handle = state["lex_handle"]
+        delta_lex = state["delta_lex"]
+        if n_delta:
+            delta_vals, delta_idx = state["delta"]
+
+        dense = _unpack_scores_indices(np.asarray(state["dense_packed"]))
         if lex_handle is not None:
             bm_idx, bm_scores = self._device_bm25.finish_topk_batch(
                 lex_handle)
+        elif state["bm_host"] is not None:
+            bm_idx, bm_scores = state["bm_host"]
 
         if rerank_top > 0:
             if self.reranker is None:

@@ -713,3 +713,37 @@ def test_dense_index_k_zero_is_empty():
     # and None still means the configured default
     res_def = idx.search(emb[:3], k=None)
     assert res_def.indices.shape[1] == idx.cfg.top_k
+
+
+def test_search_pipelined_matches_search(tmp_path, mesh8):
+    """Cross-batch pipelining returns exactly what per-batch search()
+    returns — same hits, scores, and ranks — including empty batches,
+    dense-only mode, and after serve-time adds (delta leg in flight)."""
+    enc = SentenceEncoder(TINY)
+    engine = HybridQueryEngine.build(
+        _chunks(tmp_path), enc, str(tmp_path / "idx"), mesh=mesh8)
+    engine = HybridQueryEngine.load(str(tmp_path / "idx"), enc, mesh=mesh8)
+    engine.add_documents(
+        ["c6"], ["wind turbines generate power offshore"])
+
+    batches = [
+        ["fishing quota trawlers", "bees and honey"],
+        [],
+        ["solar electricity", "roman aqueduct water", "wind power offshore"],
+    ]
+    piped = engine.search_pipelined(batches, k=3)
+    assert [len(b) for b in piped] == [2, 0, 3]
+    for qb, got in zip(batches, piped):
+        ref = engine.search(qb, k=3)
+        assert len(ref) == len(got)
+        for hits_ref, hits_got in zip(ref, got):
+            assert [(h.chunk_id, h.score, h.dense_rank, h.lexical_rank)
+                    for h in hits_got] == \
+                   [(h.chunk_id, h.score, h.dense_rank, h.lexical_rank)
+                    for h in hits_ref]
+
+    # dense-only through the same split path
+    piped_d = engine.search_pipelined(batches[:1], k=2, hybrid=False)
+    ref_d = engine.search(batches[0], k=2, hybrid=False)
+    assert [(h.chunk_id, h.score) for h in piped_d[0][0]] == \
+           [(h.chunk_id, h.score) for h in ref_d[0]]

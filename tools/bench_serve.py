@@ -75,6 +75,9 @@ def main():
                     help="queries per HTTP request in the client bench")
     ap.add_argument("--http-requests", type=int, default=8,
                     help="sequential requests per client thread")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="overlap query batches: dispatch batch i+1's "
+                         "device programs before fetching batch i")
     ap.add_argument("--latency", type=int, default=0,
                     help=">0: also measure SINGLE-QUERY serve latency over "
                          "N sequential search() calls (p50/p90/p99 ms). "
@@ -168,11 +171,32 @@ def main():
     # --- timed end-to-end ---
     stats0 = (dict(engine._device_bm25.stats)
               if engine._device_bm25 is not None else None)
-    t0 = time.perf_counter()
-    for b in range(1, args.batches + 1):
-        batch = queries[b * args.qbatch: (b + 1) * args.qbatch]
-        _ = engine.search(batch, k=args.k, candidates=args.depth,
-                          rerank_top=args.rerank_top)
+    serial_qps_same_run = None
+    if args.pipelined:
+        # A/B in ONE process: tunnel throughput varies run to run, so a
+        # fair pipelined-vs-serial comparison must share warm state and
+        # network conditions. Serial first, then the pipelined pass is the
+        # headline timing.
+        t0 = time.perf_counter()
+        for b in range(1, args.batches + 1):
+            batch = queries[b * args.qbatch: (b + 1) * args.qbatch]
+            _ = engine.search(batch, k=args.k, candidates=args.depth,
+                              rerank_top=args.rerank_top)
+        serial_qps_same_run = round(
+            args.qbatch * args.batches / (time.perf_counter() - t0), 1)
+        # cross-batch overlap: batch i+1's programs dispatch before batch
+        # i's fetch (query_engine.search_pipelined)
+        t0 = time.perf_counter()
+        _ = engine.search_pipelined(
+            [queries[b * args.qbatch: (b + 1) * args.qbatch]
+             for b in range(1, args.batches + 1)],
+            k=args.k, candidates=args.depth, rerank_top=args.rerank_top)
+    else:
+        t0 = time.perf_counter()
+        for b in range(1, args.batches + 1):
+            batch = queries[b * args.qbatch: (b + 1) * args.qbatch]
+            _ = engine.search(batch, k=args.k, candidates=args.depth,
+                              rerank_top=args.rerank_top)
     e2e_dt = time.perf_counter() - t0
     e2e_qps = args.qbatch * args.batches / e2e_dt
     # steady-state per-batch phase split (warmup/compile excluded)
@@ -323,6 +347,8 @@ def main():
         "value": round(e2e_qps, 1),
         "unit": "QPS",
         "qbatch": args.qbatch,
+        "pipelined": args.pipelined,
+        "serial_qps_same_run": serial_qps_same_run,
         "k": args.k,
         "depth": args.depth,
         "rerank_top": args.rerank_top,
