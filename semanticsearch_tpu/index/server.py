@@ -160,11 +160,37 @@ class _Coalescer:
         # don't fragment each other's batches
         carry: "list[_Op]" = []
         shutdown = False
+        # CROSS-BATCH PIPELINING (query_engine.search_pipelined's split):
+        # after dispatching a merged batch, the dispatcher goes straight
+        # back to collecting; the dispatched batch's fetch+fusion runs only
+        # once the NEXT batch is dispatched (continuous load — chip already
+        # working on it) or the queue goes idle (finish immediately, no
+        # added latency). Mutations and shutdown barrier through a finish.
+        inflight = None  # (ops, n_queries, engine state, params)
+
+        def finish_inflight() -> None:
+            nonlocal inflight
+            if inflight is None:
+                return
+            pending, inflight = inflight, None
+            self._finish_search(pending)
+
         while not shutdown:
-            op = carry.pop(0) if carry else self.q.get()
+            if carry:
+                op = carry.pop(0)
+            elif inflight is not None:
+                # never block with results in flight: their clients wait
+                try:
+                    op = self.q.get_nowait()
+                except queue.Empty:
+                    finish_inflight()
+                    continue
+            else:
+                op = self.q.get()
             if op.kind == "shutdown":
                 break
             if op.kind != "search":
+                finish_inflight()  # mutations see every prior search done
                 self._run_one(op)
                 continue
             batch = [op]
@@ -196,7 +222,10 @@ class _Coalescer:
                 if nxt.kind != "search":  # mutation/shutdown: stop
                     shutdown = nxt.kind == "shutdown"  # collecting promptly
                     break
-            self._run_search(batch)
+            nxt_inflight = self._dispatch_search(batch)
+            finish_inflight()  # previous batch: fetch while chip runs this one
+            inflight = nxt_inflight
+        finish_inflight()
         # fail anything still pending so no handler thread hangs forever
         for op in carry:
             if op.kind != "shutdown":
@@ -218,7 +247,11 @@ class _Coalescer:
             op.error = exc
         op.done.set()
 
-    def _run_search(self, batch) -> None:
+    def _dispatch_search(self, batch):
+        """Dispatch a merged batch's device programs; results are delivered
+        by ``_finish_search`` (the pipelined split of the old blocking
+        ``engine.search`` call). Returns the in-flight tuple, or None when
+        the dispatch itself failed (the batch is already failed over)."""
         k, hybrid, rerank_top = batch[0].params
         try:
             all_q = [q for op in batch for q in op.queries]
@@ -233,8 +266,20 @@ class _Coalescer:
             while target < n:
                 target <<= 1
             all_q.extend(all_q[-1:] * (target - n))
-            results = self.engine.search(all_q, k=k, hybrid=hybrid,
-                                         rerank_top=rerank_top)[:n]
+            state = self.engine._dispatch_legs(all_q, k, None, hybrid)
+            return (batch, n, state, (k, rerank_top))
+        except BaseException as exc:
+            for op in batch:
+                op.error = exc
+                op.done.set()
+            return None
+
+    def _finish_search(self, pending) -> None:
+        if pending is None:
+            return
+        batch, n, state, (k, rerank_top) = pending
+        try:
+            results = self.engine._finish_legs(state, k, rerank_top)[:n]
             self.batches += 1
             if len(batch) > 1:
                 self.merged_requests += len(batch)

@@ -430,16 +430,26 @@ class _StubServeEngine:
         self._dead = set()
         self._device_bm25 = None
 
-    def search(self, queries, k=10, hybrid=True, rerank_top=0):
-        import time as _t
-
+    # The coalescing dispatcher drives the engine through the pipelined
+    # dispatch/finish split (query_engine._dispatch_legs/_finish_legs);
+    # the stub mirrors that protocol and keeps search() = dispatch+finish.
+    def _dispatch_legs(self, queries, k, candidates, hybrid):
         self.calls.append((len(queries), k))
         if self.fail:
             raise RuntimeError("boom")
+        return {"queries": list(queries)}
+
+    def _finish_legs(self, state, k, rerank_top):
+        import time as _t
+
         if self.search_delay_s:
             _t.sleep(self.search_delay_s)
         return [[self._hit(chunk_id=f"{q}#{r}", score=float(k - r))
-                 for r in range(k)] for q in queries]
+                 for r in range(k)] for q in state["queries"]]
+
+    def search(self, queries, k=10, hybrid=True, rerank_top=0):
+        return self._finish_legs(
+            self._dispatch_legs(queries, k, None, hybrid), k, rerank_top)
 
 
 def _start(srv):
@@ -747,3 +757,41 @@ def test_search_pipelined_matches_search(tmp_path, mesh8):
     ref_d = engine.search(batches[0], k=2, hybrid=False)
     assert [(h.chunk_id, h.score) for h in piped_d[0][0]] == \
            [(h.chunk_id, h.score) for h in ref_d[0]]
+
+
+def test_coalescer_pipelining_mutation_barrier():
+    """The dispatcher may hold one dispatched batch in flight while it
+    collects the next; a mutation arriving behind it must only run AFTER
+    that batch's results are delivered (finish barrier), and the batch's
+    clients must never observe post-mutation state."""
+    import threading
+    import time as _t
+
+    from semanticsearch_tpu.index.server import _Coalescer, _Op
+
+    eng = _StubServeEngine(search_delay_s=0.05)
+    order = []
+    orig_finish = eng._finish_legs
+
+    def finish_logged(state, k, rerank_top):
+        out = orig_finish(state, k, rerank_top)
+        order.append("finish")
+        return out
+
+    eng._finish_legs = finish_logged
+    co = _Coalescer(eng, max_batch=8, max_wait_s=0.02)
+    try:
+        search_op = _Op("search", queries=["a", "b"], params=(2, True, 0))
+        mutate_op = _Op("mutate", fn=lambda: order.append("mutate"))
+        t1 = threading.Thread(target=co.submit, args=(search_op,))
+        t1.start()
+        _t.sleep(0.005)  # let the search hit the dispatcher first
+        t2 = threading.Thread(target=co.submit, args=(mutate_op,))
+        t2.start()
+        t1.join(timeout=30)
+        t2.join(timeout=30)
+        assert search_op.error is None and mutate_op.error is None
+        assert order == ["finish", "mutate"], order
+        assert len(search_op.result) == 2
+    finally:
+        co.shutdown()
