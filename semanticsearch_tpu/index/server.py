@@ -116,10 +116,11 @@ class _Coalescer:
     """
 
     def __init__(self, engine, max_batch: int = 1024,
-                 max_wait_s: float = 0.004):
+                 max_wait_s: float = 0.004, pipeline: bool = True):
         self.engine = engine
         self.max_batch = max(1, int(max_batch))
         self.max_wait_s = max(0.0, float(max_wait_s))
+        self.pipeline = bool(pipeline)  # False: finish right after dispatch
         self.q: "queue.Queue[_Op]" = queue.Queue()
         self._closed = False
         self._close_lock = threading.Lock()
@@ -161,11 +162,15 @@ class _Coalescer:
         carry: "list[_Op]" = []
         shutdown = False
         # CROSS-BATCH PIPELINING (query_engine.search_pipelined's split):
-        # after dispatching a merged batch, the dispatcher goes straight
-        # back to collecting; the dispatched batch's fetch+fusion runs only
-        # once the NEXT batch is dispatched (continuous load — chip already
-        # working on it) or the queue goes idle (finish immediately, no
-        # added latency). Mutations and shutdown barrier through a finish.
+        # a merged batch's device programs dispatch, then the dispatcher
+        # returns to collecting; its fetch+fusion ("finish") runs under the
+        # NEXT batch's collection, so arrivals during a batch's entire
+        # compute+fetch coalesce into the next one. That self-regulation is
+        # load-bearing: the first pipelined cut dispatched the next batch
+        # BEFORE finishing the previous, which let the dispatcher lap the
+        # arrival stream — batches shrank to per-request sizes and 64-client
+        # HTTP throughput dropped ~4x (RTT-bound small programs). Mutations
+        # and shutdown barrier through a finish.
         inflight = None  # (ops, n_queries, engine state, params)
 
         def finish_inflight() -> None:
@@ -205,26 +210,46 @@ class _Coalescer:
                     return True
                 return False
 
+            def absorb_from_queue(block: bool) -> bool:
+                """Pull queued ops into the batch; non-matching ops go to
+                carry. Returns False when collection must STOP (a mutation
+                or shutdown arrived — later searches must not jump it)."""
+                nonlocal shutdown
+                deadline = time.monotonic() + self.max_wait_s
+                while total < self.max_batch:
+                    try:
+                        if block:
+                            timeout = deadline - time.monotonic()
+                            if timeout <= 0:
+                                return True
+                            nxt = self.q.get(timeout=timeout)
+                        else:
+                            nxt = self.q.get_nowait()
+                    except queue.Empty:
+                        return True
+                    if absorb(nxt):
+                        continue
+                    carry.append(nxt)
+                    if nxt.kind != "search":  # mutation/shutdown: stop
+                        shutdown = nxt.kind == "shutdown"  # promptly
+                        return False
+                return True
+
             # same-group ops already set aside by earlier turns merge first
             carry = [c for c in carry if not absorb(c)]
-            deadline = time.monotonic() + self.max_wait_s
-            while total < self.max_batch:
-                timeout = deadline - time.monotonic()
-                if timeout <= 0:
-                    break
-                try:
-                    nxt = self.q.get(timeout=timeout)
-                except queue.Empty:
-                    break
-                if absorb(nxt):
-                    continue
-                carry.append(nxt)
-                if nxt.kind != "search":  # mutation/shutdown: stop
-                    shutdown = nxt.kind == "shutdown"  # collecting promptly
-                    break
-            nxt_inflight = self._dispatch_search(batch)
-            finish_inflight()  # previous batch: fetch while chip runs this one
-            inflight = nxt_inflight
+            if inflight is not None:
+                # the previous batch's fetch IS this batch's absorb window:
+                # requests arriving during it merge here (no extra wait)
+                keep_collecting = absorb_from_queue(block=False)
+                finish_inflight()
+                if keep_collecting:
+                    absorb_from_queue(block=False)
+            else:
+                # idle chip: only the max_wait_s arrival window applies
+                absorb_from_queue(block=True)
+            inflight = self._dispatch_search(batch)
+            if not self.pipeline:  # blocking mode (A/B + debugging escape)
+                finish_inflight()
         finish_inflight()
         # fail anything still pending so no handler thread hangs forever
         for op in carry:
@@ -324,7 +349,8 @@ class _SerialHTTPServer(HTTPServer):
 
 def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                 coalesce: bool = False, max_batch: int = 1024,
-                max_wait_ms: float = 4.0) -> HTTPServer:
+                max_wait_ms: float = 4.0,
+                coalesce_pipeline: bool = True) -> HTTPServer:
     """Build (not start) the HTTP server; ``.serve_forever()`` to run.
 
     Port 0 binds an ephemeral port (tests); the bound address is
@@ -335,7 +361,8 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
     are padded up to the next power of two so the engine's jit signatures
     stay bounded — pick ``max_batch`` as a power of two.
     """
-    coalescer = _Coalescer(engine, max_batch, max_wait_ms / 1e3) \
+    coalescer = _Coalescer(engine, max_batch, max_wait_ms / 1e3,
+                           pipeline=coalesce_pipeline) \
         if coalesce else None
 
     class Handler(BaseHTTPRequestHandler):

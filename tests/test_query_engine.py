@@ -795,3 +795,29 @@ def test_coalescer_pipelining_mutation_barrier():
         assert len(search_op.result) == 2
     finally:
         co.shutdown()
+
+
+def test_search_pipelined_with_rerank_matches(tmp_path, mesh8):
+    """Pipelined batches with the neural rerank stage: identical hits and
+    rerank scores vs per-batch search (the rerank block runs inside
+    _finish_legs, overlapped by the next batch's dispatch)."""
+    enc = SentenceEncoder(TINY)
+    chunks = _chunks(tmp_path)
+    HybridQueryEngine.build(chunks, enc, str(tmp_path / "idx"), mesh=mesh8)
+
+    from semanticsearch_tpu.data.tsv import read_tsv
+
+    corpus_texts = [r["chunk_text"] for r in read_tsv(chunks)]
+    _train_tiny_reranker(tmp_path / "ckpt", corpus_texts)
+    engine = HybridQueryEngine.load(
+        str(tmp_path / "idx"), enc, mesh=mesh8,
+        reranker_dir=str(tmp_path / "ckpt"))
+
+    batches = [["fishing quota trawlers", "bees and honey"],
+               ["solar electricity"]]
+    piped = engine.search_pipelined(batches, k=6, rerank_top=4)
+    for qb, got in zip(batches, piped):
+        ref = engine.search(qb, k=6, rerank_top=4)
+        for hits_ref, hits_got in zip(ref, got):
+            assert [(h.chunk_id, h.score, h.rerank_score) for h in hits_got] \
+                == [(h.chunk_id, h.score, h.rerank_score) for h in hits_ref]

@@ -75,6 +75,11 @@ def main():
                     help="queries per HTTP request in the client bench")
     ap.add_argument("--http-requests", type=int, default=8,
                     help="sequential requests per client thread")
+    ap.add_argument("--http-ab-pipeline", action="store_true",
+                    help="also run the coalesced HTTP phase with the "
+                         "blocking dispatcher for a same-process A/B")
+    ap.add_argument("--http-skip-serial", action="store_true",
+                    help="skip the slow serial-server HTTP round")
     ap.add_argument("--pipelined", action="store_true",
                     help="overlap query batches: dispatch batch i+1's "
                          "device programs before fetching batch i")
@@ -267,9 +272,10 @@ def main():
 
         from semanticsearch_tpu.index.server import make_server
 
-        def run_http(coalesce: bool) -> dict:
+        def run_http(coalesce: bool, pipeline: bool = True) -> dict:
             srv = make_server(engine, port=0, coalesce=coalesce,
-                              max_batch=1024, max_wait_ms=8.0)
+                              max_batch=1024, max_wait_ms=8.0,
+                              coalesce_pipeline=pipeline)
             st = threading.Thread(target=srv.serve_forever, daemon=True)
             st.start()
             base = (f"http://{srv.server_address[0]}:"
@@ -329,8 +335,10 @@ def main():
 
         log(f"[http] {args.http_clients} clients x {args.http_requests} "
             f"reqs x {args.http_qper} queries, serial server...")
-        serial = run_http(coalesce=False)
-        log(f"[http] serial: {serial}")
+        serial = None
+        if not args.http_skip_serial:
+            serial = run_http(coalesce=False)
+            log(f"[http] serial: {serial}")
         coal = run_http(coalesce=True)
         log(f"[http] coalesced: {coal}")
         http_bench = {
@@ -339,8 +347,19 @@ def main():
             "requests_per_client": args.http_requests,
             "serial": serial,
             "coalesced": coal,
-            "speedup": round(coal["qps"] / max(serial["qps"], 1e-9), 2),
         }
+        if serial is not None:
+            http_bench["speedup"] = round(
+                coal["qps"] / max(serial["qps"], 1e-9), 2)
+        if args.http_ab_pipeline:
+            # same-process A/B: the pipelined dispatcher vs the blocking
+            # one (finish right after dispatch) under identical tunnel
+            # conditions — cross-run comparisons are noise-dominated
+            coal_blk = run_http(coalesce=True, pipeline=False)
+            log(f"[http] coalesced (blocking dispatcher): {coal_blk}")
+            http_bench["coalesced_blocking"] = coal_blk
+            http_bench["pipeline_speedup"] = round(
+                coal["qps"] / max(coal_blk["qps"], 1e-9), 2)
 
     result = {
         "metric": f"serve_hybrid_qps_{args.docs}docs",
