@@ -236,15 +236,21 @@ class _Coalescer:
                 return True
 
             # same-group ops already set aside by earlier turns merge first
+            # (they arrived BEFORE anything now in the queue)
             carry = [c for c in carry if not absorb(c)]
+            # a mutation/shutdown still in carry is a pending BARRIER:
+            # queue ops arrived after it and must not jump it into this
+            # batch, so queue absorption is off for this turn entirely
+            barrier_pending = any(c.kind != "search" for c in carry)
             if inflight is not None:
                 # the previous batch's fetch IS this batch's absorb window:
                 # requests arriving during it merge here (no extra wait)
-                keep_collecting = absorb_from_queue(block=False)
+                keep_collecting = (not barrier_pending
+                                   and absorb_from_queue(block=False))
                 finish_inflight()
                 if keep_collecting:
                     absorb_from_queue(block=False)
-            else:
+            elif not barrier_pending:
                 # idle chip: only the max_wait_s arrival window applies
                 absorb_from_queue(block=True)
             inflight = self._dispatch_search(batch)

@@ -823,13 +823,12 @@ def topk_scores_chunked(
         return jnp.where(col < vn, s, NEG_INF)
 
     def sel(S, off, kp):
-        kp2 = min(kp, S.shape[1])
-        v, i = block_topk(S, kp2)
-        i = (i + off).astype(jnp.int32)
-        if kp2 < kp:
-            v = jnp.pad(v, ((0, 0), (0, kp - kp2)), constant_values=NEG_INF)
-            i = jnp.pad(i, ((0, 0), (0, kp - kp2)))
-        return v, i
+        # every call site clamps kp to the slice width (k_eff <= n for the
+        # single-chunk path, min(k_eff, chunk/rem) in the loop), so the
+        # selection never over-asks
+        assert kp <= S.shape[1], (kp, S.shape)
+        v, i = block_topk(S, kp)
+        return v, (i + off).astype(jnp.int32)
 
     if n <= chunk:
         vals, idx = sel(score(corpus, 0), 0, k_eff)

@@ -821,3 +821,48 @@ def test_search_pipelined_with_rerank_matches(tmp_path, mesh8):
         for hits_ref, hits_got in zip(ref, got):
             assert [(h.chunk_id, h.score, h.rerank_score) for h in hits_got] \
                 == [(h.chunk_id, h.score, h.rerank_score) for h in hits_ref]
+
+
+def test_coalescer_search_never_jumps_carried_mutation():
+    """A search that arrives AFTER a mutation must not be absorbed into an
+    earlier batch while that mutation still waits in carry — arrival order
+    across op kinds is a documented guarantee (a client whose add was
+    acknowledged as queued must not then see a pre-add search result)."""
+    import threading
+    import time as _t
+
+    from semanticsearch_tpu.index.server import _Coalescer, _Op
+
+    eng = _StubServeEngine(search_delay_s=0.15)
+    order = []
+    orig_dispatch = eng._dispatch_legs
+
+    def dispatch_logged(queries, k, candidates, hybrid):
+        order.append(("search", len(queries), k))
+        return orig_dispatch(queries, k, candidates, hybrid)
+
+    eng._dispatch_legs = dispatch_logged
+    co = _Coalescer(eng, max_batch=8, max_wait_s=0.1)
+    try:
+        ops = [
+            _Op("search", queries=["a"], params=(3, True, 0)),   # A
+            _Op("search", queries=["b"], params=(5, True, 0)),   # B: carried
+            _Op("mutate", fn=lambda: order.append("mutate")),    # M: carried
+            _Op("search", queries=["d"], params=(5, True, 0)),   # D: after M
+        ]
+        threads = []
+        for i, op in enumerate(ops):
+            _t.sleep(0.03 if i else 0.0)
+            th = threading.Thread(target=co.submit, args=(op,))
+            th.start()
+            threads.append(th)
+        for th in threads:
+            th.join(timeout=30)
+        assert all(op.error is None for op in ops)
+        # D (same params as B) must NOT have merged into B's batch: the
+        # mutation between them is a barrier. Expected: A, B alone (1
+        # query), mutate, then D.
+        assert order == [("search", 1, 3), ("search", 1, 5), "mutate",
+                         ("search", 1, 5)], order
+    finally:
+        co.shutdown()

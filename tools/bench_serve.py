@@ -176,42 +176,46 @@ def main():
     # --- timed end-to-end ---
     stats0 = (dict(engine._device_bm25.stats)
               if engine._device_bm25 is not None else None)
+
+    def timed_batches():
+        return [queries[b * args.qbatch: (b + 1) * args.qbatch]
+                for b in range(1, args.batches + 1)]
+
+    def run_serial() -> float:
+        t0 = time.perf_counter()
+        for batch in timed_batches():
+            _ = engine.search(batch, k=args.k, candidates=args.depth,
+                              rerank_top=args.rerank_top)
+        return time.perf_counter() - t0
+
     serial_qps_same_run = None
     if args.pipelined:
         # A/B in ONE process: tunnel throughput varies run to run, so a
         # fair pipelined-vs-serial comparison must share warm state and
         # network conditions. Serial first, then the pipelined pass is the
         # headline timing.
-        t0 = time.perf_counter()
-        for b in range(1, args.batches + 1):
-            batch = queries[b * args.qbatch: (b + 1) * args.qbatch]
-            _ = engine.search(batch, k=args.k, candidates=args.depth,
-                              rerank_top=args.rerank_top)
         serial_qps_same_run = round(
-            args.qbatch * args.batches / (time.perf_counter() - t0), 1)
+            args.qbatch * args.batches / run_serial(), 1)
         # cross-batch overlap: batch i+1's programs dispatch before batch
         # i's fetch (query_engine.search_pipelined)
         t0 = time.perf_counter()
         _ = engine.search_pipelined(
-            [queries[b * args.qbatch: (b + 1) * args.qbatch]
-             for b in range(1, args.batches + 1)],
-            k=args.k, candidates=args.depth, rerank_top=args.rerank_top)
+            timed_batches(), k=args.k, candidates=args.depth,
+            rerank_top=args.rerank_top)
+        e2e_dt = time.perf_counter() - t0
     else:
-        t0 = time.perf_counter()
-        for b in range(1, args.batches + 1):
-            batch = queries[b * args.qbatch: (b + 1) * args.qbatch]
-            _ = engine.search(batch, k=args.k, candidates=args.depth,
-                              rerank_top=args.rerank_top)
-    e2e_dt = time.perf_counter() - t0
+        e2e_dt = run_serial()
     e2e_qps = args.qbatch * args.batches / e2e_dt
-    # steady-state per-batch phase split (warmup/compile excluded)
+    # steady-state per-batch phase split (warmup/compile excluded); in
+    # --pipelined mode the stats window covers BOTH A/B passes
     steady = None
+    n_stats_batches = args.batches * (2 if args.pipelined else 1)
     if stats0 is not None:
         cur = engine._device_bm25.stats
-        steady = {k2: round((cur[k2] - stats0[k2]) / args.batches * 1e3, 1)
+        steady = {k2: round((cur[k2] - stats0[k2]) / n_stats_batches * 1e3, 1)
                   for k2 in cur if k2.startswith("t_")}
         steady["fallbacks_per_batch"] = (
-            (cur["fallbacks"] - stats0["fallbacks"]) / args.batches)
+            (cur["fallbacks"] - stats0["fallbacks"]) / n_stats_batches)
 
     # --- per-leg breakdown (same shapes -> cached programs) ---
     batch = queries[args.qbatch: 2 * args.qbatch]
