@@ -20,6 +20,7 @@ from jax import shard_map
 
 from ..ops.topk import (
     _LANE,
+    topk_scores_chunked,
     topk_scores_pallas,
     topk_scores_ref,
     topk_scores_twopass,
@@ -138,6 +139,13 @@ def _sharded_topk_impl(
                 interpret=interpret, seg_split=seg_split,
                 corpus_swizzled=c_swz[0] if have_cached_swz else None,
             )
+        elif use_pallas and k_local >= _LANE and q.shape[0] <= 8192:
+            # wide-k candidate depths (k_local beyond the segment kernels'
+            # 128-lane scratch) at serve-sized query batches: the
+            # column-chunked XLA matmul + staged block selection beats the
+            # fused kernel's k*128-wide per-tile merges, same dispatch rule
+            # as the single-chip engine (engine.search_device)
+            vals, idx = topk_scores_chunked(q, c_local, k=k_local)
         elif use_pallas:
             vals, idx = topk_scores_pallas(q, c_local, k=k_local,
                                            interpret=interpret)

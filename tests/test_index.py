@@ -225,3 +225,35 @@ def test_sharded_topk_negative_scores_with_padding(mesh8, rng):
     brute = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
     for row_got, row_want in zip(res.indices, brute):
         assert len(set(row_got) & set(row_want)) == k
+
+
+def test_sharded_topk_wide_k_chunked_parity(mesh8, rng):
+    """k_local >= 128 (the hybrid depth-4k dense leg on a sharded index)
+    routes each shard through the chunked XLA matmul + staged block
+    selection; results must match the reference merge exactly, including
+    pad-row exclusion (231 rows over 8 shards -> 1 pad row)."""
+    import jax.numpy as jnp
+
+    from semanticsearch_tpu.parallel.sharding import (
+        pad_to_shards, shard_corpus, sharded_topk)
+
+    # k_local = min(shard_rows, k + n_pad) must exceed 128 to engage the
+    # wide path, so shard_rows > 128: 1283 rows -> 161/shard, 5 pad rows
+    d, k = 32, 140
+    n = 8 * 160 + 3
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rng.standard_normal((6, d)).astype(np.float32)
+
+    padded, valid_n = pad_to_shards(jnp.asarray(corpus), mesh8)
+    sharded = shard_corpus(padded, mesh8)
+    vals, idx = sharded_topk(
+        jnp.asarray(queries), sharded, mesh8, k=k, valid_n=valid_n,
+        use_pallas=True, impl="fused", interpret=True)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    assert (idx < n).all()
+    scores = queries @ corpus.T
+    brute = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    for q in range(queries.shape[0]):
+        np.testing.assert_array_equal(idx[q], brute[q], err_msg=f"q={q}")
+        np.testing.assert_allclose(vals[q], scores[q][brute[q]], rtol=1e-5)
