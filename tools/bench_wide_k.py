@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--q", type=int, default=1024)
     ap.add_argument("--k", type=int, default=160)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--arm", choices=["fused", "twopass"], default="fused",
+                    help="which kernel to compare the chunked path against")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -70,8 +72,29 @@ def main() -> None:
 
     interp = jax.default_backend() != "tpu"  # CPU smoke runs only
     chunked = jax.jit(functools.partial(topk_scores_chunked, k=args.k))
-    fused = jax.jit(functools.partial(
-        topk_scores_pallas, k=args.k, interpret=interp))
+    if args.arm == "fused":
+        other_name = "fused"
+        other = jax.jit(functools.partial(
+            topk_scores_pallas, k=args.k, interpret=interp))
+    else:
+        # twopass needs k < 128 and benefits from a precomputed swizzle
+        from semanticsearch_tpu.ops.topk import (
+            swizzle_corpus,
+            topk_scores_twopass,
+        )
+
+        assert args.k < 128, "twopass arm requires k < 128"
+        other_name = "twopass"
+        block_n = 32768
+        swz = None
+
+        def other(q, c):
+            nonlocal swz
+            if swz is None:
+                swz = swizzle_corpus(c, block_n)
+            return topk_scores_twopass(
+                q, c, k=args.k, block_n=block_n, seg_split=8,
+                corpus_swizzled=swz, interpret=interp)
 
     def bench(name, fn):
         ts = []
@@ -86,12 +109,12 @@ def main() -> None:
         return min(ts)
 
     t_chunked = bench("chunked", chunked)
-    t_fused = bench("fused", fused)
+    t_other = bench(other_name, other)
     # parity between the two paths on-device (same scores modulo gemm
     # accumulation order; indices must agree except where near-ties swap —
     # require >= 99% overlap per query as a smoke parity gate)
     cv, ci = chunked(q, corpus)
-    fv, fi = fused(q, corpus)
+    fv, fi = other(q, corpus)
     ci_h, fi_h = np.asarray(ci), np.asarray(fi)
     overlap = np.mean([
         len(np.intersect1d(ci_h[r], fi_h[r])) / args.k
@@ -100,8 +123,8 @@ def main() -> None:
     print(json.dumps({
         "rows": args.rows, "q": args.q, "k": args.k, "dim": args.dim,
         "chunked_ms": round(t_chunked * 1e3, 1),
-        "fused_ms": round(t_fused * 1e3, 1),
-        "speedup": round(t_fused / t_chunked, 2),
+        f"{other_name}_ms": round(t_other * 1e3, 1),
+        "speedup_vs_" + other_name: round(t_other / t_chunked, 2),
         "topk_overlap_sample": round(float(overlap), 4),
         "platform": jax.default_backend(),
     }))
