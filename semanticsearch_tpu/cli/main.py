@@ -341,6 +341,66 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_tune_fusion(args) -> int:
+    """Grid-search RankingConfig.fusion_alpha on a labeled validation TSV.
+
+    Beyond-parity: the reference's fusion is untuned unweighted RRF
+    (rank_chunks_optimized.py:225-239). Prints the tuned alpha + per-alpha
+    MAP table; apply with `--set ranking.fusion_alpha=<best>` on
+    search/serve."""
+    from ..core.mesh import local_mesh
+    from ..data.tsv import read_tsv
+    from ..index.query_engine import HybridQueryEngine
+
+    cfg = _apply_sets(get_named_config(args.config), args.set)
+    enc = _make_encoder(cfg, args)
+    rank_cfg = _lexical_rank_cfg(cfg.ranking, args)
+    engine = HybridQueryEngine.load(
+        args.index_dir, enc, mesh=local_mesh(),
+        index_cfg=cfg.index, rank_cfg=rank_cfg,
+    )
+    # group the labeled rows into per-query relevant chunk_id sets
+    queries: dict = {}
+    for row in read_tsv(args.input):
+        qid = row.get("query_id", row.get("query_text", ""))
+        qtext = row.get("query_text", qid)
+        rel = queries.setdefault(qid, (qtext, set()))[1]
+        try:
+            label = float(row.get("label", "0"))
+        except ValueError:
+            continue
+        if label > 0:
+            rel.add(row.get("chunk_id", ""))
+    pairs = [(qt, rel) for qt, rel in queries.values() if rel]
+    if not pairs:
+        print(json.dumps({"error": "no positively-labeled rows in input"}))
+        return 1
+    alpha, best, table = engine.tune_fusion(
+        [qt for qt, _ in pairs], [sorted(rel) for _, rel in pairs],
+        candidates=args.candidates,
+    )
+    saved = None
+    if args.save:
+        import os as _os
+
+        from ..index.query_engine import FUSION_FILE
+
+        saved = _os.path.join(args.index_dir, FUSION_FILE)
+        with open(saved, "w") as f:
+            json.dump({"fusion_alpha": alpha, "map_at_best": best,
+                       "map_at_parity": table.get(0.5),
+                       "queries": len(pairs)}, f)
+    print(json.dumps({
+        "best_alpha": alpha, "map_at_best": best,
+        "map_at_parity": table.get(0.5),
+        "queries": len(pairs),
+        "table": {f"{a:.2f}": round(v, 6) for a, v in sorted(table.items())},
+        "apply": f"--set ranking.fusion_alpha={alpha}",
+        **({"saved": saved} if saved else {}),
+    }))
+    return 0
+
+
 def cmd_oie(args) -> int:
     from ..oie.client import enrich_chunk_tsv
 
@@ -625,6 +685,25 @@ def main(argv=None) -> int:
                         "request waits for company")
     _add_config_args(p)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "tune-fusion",
+        help="tune the weighted-RRF fusion alpha on a labeled TSV")
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("-i", "--input", required=True,
+                   help="validation TSV: query_id/query_text/chunk_id/label "
+                        "rows; label > 0 marks relevant chunks")
+    p.add_argument("--candidates", type=int, default=None,
+                   help="per-leg candidate depth (default: engine default)")
+    p.add_argument("--save", action="store_true",
+                   help="persist the tuned alpha as <index-dir>/fusion.json; "
+                        "search/serve auto-apply it unless "
+                        "ranking.fusion_alpha is set explicitly")
+    p.add_argument("--device-bm25", action="store_true",
+                   help="score the lexical leg on the TPU")
+    p.add_argument("--bm25-cache", action="store_true")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_tune_fusion)
 
     p = sub.add_parser("oie", help="OpenIE triple enrichment of a chunk TSV")
     p.add_argument("-i", "--input", required=True)

@@ -112,6 +112,12 @@ class RankingConfig:
     upper_percentile: float = 80.0
     lower_percentile: float = 20.0
     rrf_k: int = 60
+    # weighted-RRF mixing weight for the serve-path fusion: dense leg gets
+    # 2*alpha, lexical 2*(1-alpha). None (default) = the reference's
+    # unweighted fusion, bit-identical scores. Tune on a labeled validation
+    # split with HybridQueryEngine.tune_fusion / `semsearch tune-fusion`
+    # (train/fusion.py) — beyond-parity, the reference never tunes fusion
+    fusion_alpha: Optional[float] = None
     bm25_k1: float = 1.5
     bm25_b: float = 0.75
     bm25_epsilon: float = 0.25

@@ -14,7 +14,7 @@ import json
 import os
 import pickle
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -24,6 +24,7 @@ from ..data.tsv import read_tsv
 from .bm25 import BM25Okapi, tokenize
 from .builder import EMB_FILE, IDS_FILE, META_FILE, load_index
 from .engine import EmbeddingIndex, SearchResult
+from .rrf import rrf_weights
 
 _pack_jit = None
 
@@ -64,6 +65,7 @@ logger = get_logger("query")
 BM25_FILE = "bm25.pkl"
 TEXTS_FILE = "texts.tsv"
 TOKENIZER_FILE = "tokenizer.json"
+FUSION_FILE = "fusion.json"
 COMMIT_JOURNAL = "compact.commit.json"
 
 
@@ -284,6 +286,19 @@ class HybridQueryEngine:
             from .rerank_service import RerankService
 
             reranker = RerankService.load(reranker_dir)
+        # a persisted tuned fusion alpha (`semsearch tune-fusion --save`)
+        # applies unless the caller set one explicitly; absent both, the
+        # default None = the reference's unweighted fusion
+        fusion_path = os.path.join(index_dir, FUSION_FILE)
+        if rank_cfg.fusion_alpha is None and os.path.exists(fusion_path):
+            import dataclasses as _dc
+
+            with open(fusion_path) as f:
+                persisted = json.load(f)
+            rank_cfg = _dc.replace(
+                rank_cfg, fusion_alpha=float(persisted["fusion_alpha"]))
+            logger.info("using persisted fusion_alpha=%s from %s",
+                        rank_cfg.fusion_alpha, fusion_path)
         engine = cls(index, chunk_ids, encoder, bm25=bm25, cfg=rank_cfg,
                      texts=texts, reranker=reranker)
         engine._index_dir = index_dir
@@ -697,10 +712,14 @@ class HybridQueryEngine:
             "delta_lex": delta_lex if use_bm25 else None,
         }
 
-    def _finish_legs(self, state: Dict, k: int, rerank_top: int
-                     ) -> List[List[Hit]]:
-        """Phase 2 of ``search``: blocking result fetches, RRF fusion, and
-        the optional neural rerank over the fused head."""
+    def _leg_lists(
+        self, state: Dict
+    ) -> Tuple[List[List[Tuple[float, int]]],
+               Optional[List[List[Tuple[float, int]]]]]:
+        """Fetch both legs' results and build per-query (score, row) lists,
+        delta-merged, tombstone-filtered, truncated to the search depth and
+        sorted by descending score. Second element is None for dense-only
+        searches. Shared by ``_finish_legs`` and ``tune_fusion``."""
         queries = state["queries"]
         depth = state["depth"]
         use_bm25 = state["use_bm25"]
@@ -718,24 +737,10 @@ class HybridQueryEngine:
         elif state["bm_host"] is not None:
             bm_idx, bm_scores = state["bm_host"]
 
-        if rerank_top > 0:
-            if self.reranker is None:
-                raise ValueError(
-                    "rerank_top > 0 but no reranker loaded "
-                    "(pass reranker_dir to HybridQueryEngine.load)"
-                )
-            if self.texts is None:
-                raise ValueError(
-                    "rerank_top > 0 but the index has no texts.tsv "
-                    "(rebuild the index with HybridQueryEngine.build)"
-                )
-
-        per_query: List[List[Hit]] = []
-        rows_per_query: List[List[int]] = []
+        dense_lists: List[List[Tuple[float, int]]] = []
+        lex_lists: Optional[List[List[Tuple[float, int]]]] = (
+            [] if use_bm25 else None)
         for qi in range(len(queries)):
-            rrf: Dict[int, float] = {}
-            dense_rank: Dict[int, int] = {}
-            lex_rank: Dict[int, int] = {}
             dense_list = [
                 (float(dense.scores[qi][r]), int(dense.indices[qi][r]))
                 for r in range(len(dense.indices[qi]))
@@ -752,10 +757,7 @@ class HybridQueryEngine:
             if self._dead:
                 dense_list = [sr for sr in dense_list
                               if sr[1] not in self._dead]
-            dense_list = dense_list[:depth]
-            for rank, (_, row) in enumerate(dense_list, start=1):
-                rrf[row] = rrf.get(row, 0.0) + 1.0 / (self.cfg.rrf_k + rank)
-                dense_rank[row] = rank
+            dense_lists.append(dense_list[:depth])
             if use_bm25:
                 # inverted-index top-depth: per-query cost is the query
                 # terms' posting sizes, not the corpus size
@@ -773,9 +775,43 @@ class HybridQueryEngine:
                 if self._dead:
                     lex_list = [sr for sr in lex_list
                                 if sr[1] not in self._dead]
-                lex_list = lex_list[:depth]
-                for rank, (sc, row) in enumerate(lex_list, start=1):
-                    rrf[row] = rrf.get(row, 0.0) + 1.0 / (self.cfg.rrf_k + rank)
+                lex_lists.append(lex_list[:depth])
+        return dense_lists, lex_lists
+
+    def _finish_legs(self, state: Dict, k: int, rerank_top: int
+                     ) -> List[List[Hit]]:
+        """Phase 2 of ``search``: blocking result fetches, RRF fusion, and
+        the optional neural rerank over the fused head."""
+        queries = state["queries"]
+
+        if rerank_top > 0:
+            if self.reranker is None:
+                raise ValueError(
+                    "rerank_top > 0 but no reranker loaded "
+                    "(pass reranker_dir to HybridQueryEngine.load)"
+                )
+            if self.texts is None:
+                raise ValueError(
+                    "rerank_top > 0 but the index has no texts.tsv "
+                    "(rebuild the index with HybridQueryEngine.build)"
+                )
+
+        dense_lists, lex_lists = self._leg_lists(state)
+        # weighted RRF: (1.0, 1.0) at the default fusion_alpha=None —
+        # reference-exact unweighted fusion (index/rrf.py::rrf_weights)
+        w_dense, w_lex = rrf_weights(self.cfg.fusion_alpha)
+        per_query: List[List[Hit]] = []
+        rows_per_query: List[List[int]] = []
+        for qi in range(len(queries)):
+            rrf: Dict[int, float] = {}
+            dense_rank: Dict[int, int] = {}
+            lex_rank: Dict[int, int] = {}
+            for rank, (_, row) in enumerate(dense_lists[qi], start=1):
+                rrf[row] = rrf.get(row, 0.0) + w_dense / (self.cfg.rrf_k + rank)
+                dense_rank[row] = rank
+            if lex_lists is not None:
+                for rank, (sc, row) in enumerate(lex_lists[qi], start=1):
+                    rrf[row] = rrf.get(row, 0.0) + w_lex / (self.cfg.rrf_k + rank)
                     lex_rank[row] = rank
             keep = max(k, rerank_top)
             ranked = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:keep]
@@ -812,3 +848,70 @@ class HybridQueryEngine:
                                key=lambda j: -head[j].rerank_score)
                 per_query[qi] = [head[j] for j in order] + hits[n_head:]
         return [hits[:k] for hits in per_query]
+
+    def tune_fusion(
+        self,
+        queries: Sequence[str],
+        relevant_ids: Sequence[Sequence[str]],
+        candidates: Optional[int] = None,
+        grid: Optional[Sequence[float]] = None,
+    ) -> Tuple[float, float, Dict[float, float]]:
+        """Grid-search the weighted-RRF mixing alpha on a labeled
+        validation split against the LIVE engine legs (one dispatch, every
+        alpha re-fuses the fetched rank lists on the host).
+
+        ``relevant_ids[i]`` are the chunk_ids relevant to ``queries[i]``.
+        Returns ``(best_alpha, best_map, {alpha: map})``; MAP counts
+        relevant chunks missing from both legs' candidate pools as
+        unretrieved (they divide the AP denominator), so alphas are
+        compared on the true metric, not a pool-relative one. Ties break
+        toward 0.5 — the reference's unweighted fusion — so tuning never
+        drifts from parity without a measured win. The engine config is
+        frozen; apply the result via ``dataclasses.replace(rank_cfg,
+        fusion_alpha=best)``, ``--set ranking.fusion_alpha=<best>``, or
+        persist it next to the index (``semsearch tune-fusion --save``
+        writes ``fusion.json``; :meth:`load` auto-applies it).
+        Beyond-parity (the reference never tunes its fusion,
+        ``rank_chunks_optimized.py:225-239``); the validate-on-a-split
+        pattern mirrors its reranker epoch selection
+        (``train_controller.py:556-560``).
+        """
+        from ..train.fusion import DEFAULT_GRID
+
+        if len(queries) != len(relevant_ids):
+            raise ValueError(
+                f"{len(queries)} queries vs {len(relevant_ids)} label rows")
+        state = self._dispatch_legs(list(queries), k=10,
+                                    candidates=candidates, hybrid=True)
+        if not state["use_bm25"]:
+            raise ValueError(
+                "tune_fusion needs a hybrid index (build with --bm25)")
+        dense_lists, lex_lists = self._leg_lists(state)
+        id_to_row = {cid: row for row, cid in enumerate(self.chunk_ids)}
+        rel_rows = [
+            {id_to_row[str(c)] for c in rel if str(c) in id_to_row}
+            for rel in relevant_ids
+        ]
+        table: Dict[float, float] = {}
+        for alpha in (grid if grid is not None else DEFAULT_GRID):
+            w_dense, w_lex = rrf_weights(float(alpha))
+            aps = []
+            for qi in range(len(queries)):
+                rrf: Dict[int, float] = {}
+                for rank, (_, row) in enumerate(dense_lists[qi], start=1):
+                    rrf[row] = rrf.get(row, 0.0) + w_dense / (
+                        self.cfg.rrf_k + rank)
+                for rank, (_, row) in enumerate(lex_lists[qi], start=1):
+                    rrf[row] = rrf.get(row, 0.0) + w_lex / (
+                        self.cfg.rrf_k + rank)
+                ranked = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))
+                hits = 0
+                ap = 0.0
+                for pos, (row, _) in enumerate(ranked, start=1):
+                    if row in rel_rows[qi]:
+                        hits += 1
+                        ap += hits / pos
+                aps.append(ap / max(1, len(rel_rows[qi])))
+            table[float(alpha)] = float(np.mean(aps)) if aps else 0.0
+        best = max(table, key=lambda a: (table[a], -abs(a - 0.5)))
+        return best, table[best], table

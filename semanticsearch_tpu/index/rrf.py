@@ -6,9 +6,25 @@ order, fused as ``sum_i 1 / (k + rank_i)`` with k=60.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
+
+
+def rrf_weights(alpha: Optional[float]) -> Tuple[float, float]:
+    """(dense, lexical) RRF contribution weights for a mixing alpha.
+
+    ``None`` and 0.5 both map to (1.0, 1.0) — the reference's unweighted
+    fusion (``rank_chunks_optimized.py:225-239``), bit-identical scores.
+    Other alphas weight the legs as ``2*alpha`` / ``2*(1-alpha)`` (the
+    factor 2 keeps the score scale identical at the 0.5 default). Tuning
+    lives in ``train/fusion.py::tune_fusion_alpha``.
+    """
+    if alpha is None:
+        return 1.0, 1.0
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"fusion alpha must be in [0, 1], got {alpha}")
+    return 2.0 * alpha, 2.0 * (1.0 - alpha)
 
 
 def ranks_from_scores(scores: np.ndarray) -> np.ndarray:

@@ -162,3 +162,47 @@ def test_cli_index_add_and_search(tmp_path, capsys):
     top = out[0]["hits"][0]
     assert top["chunk_id"] == "cNEW"
     assert top["lexical_rank"] == 1 and top["dense_rank"] == 1
+
+
+def test_cli_tune_fusion_saves_and_serves(tmp_path, capsys):
+    """tune-fusion grid-searches alpha on a labeled TSV, --save persists
+    it, and a following search auto-applies the persisted value."""
+    import os
+
+    chunks = tmp_path / "chunks.tsv"
+    write_tsv(
+        str(chunks),
+        [{"chunk_id": f"c{i}", "chunk_text": t}
+         for i, t in enumerate([
+             "solar panels convert sunlight into electricity",
+             "the fishing quota for trawlers was reduced",
+             "bees pollinate flowers and produce honey",
+         ])],
+        ["chunk_id", "chunk_text"],
+    )
+    idx = str(tmp_path / "idx")
+    assert main(["index", "-i", str(chunks), "-o", idx, "--bm25"]) == 0
+    capsys.readouterr()
+
+    val = tmp_path / "val.tsv"
+    write_tsv(
+        str(val),
+        [{"query_id": "q0", "query_text": "fishing quota trawlers",
+          "chunk_id": "c1", "label": "1"},
+         {"query_id": "q1", "query_text": "bees honey",
+          "chunk_id": "c2", "label": "1"},
+         {"query_id": "q1", "query_text": "bees honey",
+          "chunk_id": "c0", "label": "0"}],
+        ["query_id", "query_text", "chunk_id", "label"],
+    )
+    assert main(["tune-fusion", "--index-dir", idx, "-i", str(val),
+                 "--save"]) == 0
+    blob = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= blob["best_alpha"] <= 1.0
+    assert blob["queries"] == 2
+    assert os.path.exists(os.path.join(idx, "fusion.json"))
+
+    assert main(["search", "--index-dir", idx, "-k", "2",
+                 "fishing quota trawlers"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out[0]["hits"][0]["chunk_id"] == "c1"

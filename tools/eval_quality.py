@@ -158,6 +158,11 @@ def main():
                          "split; keep each reranker's best-val-MAP epoch "
                          "(TrainConfig.keep_best) instead of the last")
     ap.add_argument("--reranker-patience", type=int, default=2)
+    ap.add_argument("--rerank-candidates", choices=["rrf", "wrrf"],
+                    default="rrf",
+                    help="candidate generator the rerankers rescore: the "
+                         "reference's unweighted RRF (parity) or the "
+                         "train-tuned weighted fusion (train/fusion.py)")
     args = ap.parse_args()
     if args.reranker_vocab == "subword" and args.tokenizer != "subword":
         ap.error("--reranker-vocab subword requires --tokenizer subword")
@@ -280,6 +285,33 @@ def main():
         rrf_scores[qi] = 1.0 / (60 + r_cos) + 1.0 / (60 + r_bm)
     results["hybrid_rrf"] = ranking_metrics(rrf_scores, labels)
     print(f"[4/5] hybrid rrf: {results['hybrid_rrf']}", file=sys.stderr)
+
+    # ------------------- 4b. hybrid WEIGHTED RRF, alpha tuned on TRAIN
+    # beyond-parity (train/fusion.py): the fusion alpha is grid-searched on
+    # the TRAIN split (its own queries, docs, and labels — no eval leakage)
+    # and applied unchanged to the eval corpus
+    from semanticsearch_tpu.train.fusion import (
+        tune_fusion_alpha, weighted_rrf,
+    )
+
+    t0 = time.perf_counter()
+    n_tq, n_td = len(train["queries"]), len(train["docs"])
+    qe_tr = encoder.encode(train["queries"])
+    de_tr = encoder.encode(train["docs"])
+    bm_tr = BM25Okapi([tokenize(d) for d in train["docs"]])
+    tr_idx, tr_top = bm_tr.get_topk_batch(
+        [tokenize(q) for q in train["queries"]], n_td)
+    bm_tr_scores = np.zeros((n_tq, n_td), np.float32)
+    np.put_along_axis(bm_tr_scores, tr_idx, tr_top, axis=1)
+    alpha, tr_map, _ = tune_fusion_alpha(
+        qe_tr @ de_tr.T, bm_tr_scores, train_labels)
+    wrrf_scores = weighted_rrf(dense_scores, bm25_scores, alpha=alpha)
+    results["hybrid_wrrf_tuned"] = ranking_metrics(wrrf_scores, labels)
+    print(f"[4b/5] hybrid wrrf (alpha={alpha:.2f}, train MAP {tr_map:.4f}): "
+          f"{results['hybrid_wrrf_tuned']} "
+          f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
+    if args.rerank_candidates == "wrrf":
+        rrf_scores = wrrf_scores  # rerankers rescore the tuned fusion's head
 
     # ------------------------------------- 5. hybrid + trained rerankers
     if args.rerankers == "all":
@@ -429,6 +461,8 @@ def main():
         "reranker_vocab": args.reranker_vocab,
         "reranker_embed_init": args.reranker_embed_init,
         "reranker_keep_best": args.reranker_keep_best,
+        "rerank_candidates": args.rerank_candidates,
+        "fusion_alpha": alpha,
     }))
 
 
