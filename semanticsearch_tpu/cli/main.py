@@ -543,6 +543,22 @@ def cmd_train_encoder(args) -> int:
         print(json.dumps({"error": "no positive (query, chunk) pairs in input"}))
         return 1
     encoder = _make_encoder(cfg, args)
+    mlm_history = []
+    if args.mlm_epochs > 0:
+        # unsupervised denoising pass over the corpus text BEFORE the
+        # supervised contrastive stage (train/mlm_pretrain.py) — the
+        # zero-egress analog of starting from hub-pretrained weights
+        from ..train.mlm_pretrain import MLMConfig, MLMPretrainer
+
+        # sorted: set iteration order is hash-randomized per process, and
+        # text order feeds batch composition — keep runs reproducible
+        mlm_texts = sorted({
+            r.get("chunk_text") or r.get("document", "") for r in rows
+        } - {""})
+        mlm_history = MLMPretrainer(
+            encoder,
+            MLMConfig(epochs=args.mlm_epochs, seed=cfg.seed),
+        ).fit(mlm_texts)
     ccfg = ContrastiveConfig(
         epochs=args.epochs, batch_size=args.batch_size,
         learning_rate=args.lr, seed=cfg.seed,
@@ -555,6 +571,9 @@ def cmd_train_encoder(args) -> int:
     print(json.dumps({
         "pairs": len(pairs), "epochs": len(history),
         "loss_first": history[0]["loss"], "loss_last": history[-1]["loss"],
+        **({"mlm_epochs": len(mlm_history),
+            "mlm_loss_first": mlm_history[0]["loss"],
+            "mlm_loss_last": mlm_history[-1]["loss"]} if mlm_history else {}),
         "checkpoint": args.output_dir,
     }))
     return 0
@@ -758,6 +777,11 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--mlm-epochs", type=int, default=0,
+                   help="unsupervised MLM pretraining epochs on the input's "
+                        "chunk texts before the contrastive stage "
+                        "(train/mlm_pretrain.py; the zero-egress analog of "
+                        "hub-pretrained weights)")
     _add_config_args(p)
     p.set_defaults(fn=cmd_train_encoder)
 

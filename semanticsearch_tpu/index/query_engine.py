@@ -861,6 +861,10 @@ class HybridQueryEngine:
         alpha re-fuses the fetched rank lists on the host).
 
         ``relevant_ids[i]`` are the chunk_ids relevant to ``queries[i]``.
+        Use queries the ENCODER never trained on: a contrastively-trained
+        encoder is near-perfect on its own training queries (measured
+        train-split MAP 0.999 at the scale eval), so tuning there
+        degenerates to alpha=1.0 instead of the mix that generalizes.
         Returns ``(best_alpha, best_map, {alpha: map})``; MAP counts
         relevant chunks missing from both legs' candidate pools as
         unretrieved (they divide the AP denominator), so alphas are

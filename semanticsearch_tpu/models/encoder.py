@@ -93,12 +93,19 @@ class TransformerBlock(nn.Module):
 
 
 class SentenceTransformerModel(nn.Module):
-    """Token+position embed -> N transformer blocks -> masked mean pool -> L2."""
+    """Token+position embed -> N transformer blocks -> masked mean pool -> L2.
+
+    ``return_tokens=True`` skips the pooling head and returns the final
+    (B, T, H) token states in f32 — the MLM pretraining objective
+    (``train/mlm_pretrain.py``) decodes these against the tied token
+    embedding, so the parameter tree is identical either way and
+    checkpoints stay portable between pretraining and encoding."""
 
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, ids, mask, deterministic: bool = True):
+    def __call__(self, ids, mask, deterministic: bool = True,
+                 return_tokens: bool = False):
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
         x = nn.Embed(c.vocab_size, c.hidden_dim, dtype=dtype,
@@ -131,6 +138,8 @@ class SentenceTransformerModel(nn.Module):
             )(x, mask, deterministic=deterministic)
         x = nn.LayerNorm(dtype=dtype)(x)
 
+        if return_tokens:
+            return x.astype(jnp.float32)
         if c.pooling == "cls":
             pooled = x[:, 0, :]
         else:

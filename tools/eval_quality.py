@@ -158,6 +158,10 @@ def main():
                          "split; keep each reranker's best-val-MAP epoch "
                          "(TrainConfig.keep_best) instead of the last")
     ap.add_argument("--reranker-patience", type=int, default=2)
+    ap.add_argument("--mlm-epochs", type=int, default=0,
+                    help="unsupervised MLM pretraining epochs on the TRAIN "
+                         "docs before contrastive training "
+                         "(train/mlm_pretrain.py)")
     ap.add_argument("--rerank-candidates", choices=["rrf", "wrrf"],
                     default="rrf",
                     help="candidate generator the rerankers rescore: the "
@@ -249,6 +253,19 @@ def main():
           file=sys.stderr)
 
     # ----------------------------------------- 3. dense w/ TRAINED encoder
+    if args.mlm_epochs > 0:
+        from semanticsearch_tpu.train.mlm_pretrain import (
+            MLMConfig, MLMPretrainer,
+        )
+
+        t0 = time.perf_counter()
+        mlm_hist = MLMPretrainer(
+            encoder, MLMConfig(epochs=args.mlm_epochs, max_len=32,
+                               seed=args.seed),
+        ).fit(list(train["docs"]))
+        print(f"[3/5] mlm pretrain: loss {mlm_hist[0]['loss']:.3f} -> "
+              f"{mlm_hist[-1]['loss']:.3f} over {len(mlm_hist)} epochs "
+              f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
     train_labels = relevance(train)
     pairs, negs = [], []
     rng = np.random.default_rng(args.seed)
@@ -286,28 +303,35 @@ def main():
     results["hybrid_rrf"] = ranking_metrics(rrf_scores, labels)
     print(f"[4/5] hybrid rrf: {results['hybrid_rrf']}", file=sys.stderr)
 
-    # ------------------- 4b. hybrid WEIGHTED RRF, alpha tuned on TRAIN
+    # -------------- 4b. hybrid WEIGHTED RRF, alpha tuned on HELD-OUT VAL
     # beyond-parity (train/fusion.py): the fusion alpha is grid-searched on
-    # the TRAIN split (its own queries, docs, and labels — no eval leakage)
-    # and applied unchanged to the eval corpus
+    # a VALIDATION split the encoder never trained on (fresh queries and
+    # docs from the same topics, seed-disjoint from the eval split) and
+    # applied unchanged to the eval corpus. Tuning on the TRAIN split is
+    # degenerate: the contrastively-trained encoder is near-perfect on its
+    # own training queries (measured train MAP 0.999), so the tuner would
+    # always collapse to alpha=1.0 instead of the generalizing mix.
     from semanticsearch_tpu.train.fusion import (
         tune_fusion_alpha, weighted_rrf,
     )
 
     t0 = time.perf_counter()
-    n_tq, n_td = len(train["queries"]), len(train["docs"])
-    qe_tr = encoder.encode(train["queries"])
-    de_tr = encoder.encode(train["docs"])
-    bm_tr = BM25Okapi([tokenize(d) for d in train["docs"]])
-    tr_idx, tr_top = bm_tr.get_topk_batch(
-        [tokenize(q) for q in train["queries"]], n_td)
-    bm_tr_scores = np.zeros((n_tq, n_td), np.float32)
-    np.put_along_axis(bm_tr_scores, tr_idx, tr_top, axis=1)
-    alpha, tr_map, _ = tune_fusion_alpha(
-        qe_tr @ de_tr.T, bm_tr_scores, train_labels)
+    val = build_split(args.seed + 2000, n_queries_per_topic=args.eval_qpt,
+                      qv=qv, dv=dv, docs_per_class=args.docs_per_class)
+    val_labels = relevance(val)
+    n_vq, n_vd = val_labels.shape
+    qe_val = encoder.encode(val["queries"])
+    de_val = encoder.encode(val["docs"])
+    bm_val = BM25Okapi([tokenize(d) for d in val["docs"]])
+    val_idx, val_top = bm_val.get_topk_batch(
+        [tokenize(q) for q in val["queries"]], n_vd)
+    bm_val_scores = np.zeros((n_vq, n_vd), np.float32)
+    np.put_along_axis(bm_val_scores, val_idx, val_top, axis=1)
+    alpha, val_map, _ = tune_fusion_alpha(
+        qe_val @ de_val.T, bm_val_scores, val_labels)
     wrrf_scores = weighted_rrf(dense_scores, bm25_scores, alpha=alpha)
     results["hybrid_wrrf_tuned"] = ranking_metrics(wrrf_scores, labels)
-    print(f"[4b/5] hybrid wrrf (alpha={alpha:.2f}, train MAP {tr_map:.4f}): "
+    print(f"[4b/5] hybrid wrrf (alpha={alpha:.2f}, val MAP {val_map:.4f}): "
           f"{results['hybrid_wrrf_tuned']} "
           f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
     if args.rerank_candidates == "wrrf":
@@ -463,6 +487,7 @@ def main():
         "reranker_keep_best": args.reranker_keep_best,
         "rerank_candidates": args.rerank_candidates,
         "fusion_alpha": alpha,
+        "mlm_epochs": args.mlm_epochs,
     }))
 
 
