@@ -564,9 +564,24 @@ def cmd_train_encoder(args) -> int:
         learning_rate=args.lr, seed=cfg.seed,
         max_len_chunk=min(cfg.encoder.max_len, 256),
     )
-    history = ContrastiveEncoderTrainer(encoder, ccfg).fit(
-        pairs, hard_negatives=hard
-    )
+    if args.mine_rounds > 1:
+        import dataclasses as _dc
+
+        from ..train.encoder_train import (
+            fit_with_mining,
+            mining_inputs_from_labeled_rows,
+        )
+
+        corpus, relevant = mining_inputs_from_labeled_rows(rows, pairs)
+        stage_cfg = _dc.replace(
+            ccfg, epochs=max(1, args.epochs // args.mine_rounds))
+        history = fit_with_mining(
+            encoder, stage_cfg, pairs, corpus, relevant,
+            initial_negatives=hard, rounds=args.mine_rounds)
+    else:
+        history = ContrastiveEncoderTrainer(encoder, ccfg).fit(
+            pairs, hard_negatives=hard
+        )
     save_encoder(encoder, args.output_dir)
     print(json.dumps({
         "pairs": len(pairs), "epochs": len(history),
@@ -574,6 +589,7 @@ def cmd_train_encoder(args) -> int:
         **({"mlm_epochs": len(mlm_history),
             "mlm_loss_first": mlm_history[0]["loss"],
             "mlm_loss_last": mlm_history[-1]["loss"]} if mlm_history else {}),
+        **({"mine_rounds": args.mine_rounds} if args.mine_rounds > 1 else {}),
         "checkpoint": args.output_dir,
     }))
     return 0
@@ -782,6 +798,12 @@ def main(argv=None) -> int:
                         "chunk texts before the contrastive stage "
                         "(train/mlm_pretrain.py; the zero-egress analog of "
                         "hub-pretrained weights)")
+    p.add_argument("--mine-rounds", type=int, default=1,
+                   help=">1: split the contrastive epochs into this many "
+                        "stages, re-mining each pair's hard negative as the "
+                        "CURRENT encoder's top-scoring non-relevant chunk "
+                        "between stages (ANCE-style self-mining, "
+                        "train/encoder_train.py::fit_with_mining)")
     _add_config_args(p)
     p.set_defaults(fn=cmd_train_encoder)
 

@@ -90,6 +90,42 @@ def pairs_from_labeled_rows(
     return pairs, hard
 
 
+def mining_inputs_from_labeled_rows(
+    rows: Sequence[Dict[str, str]],
+    pairs: Sequence[Tuple[str, str]],
+) -> Tuple[List[str], List[List[int]]]:
+    """Mining corpus + per-pair relevant rows for :func:`fit_with_mining`.
+
+    ``rows`` are the same labeled TSV rows given to
+    :func:`pairs_from_labeled_rows` and ``pairs`` its output: the corpus is
+    every distinct chunk text in the input (positives and negatives alike —
+    the widest in-domain pool the data layer provides), and
+    ``relevant_idx[i]`` lists the corpus rows labeled positive for pair
+    ``i``'s query, so re-mining never picks a known positive as a negative.
+    """
+    corpus: List[str] = []
+    idx: Dict[str, int] = {}
+    pos_by_q: Dict[str, set] = {}
+    for r in rows:
+        text = r.get("chunk_text") or r.get("document", "")
+        if not text:
+            continue
+        if text not in idx:
+            idx[text] = len(corpus)
+            corpus.append(text)
+        try:
+            label = float(r.get("label", "0"))
+        except ValueError:
+            continue
+        if label > 0:
+            # same query-string resolution as pairs_from_labeled_rows:
+            # pairs carry query_text when present, else query_id
+            q = r.get("query_text") or r.get("query_id") or ""
+            pos_by_q.setdefault(q, set()).add(idx[text])
+    relevant = [sorted(pos_by_q.get(q, ())) for q, _ in pairs]
+    return corpus, relevant
+
+
 class ContrastiveEncoderTrainer:
     """Train a SentenceEncoder's parameters with InfoNCE.
 
@@ -252,6 +288,82 @@ class ContrastiveEncoderTrainer:
             history.append(row)
             logger.info("contrastive epoch %d: %s", epoch, row)
         return history
+
+
+def mine_hard_negatives(
+    encoder: SentenceEncoder,
+    queries: Sequence[str],
+    corpus_texts: Sequence[str],
+    relevant_idx: Sequence[Sequence[int]],
+    rank_floor: int = 0,
+) -> List[str]:
+    """Self-mined hard negatives: for each query, the highest-scoring
+    NON-relevant corpus text under the CURRENT encoder.
+
+    The static hard negatives the data layer provides (label<=0 rows) stop
+    being hard once the encoder has learned them; re-mining against the
+    model's own live ranking keeps the InfoNCE denominator adversarial —
+    the ANCE-style refresh, zero-egress. ``relevant_idx[i]`` are corpus
+    rows relevant to ``queries[i]`` (masked out so a true positive is
+    never used as a negative). ``rank_floor`` skips the top-``rank_floor``
+    non-relevant hits — useful when labels are incomplete and the very
+    top hits may be unlabeled positives (false-negative guard).
+    """
+    if len(queries) != len(relevant_idx):
+        raise ValueError(
+            f"{len(queries)} queries vs {len(relevant_idx)} relevance rows")
+    qe = encoder.encode(list(queries))
+    de = encoder.encode(list(corpus_texts))
+    scores = qe @ de.T
+    out: List[str] = []
+    for i, rel in enumerate(relevant_idx):
+        row = scores[i].copy()
+        rel_rows = np.asarray(list(rel), dtype=np.int64)
+        if rel_rows.size:
+            row[rel_rows] = -np.inf
+        order = np.argsort(-row)
+        pick = order[min(rank_floor, len(order) - 1)]
+        out.append(corpus_texts[int(pick)])
+    return out
+
+
+def fit_with_mining(
+    encoder: SentenceEncoder,
+    cfg: ContrastiveConfig,
+    pairs: Sequence[Tuple[str, str]],
+    corpus_texts: Sequence[str],
+    relevant_idx: Sequence[Sequence[int]],
+    initial_negatives: Optional[Sequence[Optional[str]]] = None,
+    rounds: int = 2,
+    rank_floor: int = 0,
+) -> List[Dict[str, float]]:
+    """Contrastive training with periodic hard-negative re-mining.
+
+    Runs ``rounds`` training stages of ``cfg.epochs`` each; stage 0 uses
+    ``initial_negatives`` (the data layer's static negatives), every later
+    stage re-mines each pair's negative from the CURRENT encoder via
+    :func:`mine_hard_negatives`. Mutates ``encoder.params``; returns the
+    concatenated history with a ``round`` field per row. Beyond-parity:
+    the reference fine-tunes nothing (pretrained weights only,
+    ``Tool/Sentence_Embedding.py:75-150``).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    history: List[Dict[str, float]] = []
+    negs: Optional[Sequence[Optional[str]]] = initial_negatives
+    queries = [p[0] for p in pairs]
+    for r in range(rounds):
+        if r > 0:
+            negs = mine_hard_negatives(
+                encoder, queries, corpus_texts, relevant_idx,
+                rank_floor=rank_floor)
+        stage_cfg = dataclasses.replace(cfg, seed=cfg.seed + 101 * r)
+        hist = ContrastiveEncoderTrainer(encoder, stage_cfg).fit(
+            pairs, hard_negatives=negs)
+        for row in hist:
+            row["round"] = r
+        history.extend(hist)
+    return history
 
 
 def save_encoder(encoder: SentenceEncoder, path: str) -> str:

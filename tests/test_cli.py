@@ -206,3 +206,38 @@ def test_cli_tune_fusion_saves_and_serves(tmp_path, capsys):
                  "fishing quota trawlers"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out[0]["hits"][0]["chunk_id"] == "c1"
+
+
+def test_cli_train_encoder_with_mining(tmp_path, capsys):
+    rows = []
+    for t in range(2):
+        for i in range(6):
+            rows.append({"query_id": f"q{t}",
+                         "query_text": f"query topic{t} find",
+                         "chunk_text": f"chunk{t} item{i} alpha beta",
+                         "label": "1"})
+            rows.append({"query_id": f"q{t}",
+                         "query_text": f"query topic{t} find",
+                         "chunk_text": f"offtopic{1 - t} item{i} gamma",
+                         "label": "0"})
+    p = tmp_path / "labeled.tsv"
+    write_tsv(str(p), rows, ["query_id", "query_text", "chunk_text", "label"])
+    rc = main(["train-encoder", "-i", str(p), "-o", str(tmp_path / "ckpt"),
+               "--epochs", "2", "--mine-rounds", "2", "--batch-size", "8",
+               "--set", "encoder.vocab_size=512",
+               "--set", "encoder.hidden_dim=32",
+               "--set", "encoder.num_layers=1",
+               "--set", "encoder.num_heads=2",
+               "--set", "encoder.mlp_dim=64",
+               "--set", "encoder.max_len=16"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mine_rounds"] == 2
+    assert out["epochs"] == 2  # 2 rounds x 1 epoch each
+    assert out["pairs"] == 12
+    import numpy as np
+
+    from semanticsearch_tpu.train.encoder_train import load_encoder
+
+    enc = load_encoder(str(tmp_path / "ckpt"))
+    assert np.isfinite(enc.encode(["query topic0 find"])).all()

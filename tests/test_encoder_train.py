@@ -11,7 +11,9 @@ from semanticsearch_tpu.models.encoder import SentenceEncoder
 from semanticsearch_tpu.train.encoder_train import (
     ContrastiveConfig,
     ContrastiveEncoderTrainer,
+    fit_with_mining,
     load_encoder,
+    mine_hard_negatives,
     pairs_from_labeled_rows,
     save_encoder,
 )
@@ -115,3 +117,74 @@ def test_contrastive_trainer_rejects_empty():
     enc = _tiny_encoder()
     with pytest.raises(ValueError):
         ContrastiveEncoderTrainer(enc).fit([])
+
+
+def test_mine_hard_negatives_is_argmax_over_nonrelevant():
+    """The mined negative must be exactly the highest-scoring corpus text
+    under the CURRENT encoder once the query's relevant rows are masked."""
+    enc = _tiny_encoder()
+    rng = np.random.default_rng(7)
+    queries = [_sample_text(QUERY_VOCAB[t], rng, n=3) for t in range(3)]
+    corpus = [_sample_text(DOC_VOCAB[t % N_TOPICS], rng) for t in range(12)]
+    relevant = [[0, 1], [2], []]
+
+    negs = mine_hard_negatives(enc, queries, corpus, relevant)
+
+    qe = enc.encode(queries)
+    de = enc.encode(corpus)
+    scores = qe @ de.T
+    for i, rel in enumerate(relevant):
+        row = scores[i].copy()
+        row[np.asarray(rel, dtype=np.int64)] = -np.inf
+        assert negs[i] == corpus[int(np.argmax(row))]
+        assert negs[i] not in [corpus[r] for r in rel]
+
+
+def test_mine_hard_negatives_rank_floor_skips_top_hits():
+    enc = _tiny_encoder()
+    rng = np.random.default_rng(11)
+    queries = [_sample_text(QUERY_VOCAB[0], rng, n=3)]
+    corpus = [_sample_text(DOC_VOCAB[t % N_TOPICS], rng) for t in range(8)]
+
+    floor0 = mine_hard_negatives(enc, queries, corpus, [[]], rank_floor=0)
+    floor2 = mine_hard_negatives(enc, queries, corpus, [[]], rank_floor=2)
+    scores = (enc.encode(queries) @ enc.encode(corpus).T)[0]
+    order = np.argsort(-scores)
+    assert floor0[0] == corpus[int(order[0])]
+    assert floor2[0] == corpus[int(order[2])]
+
+    # floor beyond the corpus clamps to the last row instead of crashing
+    tail = mine_hard_negatives(enc, queries, corpus, [[]], rank_floor=99)
+    assert tail[0] == corpus[int(order[-1])]
+
+
+def test_mine_hard_negatives_rejects_length_mismatch():
+    enc = _tiny_encoder()
+    with pytest.raises(ValueError):
+        mine_hard_negatives(enc, ["a", "b"], ["doc"], [[0]])
+
+
+def test_fit_with_mining_trains_and_tags_rounds():
+    enc = _tiny_encoder()
+    rng = np.random.default_rng(3)
+    pairs, negs = _make_pairs(n_per_topic=16, seed=3)
+    # corpus = the positives; each pair's relevant rows = all positives of
+    # its own topic (pairs are emitted topic-major, 16 per topic)
+    corpus = [p[1] for p in pairs]
+    rel = [list(range((i // 16) * 16, (i // 16 + 1) * 16))
+           for i in range(len(pairs))]
+
+    cfg = ContrastiveConfig(epochs=3, batch_size=48, learning_rate=1e-3,
+                            max_len_query=16, max_len_chunk=32, seed=0)
+    history = fit_with_mining(enc, cfg, pairs, corpus, rel,
+                              initial_negatives=negs, rounds=2)
+
+    assert len(history) == 6  # 2 rounds x 3 epochs
+    assert [h["round"] for h in history] == [0, 0, 0, 1, 1, 1]
+    losses = [h["loss"] for h in history]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.7, f"loss barely moved: {losses}"
+    assert _topic_retrieval_accuracy(enc) >= 0.8
+
+    with pytest.raises(ValueError):
+        fit_with_mining(enc, cfg, pairs, corpus, rel, rounds=0)

@@ -1,8 +1,16 @@
-"""Contrastive encoder-training throughput: steps/s and pairs/s on device.
+"""Contrastive ENCODER training throughput: InfoNCE train steps/s on device.
 
-The reference has no encoder training at all (it downloads pretrained
-sentence-transformers weights); this measures the in-repo InfoNCE loop
-(train/encoder_train.py) that replaces them.
+The ROADMAP row "encoder contrastive training at scale on TPU": the quality
+evals train CPU-sized encoders; this measures the production-class config
+(the MiniLM-class encoder of the BASELINE encode rows) doing full InfoNCE
+train steps — two transformer forwards + a (B, 2B) logit matmul + backward —
+on the real chip. Steps chain through the params, so timing N dispatches +
+one final scalar fetch measures true device throughput (no per-step tunnel
+round-trip), same discipline as tools/bench_train.py.
+
+ONE compiled program (the jitted step); tokenization is bypassed with
+pre-made integer id batches so the row measures device compute, not host
+text processing (host tokenization throughput has its own BASELINE row).
 """
 from __future__ import annotations
 
@@ -23,58 +31,81 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pairs", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--len-query", type=int, default=16)
+    ap.add_argument("--len-chunk", type=int, default=128)
+    ap.add_argument("--vocab", type=int, default=8192)
+    ap.add_argument("--no-hard-negatives", action="store_true")
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from semanticsearch_tpu.core.config import EncoderConfig
     from semanticsearch_tpu.models.encoder import SentenceEncoder
     from semanticsearch_tpu.train.encoder_train import (
-        ContrastiveConfig, ContrastiveEncoderTrainer,
+        ContrastiveConfig,
+        ContrastiveEncoderTrainer,
     )
 
-    on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu:
-        args.pairs = min(args.pairs, 256)
+    # the production encoder config of the BASELINE encode-throughput rows
+    cfg = EncoderConfig(vocab_size=args.vocab, hidden_dim=384, num_layers=6,
+                        num_heads=12, mlp_dim=1536, max_len=128)
+    encoder = SentenceEncoder(cfg, seed=0)
+    ccfg = ContrastiveConfig(
+        batch_size=args.batch, max_len_query=args.len_query,
+        max_len_chunk=args.len_chunk,
+        use_hard_negatives=not args.no_hard_negatives,
+    )
+    trainer = ContrastiveEncoderTrainer(encoder, ccfg)
+    trainer._build(total_steps=max(args.steps, 2))
 
     rng = np.random.default_rng(0)
-    vocab = [f"w{i}" for i in range(5000)]
-    pairs = []
-    negs = []
-    for _ in range(args.pairs):
-        topic = rng.choice(vocab, size=8)
-        pairs.append((
-            " ".join(rng.choice(topic, size=4)),
-            " ".join(rng.choice(topic, size=12)),
-        ))
-        negs.append(" ".join(rng.choice(vocab, size=12)))
+    b = args.batch
+    q_ids = jnp.asarray(rng.integers(3, args.vocab, (b, args.len_query)),
+                        jnp.int32)
+    q_mask = jnp.ones((b, args.len_query), jnp.int32)
+    # chunk rows: positives, plus hard negatives appended when enabled
+    c_rows = b if args.no_hard_negatives else 2 * b
+    c_ids = jnp.asarray(rng.integers(3, args.vocab, (c_rows, args.len_chunk)),
+                        jnp.int32)
+    c_mask = jnp.ones((c_rows, args.len_chunk), jnp.int32)
 
-    enc = SentenceEncoder(EncoderConfig(
-        dtype="bfloat16" if on_tpu else "float32",
-    ))
-    cfg = ContrastiveConfig(
-        epochs=args.epochs, batch_size=args.batch,
-        max_len_query=64, max_len_chunk=128, seed=0,
-    )
-    trainer = ContrastiveEncoderTrainer(enc, cfg)
-    history = trainer.fit(pairs, hard_negatives=negs)
+    params = encoder.params
+    opt_state = trainer._tx.init(params)
+    key = jax.random.PRNGKey(1)
 
-    # first epoch pays compile; report the best later epoch
-    steps_per_epoch = -(-args.pairs // args.batch)
-    best = min(h["time_s"] for h in history[1:]) if len(history) > 1 else (
-        history[0]["time_s"]
-    )
+    # compile + warmup (scalar fetch forces completion through the tunnel)
+    params, opt_state, loss = trainer._step_fn(
+        params, opt_state, q_ids, q_mask, c_ids, c_mask, key)
+    _ = float(loss)
+
+    t0 = time.perf_counter()
+    for _s in range(args.steps):
+        params, opt_state, loss = trainer._step_fn(
+            params, opt_state, q_ids, q_mask, c_ids, c_mask, key)
+    _ = float(loss)
+    dt = time.perf_counter() - t0
+
+    # FLOP estimate: 6 * params_active * tokens (fwd+bwd) for the two
+    # encoder towers; logit matmul is negligible at these shapes
+    p_layer = 4 * 384 * 384 + 2 * 384 * 1536  # attn qkv/o + mlp up/down
+    p_tot = cfg.num_layers * p_layer
+    tokens = args.steps * (b * args.len_query + c_rows * args.len_chunk)
+    flops = 6 * p_tot * tokens
+
     print(json.dumps({
-        "metric": "contrastive_encoder_train",
-        "steps_per_sec": round(steps_per_epoch / best, 2),
-        "pairs_per_sec": round(args.pairs / best, 1),
-        "loss_first": round(history[0]["loss"], 4),
-        "loss_last": round(history[-1]["loss"], 4),
-        "batch": args.batch,
-        "epochs": len(history),
+        "metric": "encoder_train_steps_per_s",
+        "steps_per_s": round(args.steps / dt, 3),
+        "pairs_per_s": round(args.steps * b / dt, 1),
+        "tokens_per_s": round(tokens / dt, 0),
+        "model_tflops_per_s": round(flops / dt / 1e12, 2),
+        "batch_size": b,
+        "hard_negatives": not args.no_hard_negatives,
+        "len_query": args.len_query,
+        "len_chunk": args.len_chunk,
+        "loss": float(loss),
         "backend": jax.default_backend(),
     }))
 

@@ -158,6 +158,11 @@ def main():
                          "split; keep each reranker's best-val-MAP epoch "
                          "(TrainConfig.keep_best) instead of the last")
     ap.add_argument("--reranker-patience", type=int, default=2)
+    ap.add_argument("--mine-rounds", type=int, default=1,
+                    help=">1: split the contrastive epochs into this many "
+                         "stages, re-mining each pair's hard negative from "
+                         "the CURRENT encoder between stages (ANCE-style "
+                         "self-mining, train/encoder_train.py)")
     ap.add_argument("--mlm-epochs", type=int, default=0,
                     help="unsupervised MLM pretraining epochs on the TRAIN "
                          "docs before contrastive training "
@@ -267,7 +272,7 @@ def main():
               f"{mlm_hist[-1]['loss']:.3f} over {len(mlm_hist)} epochs "
               f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
     train_labels = relevance(train)
-    pairs, negs = [], []
+    pairs, negs, pair_rel = [], [], []
     rng = np.random.default_rng(args.seed)
     for qi, q in enumerate(train["queries"]):
         rel = np.nonzero(train_labels[qi])[0]
@@ -275,13 +280,24 @@ def main():
         for di in rel:
             pairs.append((q, train["docs"][di]))
             negs.append(train["docs"][rng.choice(irr)])
+            pair_rel.append(rel)
     t0 = time.perf_counter()
-    hist = ContrastiveEncoderTrainer(
-        encoder,
-        ContrastiveConfig(epochs=args.epochs, batch_size=64,
-                          learning_rate=1e-3, max_len_query=16,
-                          max_len_chunk=32, seed=args.seed),
-    ).fit(pairs, hard_negatives=negs)
+    con_cfg = ContrastiveConfig(epochs=args.epochs, batch_size=64,
+                                learning_rate=1e-3, max_len_query=16,
+                                max_len_chunk=32, seed=args.seed)
+    if args.mine_rounds > 1:
+        from semanticsearch_tpu.train.encoder_train import fit_with_mining
+
+        import dataclasses as _dc0
+
+        stage_cfg = _dc0.replace(
+            con_cfg, epochs=max(1, args.epochs // args.mine_rounds))
+        hist = fit_with_mining(
+            encoder, stage_cfg, pairs, list(train["docs"]), pair_rel,
+            initial_negatives=negs, rounds=args.mine_rounds)
+    else:
+        hist = ContrastiveEncoderTrainer(encoder, con_cfg).fit(
+            pairs, hard_negatives=negs)
     print(f"[3/5] contrastive train: loss {hist[0]['loss']:.3f} -> "
           f"{hist[-1]['loss']:.3f} over {len(hist)} epochs "
           f"({time.perf_counter()-t0:.1f}s, {len(pairs)} pairs)",
@@ -488,6 +504,7 @@ def main():
         "rerank_candidates": args.rerank_candidates,
         "fusion_alpha": alpha,
         "mlm_epochs": args.mlm_epochs,
+        "mine_rounds": args.mine_rounds,
     }))
 
 
