@@ -52,10 +52,21 @@ LADDER = (
     ("+keep best", "quality_scale_subword_rr"),
 )
 
+# Encoder PRETRAINING recipe variants (all subword corpus, --rerankers none,
+# same total contrastive epoch budget): unsupervised MLM denoising before
+# the contrastive stage (train/mlm_pretrain.py) and/or ANCE-style
+# hard-negative self-mining between stages (fit_with_mining).
+PRETRAIN = (
+    ("contrastive only", "wrrf_subword"),
+    ("+MLM 3ep", "mlm3_subword"),
+    ("+self-mining x2", "mine2_subword"),
+    ("+MLM +mining", "mlm3_mine2_subword"),
+)
 
-def load_ladder(d):
+
+def load_ladder(d, rungs_spec=LADDER):
     rungs = {}  # label -> seed -> results
-    for label, stem in LADDER:
+    for label, stem in rungs_spec:
         per_seed = {}
         for path in sorted(glob.glob(os.path.join(d, f"{stem}_s*.json"))):
             m = re.search(r"_s(\d+)\.json$", path)
@@ -168,6 +179,25 @@ def main():
             lines.append(
                 f"| {method.removeprefix('hybrid_plus_')} | "
                 + " | ".join(cells) + " |")
+
+    # encoder pretraining recipe: dense + tuned-fusion MAP per variant
+    pre = load_ladder(args.dir, PRETRAIN)
+    if len(pre) >= 2:
+        lines.append("")
+        lines.append(
+            "Encoder pretraining recipe (same contrastive epoch budget; "
+            "mean±std over seeds):")
+        lines.append("| Recipe | dense MAP | tuned-fusion MAP | seeds |")
+        lines.append("|---|---|---|---|")
+        for label, _stem in PRETRAIN:
+            if label not in pre:
+                continue
+            cells = []
+            for method in ("dense_trained_encoder", "hybrid_wrrf_tuned"):
+                a = agg(pre[label], method, "map")
+                cells.append(f"{a[0]:.4f}±{a[1]:.4f}" if a else "—")
+            lines.append(f"| {label} | {cells[0]} | {cells[1]} "
+                         f"| {sorted(pre[label])} |")
 
     text = "\n".join(lines)
     if args.out == "-":
