@@ -577,7 +577,8 @@ def cmd_train_encoder(args) -> int:
             ccfg, epochs=max(1, args.epochs // args.mine_rounds))
         history = fit_with_mining(
             encoder, stage_cfg, pairs, corpus, relevant,
-            initial_negatives=hard, rounds=args.mine_rounds)
+            initial_negatives=hard, rounds=args.mine_rounds,
+            rank_floor=args.mine_rank_floor)
     else:
         history = ContrastiveEncoderTrainer(encoder, ccfg).fit(
             pairs, hard_negatives=hard
@@ -804,6 +805,11 @@ def main(argv=None) -> int:
                         "CURRENT encoder's top-scoring non-relevant chunk "
                         "between stages (ANCE-style self-mining, "
                         "train/encoder_train.py::fit_with_mining)")
+    p.add_argument("--mine-rank-floor", type=int, default=0,
+                   help="skip the top-N non-relevant hits when re-mining — "
+                        "the false-negative guard for incompletely labeled "
+                        "corpora where the very top hits may be unlabeled "
+                        "positives")
     _add_config_args(p)
     p.set_defaults(fn=cmd_train_encoder)
 

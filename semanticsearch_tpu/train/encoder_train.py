@@ -312,7 +312,11 @@ def mine_hard_negatives(
     if len(queries) != len(relevant_idx):
         raise ValueError(
             f"{len(queries)} queries vs {len(relevant_idx)} relevance rows")
-    qe = encoder.encode(list(queries))
+    # queries arrive one-per-pair, so the same query text repeats once per
+    # positive — encode each distinct text once and scatter back
+    uniq, inverse = np.unique(np.asarray(queries, dtype=object),
+                              return_inverse=True)
+    qe = encoder.encode([str(q) for q in uniq])[inverse]
     de = encoder.encode(list(corpus_texts))
     scores = qe @ de.T
     out: List[str] = []
