@@ -276,11 +276,14 @@ class ContrastiveEncoderTrainer:
                     jnp.asarray(bq_ids), jnp.asarray(bq_mask),
                     jnp.asarray(bc_ids), jnp.asarray(bc_mask), sub,
                 )
-                losses.append(float(loss_val))
+                # keep the DEVICE scalar: fetching here would block a
+                # tunnel round-trip per step (steps chain through params,
+                # so compute never waits on the host)
+                losses.append(loss_val)
             self.encoder.params = params
             row: Dict[str, float] = {
                 "epoch": epoch,
-                "loss": float(np.mean(losses)),
+                "loss": float(jnp.mean(jnp.stack(losses))),
                 "time_s": time.perf_counter() - t0,
             }
             if eval_fn is not None:

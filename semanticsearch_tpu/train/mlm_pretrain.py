@@ -173,9 +173,11 @@ class MLMPretrainer:
                     params, opt_state,
                     jnp.asarray(corrupt), jnp.asarray(mask_full[sel]),
                     jnp.asarray(pos), jnp.asarray(tgt), jnp.asarray(w), sub)
-                losses.append(float(loss_val))
+                # device scalar — one fetch per epoch, not per step
+                losses.append(loss_val)
             self.encoder.params = params
-            row = {"epoch": epoch, "loss": float(np.mean(losses)),
+            row = {"epoch": epoch,
+                   "loss": float(jnp.mean(jnp.stack(losses))),
                    "time_s": time.perf_counter() - t0}
             history.append(row)
             logger.info("mlm epoch %d: %s", epoch, row)

@@ -274,7 +274,11 @@ class RerankTrainer:
                             jnp.asarray(batch["right"]),
                             batch["group_size"], sub,
                         )
-                        losses.append(float(loss_val))
+                        # device scalar: a float() here would block one
+                        # tunnel round-trip per step; the epoch's losses
+                        # are flushed in ONE fetch below, still inside the
+                        # try so an async OOM surfaces to the retry path
+                        losses.append(loss_val)
                         step += 1
                         if checkpoint_dir and checkpoint_every_steps and (
                             step % checkpoint_every_steps == 0
@@ -293,6 +297,9 @@ class RerankTrainer:
                                 },
                                 async_save=True,
                             )
+                    if losses:
+                        # one blocking fetch per epoch (not per step)
+                        losses = np.asarray(jnp.stack(losses)).tolist()
                     break
                 except Exception as exc:
                     msg = str(exc).lower()
