@@ -118,6 +118,15 @@ class RankingConfig:
     # split with HybridQueryEngine.tune_fusion / `semsearch tune-fusion`
     # (train/fusion.py) — beyond-parity, the reference never tunes fusion
     fusion_alpha: Optional[float] = None
+    # serve-time neural rerank blend: the reranked head order is a
+    # rank-RRF mix of beta * reranker-rank + (1-beta) * fusion-rank.
+    # 1.0 (default) = pure reranker reorder (the reference's rescoring
+    # semantics, evaluate_models.py:341-350); 0.0 = reranker inert.
+    # Measured (BASELINE.md): once the fusion is validation-tuned and the
+    # encoder pretrained, the tuned fusion outranks a pure reranker
+    # reorder — a partial blend keeps the reranker's wins without
+    # surrendering the fusion order
+    rerank_blend: float = 1.0
     bm25_k1: float = 1.5
     bm25_b: float = 0.75
     bm25_epsilon: float = 0.25

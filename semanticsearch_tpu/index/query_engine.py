@@ -836,6 +836,7 @@ class HybridQueryEngine:
                 [q for q, c in zip(queries, cand_texts) for _ in c],
                 [t for c in cand_texts for t in c],
             )
+            blend = min(1.0, max(0.0, self.cfg.rerank_blend))
             off = 0
             for qi, hits in enumerate(per_query):
                 n_head = len(cand_texts[qi])
@@ -843,9 +844,26 @@ class HybridQueryEngine:
                 for j, h in enumerate(head):
                     h.rerank_score = float(flat_scores[off + j])
                 off += n_head
-                # stable sort: ties keep RRF order
-                order = sorted(range(n_head),
-                               key=lambda j: -head[j].rerank_score)
+                if blend >= 1.0:
+                    # pure reranker reorder (reference rescoring semantics);
+                    # stable sort: ties keep RRF order
+                    order = sorted(range(n_head),
+                                   key=lambda j: -head[j].rerank_score)
+                else:
+                    # rank-RRF blend of the reranker order with the fusion
+                    # order (head j's fusion rank is j+1 by construction);
+                    # scale-free, same discipline as the leg fusion above
+                    rr_rank = np.empty(n_head, np.int32)
+                    rr_rank[np.argsort(
+                        [-h.rerank_score for h in head], kind="stable")] = \
+                        np.arange(1, n_head + 1)
+                    kk = self.cfg.rrf_k
+                    combined = [
+                        blend / (kk + rr_rank[j]) + (1.0 - blend) / (kk + j + 1)
+                        for j in range(n_head)
+                    ]
+                    order = sorted(range(n_head),
+                                   key=lambda j: (-combined[j], j))
                 per_query[qi] = [head[j] for j in order] + hits[n_head:]
         return [hits[:k] for hits in per_query]
 

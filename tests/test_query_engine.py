@@ -866,3 +866,53 @@ def test_coalescer_search_never_jumps_carried_mutation():
                          ("search", 1, 5)], order
     finally:
         co.shutdown()
+
+
+def test_rerank_blend_interpolates_fusion_and_reranker_order(tmp_path, mesh8):
+    """ranking.rerank_blend: 0.0 keeps the fusion order (reranker inert but
+    scores attached), 1.0 is the pure reranker reorder, and a mid blend is
+    exactly the rank-RRF mix of the two orders."""
+    import dataclasses
+
+    from semanticsearch_tpu.data.tsv import read_tsv
+
+    enc = SentenceEncoder(TINY)
+    chunks = _chunks(tmp_path)
+    HybridQueryEngine.build(chunks, enc, str(tmp_path / "idx"), mesh=mesh8)
+    corpus_texts = [r["chunk_text"] for r in read_tsv(chunks)]
+    _train_tiny_reranker(tmp_path / "ckpt", corpus_texts)
+    engine = HybridQueryEngine.load(
+        str(tmp_path / "idx"), enc, mesh=mesh8,
+        reranker_dir=str(tmp_path / "ckpt"),
+    )
+    queries = ["fishing quota trawlers", "bees and honey"]
+    top = 4
+    plain = engine.search(queries, k=6)
+    pure = engine.search(queries, k=6, rerank_top=top)  # blend default 1.0
+
+    engine.cfg = dataclasses.replace(engine.cfg, rerank_blend=0.0)
+    frozen = engine.search(queries, k=6, rerank_top=top)
+    for qi in range(len(queries)):
+        assert [h.chunk_id for h in frozen[qi]] == [
+            h.chunk_id for h in plain[qi]], "blend=0 must keep fusion order"
+        assert all(h.rerank_score is not None for h in frozen[qi][:top])
+
+    engine.cfg = dataclasses.replace(engine.cfg, rerank_blend=0.5)
+    mixed = engine.search(queries, k=6, rerank_top=top)
+    kk = engine.cfg.rrf_k
+    for qi in range(len(queries)):
+        fusion_ids = [h.chunk_id for h in plain[qi][:top]]
+        pure_ids = [h.chunk_id for h in pure[qi][:top]]
+        # expected: rank-RRF combination of the two orders
+        rr_rank = {cid: r for r, cid in enumerate(pure_ids, start=1)}
+        combined = {
+            cid: 0.5 / (kk + rr_rank[cid]) + 0.5 / (kk + j + 1)
+            for j, cid in enumerate(fusion_ids)
+        }
+        expected = sorted(
+            fusion_ids,
+            key=lambda cid: (-combined[cid], fusion_ids.index(cid)))
+        assert [h.chunk_id for h in mixed[qi][:top]] == expected
+        # tail untouched by any blend
+        assert [h.chunk_id for h in mixed[qi][top:]] == [
+            h.chunk_id for h in plain[qi][top:]]

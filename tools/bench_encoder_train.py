@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--len-chunk", type=int, default=128)
     ap.add_argument("--vocab", type=int, default=8192)
     ap.add_argument("--no-hard-negatives", action="store_true")
+    ap.add_argument("--fit", action="store_true",
+                    help="measure the real fit() path (host tokenization + "
+                         "epoch loop + per-epoch loss flush) instead of the "
+                         "raw jitted step — shows what the once-per-epoch "
+                         "loss fetch buys on remote-attached devices")
+    ap.add_argument("--fit-pairs", type=int, default=2048)
+    ap.add_argument("--fit-epochs", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -58,6 +65,40 @@ def main():
         max_len_chunk=args.len_chunk,
         use_hard_negatives=not args.no_hard_negatives,
     )
+    if args.fit:
+        # the REAL training path: texts -> tokenize -> epoch loop; epoch 0
+        # pays the compile, later epochs are the steady-state rate
+        fcfg = ContrastiveConfig(
+            epochs=args.fit_epochs, batch_size=args.batch,
+            max_len_query=args.len_query, max_len_chunk=args.len_chunk,
+            use_hard_negatives=not args.no_hard_negatives, seed=0,
+        )
+        rng = np.random.default_rng(0)
+        words = [f"w{i}" for i in range(4000)]
+        pairs, negs = [], []
+        for _ in range(args.fit_pairs):
+            topic = rng.choice(words, size=10)
+            pairs.append((" ".join(rng.choice(topic, 4)),
+                          " ".join(rng.choice(topic, 24))))
+            negs.append(" ".join(rng.choice(words, 24)))
+        hist = ContrastiveEncoderTrainer(encoder, fcfg).fit(
+            pairs, hard_negatives=None if args.no_hard_negatives else negs)
+        steady = min(h["time_s"] for h in hist[1:]) if len(hist) > 1 \
+            else hist[0]["time_s"]
+        steps_per_epoch = -(-args.fit_pairs // args.batch)
+        print(json.dumps({
+            "metric": "encoder_train_fit_epoch",
+            "steady_epoch_s": round(steady, 3),
+            "steps_per_s": round(steps_per_epoch / steady, 3),
+            "pairs_per_s": round(args.fit_pairs / steady, 1),
+            "loss_first": round(hist[0]["loss"], 4),
+            "loss_last": round(hist[-1]["loss"], 4),
+            "batch_size": args.batch,
+            "epochs": len(hist),
+            "backend": jax.default_backend(),
+        }))
+        return
+
     trainer = ContrastiveEncoderTrainer(encoder, ccfg)
     trainer._build(total_steps=max(args.steps, 2))
 
