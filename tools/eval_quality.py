@@ -433,6 +433,7 @@ def main():
         embed_matrix = encoder_token_embeddings(encoder)
         embed_dim = embed_matrix.shape[1]
 
+    blends = {}
     for model_name in model_names:
         if model_name == "arcii":
             lengths = (12, 18)  # fixed-stride pools constrain both lengths
@@ -484,6 +485,34 @@ def main():
               f"(train loss {fit_res.history[0]['loss']:.3f} -> "
               f"{fit_res.history[-1]['loss']:.3f}, "
               f"{time.perf_counter()-t0:.1f}s)", file=sys.stderr)
+        # rank-RRF blend curve (ranking.rerank_blend semantics,
+        # index/query_engine.py): beta=1 is the pure-reranker row above,
+        # beta=0 the candidate generator. Pure numpy reordering of already
+        # computed predictions — consumes no RNG, changes no other row.
+        curve = {}
+        for beta in (0.25, 0.5, 0.75):
+            blend_scores = np.full((nq, nd), -np.inf, np.float32)
+            off = 0
+            for qi in range(nq):
+                order = np.argsort(-rrf_scores[qi])
+                cand = order[:top]
+                pred = cand_pred[off: off + cand.size]
+                off += cand.size
+                rr_rank = np.empty(cand.size, np.int64)
+                rr_rank[np.argsort(-pred, kind="stable")] = \
+                    np.arange(1, cand.size + 1)
+                fus_rank = np.arange(1, cand.size + 1)
+                blend_scores[qi, cand] = (
+                    beta / (60 + rr_rank) + (1 - beta) / (60 + fus_rank))
+                tail = order[top:]
+                lo = blend_scores[qi, cand].min()
+                blend_scores[qi, tail] = lo - 1.0 - np.arange(tail.size)
+            curve[str(beta)] = ranking_metrics(blend_scores, labels,
+                                               metrics=("map", "ndcg@10"))
+        blends.setdefault(model_name, {}).update(curve)
+        print(f"[5/5] {key} blend curve: "
+              + ", ".join(f"b={b}: map {m['map']:.4f}"
+                          for b, m in curve.items()), file=sys.stderr)
 
     # ------------------------------------------------------------- report
     md = ["| Method | MAP | nDCG@10 | P@10 | MRR |", "|---|---|---|---|---|"]
@@ -505,6 +534,7 @@ def main():
         "fusion_alpha": alpha,
         "mlm_epochs": args.mlm_epochs,
         "mine_rounds": args.mine_rounds,
+        **({"rerank_blend_curve": blends} if blends else {}),
     }))
 
 
