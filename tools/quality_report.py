@@ -180,6 +180,24 @@ def main():
                 f"| {method.removeprefix('hybrid_plus_')} | "
                 + " | ".join(cells) + " |")
 
+    # capstone: full best-known recipe (MLM + mining + tuned-fusion
+    # candidates + all rerankers with the subword_rr ingredients)
+    cap = load_ladder(args.dir, (("capstone", "best_recipe"),))
+    if cap:
+        per_seed = cap["capstone"]
+        some_cap = next(iter(per_seed.values()))
+        lines.append("")
+        lines.append(
+            f"Capstone (full recipe, seeds {sorted(per_seed)}): "
+            "generator vs rerankers, MAP mean±std:")
+        rows_ = [(m, agg(per_seed, m, "map"))
+                 for m in some_cap["results"]
+                 if m in ("hybrid_rrf", "hybrid_wrrf_tuned")
+                 or m.startswith("hybrid_plus_")]
+        for m, a in rows_:
+            if a:
+                lines.append(f"- {m}: {a[0]:.4f}±{a[1]:.4f}")
+
     # encoder pretraining recipe: dense + tuned-fusion MAP per variant
     pre = load_ladder(args.dir, PRETRAIN)
     if len(pre) >= 2:
