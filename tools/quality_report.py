@@ -198,6 +198,33 @@ def main():
             if a:
                 lines.append(f"- {m}: {a[0]:.4f}±{a[1]:.4f}")
 
+    # rerank-blend curve at the capstone recipe (ranking.rerank_blend):
+    # per reranker, MAP at beta 0 (generator) .. 1 (pure reorder)
+    bl = load_ladder(args.dir, (("blend", "best_recipe_blend"),))
+    if bl:
+        per_seed = bl["blend"]
+        seeds = sorted(per_seed)
+        gen = agg(per_seed, "hybrid_wrrf_tuned", "map")
+        lines.append("")
+        lines.append(
+            f"Rerank-blend curve (capstone recipe, seeds {seeds}; "
+            f"generator MAP {gen[0]:.4f}±{gen[1]:.4f}):")
+        betas = ("0.25", "0.5", "0.75")
+        lines.append("| Reranker | b=0.25 | b=0.5 | b=0.75 | pure (b=1) |")
+        lines.append("|---|---|---|---|---|")
+        some_bl = next(iter(per_seed.values()))
+        for model in some_bl.get("rerank_blend_curve", {}):
+            cells = []
+            for b in betas:
+                vals = [r["rerank_blend_curve"][model][b]["map"]
+                        for r in per_seed.values()
+                        if model in r.get("rerank_blend_curve", {})]
+                cells.append(f"{np.mean(vals):.4f}±{np.std(vals):.4f}"
+                             if vals else "—")
+            pure = agg(per_seed, f"hybrid_plus_{model}", "map")
+            cells.append(f"{pure[0]:.4f}±{pure[1]:.4f}" if pure else "—")
+            lines.append(f"| {model} | " + " | ".join(cells) + " |")
+
     # encoder pretraining recipe: dense + tuned-fusion MAP per variant
     pre = load_ladder(args.dir, PRETRAIN)
     if len(pre) >= 2:
