@@ -358,6 +358,7 @@ def cmd_tune_fusion(args) -> int:
     engine = HybridQueryEngine.load(
         args.index_dir, enc, mesh=local_mesh(),
         index_cfg=cfg.index, rank_cfg=rank_cfg,
+        reranker_dir=args.reranker,
     )
     # group the labeled rows into per-query relevant chunk_id sets
     queries: dict = {}
@@ -379,6 +380,22 @@ def cmd_tune_fusion(args) -> int:
         [qt for qt, _ in pairs], [sorted(rel) for _, rel in pairs],
         candidates=args.candidates,
     )
+    blend = blend_best = blend_table = None
+    if args.rerank_top > 0:
+        if args.reranker is None:
+            ap_err = ("--rerank-top needs --reranker CKPT_DIR (the blend is "
+                      "tuned against a loaded reranker)")
+            print(json.dumps({"error": ap_err}))
+            return 1
+        import dataclasses as _dc
+
+        # the blend rides ON TOP of the fusion order — apply the alpha that
+        # was just tuned before grid-searching beta
+        engine.cfg = _dc.replace(engine.cfg, fusion_alpha=alpha)
+        blend, blend_best, blend_table = engine.tune_rerank_blend(
+            [qt for qt, _ in pairs], [sorted(rel) for _, rel in pairs],
+            rerank_top=args.rerank_top,
+        )
     saved = None
     if args.save:
         import os as _os
@@ -389,13 +406,21 @@ def cmd_tune_fusion(args) -> int:
         with open(saved, "w") as f:
             json.dump({"fusion_alpha": alpha, "map_at_best": best,
                        "map_at_parity": table.get(0.5),
-                       "queries": len(pairs)}, f)
+                       "queries": len(pairs),
+                       **({"rerank_blend": blend,
+                           "map_at_best_blend": blend_best}
+                          if blend is not None else {})}, f)
     print(json.dumps({
         "best_alpha": alpha, "map_at_best": best,
         "map_at_parity": table.get(0.5),
         "queries": len(pairs),
         "table": {f"{a:.2f}": round(v, 6) for a, v in sorted(table.items())},
         "apply": f"--set ranking.fusion_alpha={alpha}",
+        **({"best_blend": blend, "map_at_best_blend": blend_best,
+            "blend_table": {f"{b:.3f}": round(v, 6)
+                            for b, v in sorted(blend_table.items())},
+            "apply_blend": f"--set ranking.rerank_blend={blend}"}
+           if blend is not None else {}),
         **({"saved": saved} if saved else {}),
     }))
     return 0
@@ -738,6 +763,14 @@ def main(argv=None) -> int:
     p.add_argument("--device-bm25", action="store_true",
                    help="score the lexical leg on the TPU")
     p.add_argument("--bm25-cache", action="store_true")
+    p.add_argument("--reranker",
+                   help="trained reranker checkpoint dir: enables "
+                        "--rerank-top blend tuning")
+    p.add_argument("--rerank-top", type=int, default=0,
+                   help=">0: after tuning the fusion alpha, also grid-search "
+                        "ranking.rerank_blend over the reranked top-N on the "
+                        "same validation split (engine.tune_rerank_blend); "
+                        "persisted with --save")
     _add_config_args(p)
     p.set_defaults(fn=cmd_tune_fusion)
 

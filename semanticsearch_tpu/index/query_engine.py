@@ -290,15 +290,26 @@ class HybridQueryEngine:
         # applies unless the caller set one explicitly; absent both, the
         # default None = the reference's unweighted fusion
         fusion_path = os.path.join(index_dir, FUSION_FILE)
-        if rank_cfg.fusion_alpha is None and os.path.exists(fusion_path):
+        if os.path.exists(fusion_path):
             import dataclasses as _dc
 
             with open(fusion_path) as f:
                 persisted = json.load(f)
-            rank_cfg = _dc.replace(
-                rank_cfg, fusion_alpha=float(persisted["fusion_alpha"]))
-            logger.info("using persisted fusion_alpha=%s from %s",
-                        rank_cfg.fusion_alpha, fusion_path)
+            if rank_cfg.fusion_alpha is None:
+                rank_cfg = _dc.replace(
+                    rank_cfg, fusion_alpha=float(persisted["fusion_alpha"]))
+                logger.info("using persisted fusion_alpha=%s from %s",
+                            rank_cfg.fusion_alpha, fusion_path)
+            # rerank_blend's "unset" sentinel is its default 1.0 (the
+            # reference's pure-rescoring semantics); an explicit 1.0 and
+            # the default are indistinguishable, like fusion_alpha None
+            if rank_cfg.rerank_blend == 1.0 and \
+                    persisted.get("rerank_blend") is not None:
+                rank_cfg = _dc.replace(
+                    rank_cfg,
+                    rerank_blend=float(persisted["rerank_blend"]))
+                logger.info("using persisted rerank_blend=%s from %s",
+                            rank_cfg.rerank_blend, fusion_path)
         engine = cls(index, chunk_ids, encoder, bm25=bm25, cfg=rank_cfg,
                      texts=texts, reranker=reranker)
         engine._index_dir = index_dir
@@ -936,4 +947,91 @@ class HybridQueryEngine:
                 aps.append(ap / max(1, len(rel_rows[qi])))
             table[float(alpha)] = float(np.mean(aps)) if aps else 0.0
         best = max(table, key=lambda a: (table[a], -abs(a - 0.5)))
+        return best, table[best], table
+
+    def tune_rerank_blend(
+        self,
+        queries: Sequence[str],
+        relevant_ids: Sequence[Sequence[str]],
+        rerank_top: int = 20,
+        grid: Optional[Sequence[float]] = None,
+    ) -> Tuple[float, float, Dict[float, float]]:
+        """Grid-search ``RankingConfig.rerank_blend`` on a labeled
+        validation split: one engine dispatch + ONE packed reranker scoring
+        of every query's fused top-``rerank_top``; every beta re-orders the
+        fetched head on the host and is scored as MAP with the same
+        missing-relevant discipline as :meth:`tune_fusion`. Fusion uses the
+        engine's CURRENT ``cfg.fusion_alpha`` — tune the fusion first, then
+        the blend on top of it (``semsearch tune-fusion --rerank-top N``
+        does both in order). Ties break toward beta=1.0 — the reference's
+        pure-rescoring semantics (``evaluate_models.py:341-350``) — so
+        tuning never drifts from parity without a measured win.
+        Measured motivation (BASELINE.md §Capstone): when the generator is
+        validation-tuned and the encoder pretrained, pure rescoring LOSES
+        to the generator, and a small beta is the optimum.
+        """
+        if self.reranker is None:
+            raise ValueError("tune_rerank_blend needs a loaded reranker "
+                             "(pass reranker_dir to HybridQueryEngine.load)")
+        if self.texts is None:
+            raise ValueError("tune_rerank_blend needs the index texts.tsv")
+        if len(queries) != len(relevant_ids):
+            raise ValueError(
+                f"{len(queries)} queries vs {len(relevant_ids)} label rows")
+        state = self._dispatch_legs(list(queries), k=rerank_top,
+                                    candidates=None,
+                                    hybrid=self.bm25 is not None)
+        dense_lists, lex_lists = self._leg_lists(state)
+        w_dense, w_lex = rrf_weights(self.cfg.fusion_alpha)
+        kk = self.cfg.rrf_k
+        heads: List[List[int]] = []   # per query: fused rows, fusion order
+        tails: List[List[int]] = []
+        for qi in range(len(queries)):
+            rrf: Dict[int, float] = {}
+            for rank, (_, row) in enumerate(dense_lists[qi], start=1):
+                rrf[row] = rrf.get(row, 0.0) + w_dense / (kk + rank)
+            if lex_lists is not None:
+                for rank, (_, row) in enumerate(lex_lists[qi], start=1):
+                    rrf[row] = rrf.get(row, 0.0) + w_lex / (kk + rank)
+            ranked = [row for row, _ in
+                      sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))]
+            heads.append(ranked[:rerank_top])
+            tails.append(ranked[rerank_top:])
+        flat_scores = self.reranker.score_pairs(
+            [q for qi, q in enumerate(queries) for _ in heads[qi]],
+            [self.texts[row] for qi in range(len(queries))
+             for row in heads[qi]],
+        )
+        id_to_row = {cid: row for row, cid in enumerate(self.chunk_ids)}
+        rel_rows = [
+            {id_to_row[str(c)] for c in rel if str(c) in id_to_row}
+            for rel in relevant_ids
+        ]
+        table: Dict[float, float] = {}
+        for beta in (grid if grid is not None
+                     else (0.0, 0.125, 0.25, 0.375, 0.5, 0.75, 1.0)):
+            beta = float(beta)
+            aps, off = [], 0
+            for qi in range(len(queries)):
+                head = heads[qi]
+                pred = np.asarray(
+                    flat_scores[off: off + len(head)], np.float64)
+                off += len(head)
+                rr_rank = np.empty(len(head), np.int64)
+                rr_rank[np.argsort(-pred, kind="stable")] = \
+                    np.arange(1, len(head) + 1)
+                combined = [beta / (kk + rr_rank[j]) + (1 - beta) / (kk + j + 1)
+                            for j in range(len(head))]
+                order = sorted(range(len(head)),
+                               key=lambda j: (-combined[j], j))
+                full = [head[j] for j in order] + tails[qi]
+                hits = 0
+                ap = 0.0
+                for pos, row in enumerate(full, start=1):
+                    if row in rel_rows[qi]:
+                        hits += 1
+                        ap += hits / pos
+                aps.append(ap / max(1, len(rel_rows[qi])))
+            table[beta] = float(np.mean(aps)) if aps else 0.0
+        best = max(table, key=lambda b: (table[b], -abs(b - 1.0)))
         return best, table[best], table

@@ -241,3 +241,26 @@ def test_cli_train_encoder_with_mining(tmp_path, capsys):
 
     enc = load_encoder(str(tmp_path / "ckpt"))
     assert np.isfinite(enc.encode(["query topic0 find"])).all()
+
+
+def test_cli_tune_fusion_rerank_top_requires_reranker(tmp_path, capsys):
+    chunks = tmp_path / "chunks.tsv"
+    write_tsv(
+        str(chunks),
+        [{"chunk_id": "c0", "chunk_text": "alpha beta gamma"},
+         {"chunk_id": "c1", "chunk_text": "delta epsilon zeta"}],
+        ["chunk_id", "chunk_text"],
+    )
+    idx = str(tmp_path / "idx")
+    assert main(["index", "-i", str(chunks), "-o", idx, "--bm25"]) == 0
+    val = tmp_path / "val.tsv"
+    write_tsv(str(val),
+              [{"query_id": "q0", "query_text": "alpha beta",
+                "chunk_id": "c0", "label": "1"}],
+              ["query_id", "query_text", "chunk_id", "label"])
+    capsys.readouterr()
+    rc = main(["tune-fusion", "--index-dir", idx, "-i", str(val),
+               "--rerank-top", "4"])
+    assert rc == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "--reranker" in out["error"]

@@ -916,3 +916,56 @@ def test_rerank_blend_interpolates_fusion_and_reranker_order(tmp_path, mesh8):
         # tail untouched by any blend
         assert [h.chunk_id for h in mixed[qi][top:]] == [
             h.chunk_id for h in plain[qi][top:]]
+
+
+def test_tune_rerank_blend_and_persisted_apply(tmp_path, mesh8):
+    """tune_rerank_blend grid-searches beta against the live engine; the
+    tuned value persists in fusion.json and load() auto-applies it when
+    ranking.rerank_blend is left at its 1.0 default."""
+    import json as _json
+    import os as _os
+
+    import pytest
+
+    from semanticsearch_tpu.data.tsv import read_tsv
+    from semanticsearch_tpu.index.query_engine import FUSION_FILE
+
+    enc = SentenceEncoder(TINY)
+    chunks = _chunks(tmp_path)
+    HybridQueryEngine.build(chunks, enc, str(tmp_path / "idx"), mesh=mesh8)
+    corpus_texts = [r["chunk_text"] for r in read_tsv(chunks)]
+    _train_tiny_reranker(tmp_path / "ckpt", corpus_texts)
+    engine = HybridQueryEngine.load(
+        str(tmp_path / "idx"), enc, mesh=mesh8,
+        reranker_dir=str(tmp_path / "ckpt"),
+    )
+    queries = ["fishing quota trawlers", "bees and honey"]
+    relevant = [["c1"], ["c5"]]
+
+    beta, best_map, table = engine.tune_rerank_blend(
+        queries, relevant, rerank_top=4)
+    assert beta in table and table[beta] == best_map
+    assert 0.0 <= best_map <= 1.0
+    assert set(table) >= {0.0, 0.5, 1.0}
+    # every beta's MAP is a real AP over the same fused candidates
+    assert all(0.0 <= v <= 1.0 for v in table.values())
+    # ties break toward 1.0 (reference pure-rescoring semantics)
+    top = max(table.values())
+    expect = max((b for b in table if table[b] == top),
+                 key=lambda b: -abs(b - 1.0))
+    assert beta == expect
+
+    # persist + auto-apply on a fresh load
+    with open(_os.path.join(str(tmp_path / "idx"), FUSION_FILE), "w") as f:
+        _json.dump({"fusion_alpha": 0.7, "rerank_blend": 0.25}, f)
+    engine2 = HybridQueryEngine.load(
+        str(tmp_path / "idx"), enc, mesh=mesh8,
+        reranker_dir=str(tmp_path / "ckpt"),
+    )
+    assert engine2.cfg.fusion_alpha == 0.7
+    assert engine2.cfg.rerank_blend == 0.25
+
+    # misconfiguration is loud
+    bare = HybridQueryEngine.load(str(tmp_path / "idx"), enc, mesh=mesh8)
+    with pytest.raises(ValueError, match="reranker"):
+        bare.tune_rerank_blend(queries, relevant)
