@@ -236,6 +236,17 @@ class TrainConfig:
     # (with a warning) for models whose parameters depend on the right
     # length (ArcII).
     length_buckets: tuple = ()
+    # Margin-MSE distillation from a stronger retrieval teacher (the trained
+    # dual encoder): loss = (1-w)*rank_loss + w*mean((student_margin -
+    # distill_scale*teacher_margin)^2) over each group's (pos, neg) pairs,
+    # where margins are score differences. Requires the PairDataset to carry
+    # per-row `teacher` scores. 0.0 = off (exact previous behavior). The
+    # reference has no distillation — its rerankers lean on pretrained GloVe;
+    # here the trained encoder is the strongest in-repo scorer, and
+    # distilling its geometry into the interaction models is the zero-egress
+    # analog of training against a pretrained cross-encoder teacher.
+    distill_weight: float = 0.0
+    distill_scale: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -13,7 +13,7 @@ Batches have static shape (batch_size * (1 + num_neg), L) for jit stability.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -26,6 +26,9 @@ class PairDataset:
     right: np.ndarray       # (N, L_right) int32
     labels: np.ndarray      # (N,) float
     query_ids: np.ndarray   # (N,) any
+    # optional per-row scores from a stronger teacher (e.g. the trained dual
+    # encoder's cosine) for margin-MSE distillation (TrainConfig.distill_weight)
+    teacher: Optional[np.ndarray] = None   # (N,) float
 
     def __post_init__(self) -> None:
         self._by_query: Dict = {}
@@ -126,12 +129,16 @@ class PairDataset:
         for w, chunk in batch_plans:
             sel = [groups[g] for g in chunk]
             rows = np.asarray(sel).reshape(-1)  # (B*group_w,)
-            yield {
+            batch = {
                 "left": self.left[rows],
                 "right": self.right[rows, :w],
                 "labels": self.labels[rows].astype(np.float32),
                 "group_size": group_w,
             }
+            if self.teacher is not None:
+                batch["teacher"] = np.asarray(
+                    self.teacher, np.float32)[rows]
+            yield batch
 
     def iter_point_batches(
         self, batch_size: int, pad_to_full: bool = True

@@ -52,6 +52,20 @@ def rank_xent_loss(scores: jnp.ndarray, group_size: int):
     return -jnp.mean(logp[:, 0])
 
 
+def margin_mse_loss(scores: jnp.ndarray, teacher: jnp.ndarray,
+                    group_size: int, scale: float = 1.0):
+    """Margin-MSE distillation (Hofstätter et al. 2020) over pairwise groups:
+    the student's (pos - neg) score margin regresses onto the teacher's,
+    mean((s_pos - s_neg) - scale*(t_pos - t_neg))^2. Preserves the teacher's
+    score GEOMETRY (how much better the positive is), not just its order —
+    the signal a binary hinge discards."""
+    g = scores.reshape(-1, group_size)
+    t = teacher.reshape(-1, group_size)
+    s_margin = g[:, :1] - g[:, 1:]
+    t_margin = (t[:, :1] - t[:, 1:]) * scale
+    return jnp.mean((s_margin - t_margin) ** 2)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     # learning_rate=None -> the optimizer's conventional default; an
     # explicit value is honored verbatim (an earlier magic-number guard
@@ -111,14 +125,23 @@ class RerankTrainer:
             rank_xent_loss if cfg.loss == "rank_xent" else rank_hinge_loss
         )
 
+        self._distill = cfg.distill_weight > 0.0
+
         @functools.partial(jax.jit, static_argnames=("group_size",))
-        def train_step(params, opt_state, left, right, group_size, rng):
+        def train_step(params, opt_state, left, right, group_size, rng,
+                       teacher=None):
             def loss(p):
                 scores = self.model.apply(
                     {"params": p}, left, right, deterministic=False,
                     rngs={"dropout": rng},
                 )
-                return self._loss_fn(scores, group_size)
+                base = self._loss_fn(scores, group_size)
+                if teacher is None:
+                    return base
+                mse = margin_mse_loss(scores, teacher, group_size,
+                                      cfg.distill_scale)
+                w = cfg.distill_weight
+                return (1.0 - w) * base + w * mse
 
             val, grads = jax.value_and_grad(loss)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -186,6 +209,13 @@ class RerankTrainer:
         next steps; the final save blocks until everything is committed.
         """
         cfg = self.cfg
+        if self._distill and train_ds.teacher is None:
+            raise ValueError(
+                "distill_weight > 0 but the training PairDataset carries no "
+                "`teacher` scores — attach per-row teacher scores (e.g. the "
+                "trained encoder's cosine for each (query, doc) row) or set "
+                "distill_weight=0. Refusing to silently train undistilled."
+            )
         params = self.init_params(train_ds)
         opt_state = self.tx.init(params)
         start_epoch = 0
@@ -268,11 +298,15 @@ class RerankTrainer:
                         if step_in_epoch <= skip_through:
                             continue  # already trained before the resume
                         sub = jax.random.fold_in(epoch_rng, step_in_epoch)
+                        teacher = (
+                            jnp.asarray(batch["teacher"])
+                            if self._distill and "teacher" in batch else None
+                        )
                         params, opt_state, loss_val = self._train_step(
                             params, opt_state,
                             jnp.asarray(batch["left"]),
                             jnp.asarray(batch["right"]),
-                            batch["group_size"], sub,
+                            batch["group_size"], sub, teacher,
                         )
                         # device scalar: a float() here would block one
                         # tunnel round-trip per step; the epoch's losses

@@ -206,6 +206,72 @@ def test_reranker_learns_lexical_overlap(model_name):
     assert final_map > 0.75, f"{model_name} failed to learn: MAP={final_map}"
 
 
+def test_margin_mse_loss_directional():
+    import jax.numpy as jnp
+
+    from semanticsearch_tpu.train.trainer import margin_mse_loss
+
+    teacher = jnp.asarray([0.8, 0.2, 0.9, 0.1])  # margins 0.6, 0.8
+    matched = jnp.asarray([1.6, 1.0, 1.9, 1.1])  # same margins, shifted
+    assert float(margin_mse_loss(matched, teacher, 2)) == pytest.approx(0.0)
+    flipped = jnp.asarray([0.2, 0.8, 0.1, 0.9])
+    assert float(margin_mse_loss(flipped, teacher, 2)) > 0.5
+    # scale applies to the TEACHER margin
+    scaled = jnp.asarray([1.2, 0.0, 1.6, 0.0])  # margins 1.2, 1.6 = 2x
+    assert float(margin_mse_loss(scaled, teacher, 2, scale=2.0)) == \
+        pytest.approx(0.0)
+
+
+def test_distill_requires_teacher():
+    ds = _learnable_dataset()
+    cfg = TrainConfig(model="knrm", epochs=1, batch_size=4, num_neg=1,
+                      optimizer="adam", embedding_dim=8,
+                      distill_weight=0.5, eval_metrics=("map",))
+    trainer = RerankTrainer("knrm", vocab_size=64, cfg=cfg)
+    with pytest.raises(ValueError, match="teacher"):
+        trainer.fit(ds)
+
+
+def test_teacher_scores_ride_pair_batches():
+    ds = _learnable_dataset()
+    # teacher keyed to each row's first left token: alignment is checkable
+    # inside any batch without knowing the sampled row order
+    ds.teacher = ds.left[:, 0].astype(np.float32) + 100.0 * ds.labels
+    for batch in ds.iter_pair_batches(batch_size=4, num_neg=1, seed=0):
+        expect = batch["left"][:, 0].astype(np.float32) + 100.0 * batch["labels"]
+        assert np.array_equal(batch["teacher"], expect)
+
+
+def test_distill_trains_and_tracks_teacher_margins():
+    ds = _learnable_dataset()
+    # teacher agrees with the labels but carries score GEOMETRY: margin 1.0
+    ds.teacher = ds.labels.astype(np.float32)
+    cfg = TrainConfig(model="knrm", epochs=6, batch_size=4, num_neg=1,
+                      optimizer="adam", learning_rate=0.01, loss="hinge",
+                      embedding_dim=16, distill_weight=1.0,  # PURE distill
+                      eval_metrics=("map",))
+    trainer = RerankTrainer("knrm", vocab_size=64, cfg=cfg)
+    result = trainer.fit(ds, test_ds=ds)
+    # pure margin-MSE still learns the ordering the teacher encodes...
+    assert result.history[-1]["map"] > 0.75
+    # ...and the loss (pure MSE to the 1.0 teacher margin) collapses from
+    # its ~1.0 start
+    assert result.history[-1]["loss"] < 0.5 * result.history[0]["loss"]
+
+
+def test_distill_weight_zero_is_exact_previous_behavior():
+    ds = _learnable_dataset()
+    cfg = TrainConfig(model="knrm", epochs=2, batch_size=4, num_neg=1,
+                      optimizer="adam", learning_rate=0.01,
+                      embedding_dim=16, eval_metrics=("map",))
+    base = RerankTrainer("knrm", vocab_size=64, cfg=cfg).fit(ds, test_ds=ds)
+    ds2 = _learnable_dataset()
+    ds2.teacher = ds2.labels.astype(np.float32)  # present but w=0: unused
+    again = RerankTrainer("knrm", vocab_size=64, cfg=cfg).fit(ds2, test_ds=ds2)
+    assert base.history[-1]["loss"] == pytest.approx(
+        again.history[-1]["loss"])
+
+
 def test_length_bucketed_pair_batches():
     """Bucketing: every batch's right width is a declared bucket, slicing
     drops only padding, and the same pairs train as unbucketed."""

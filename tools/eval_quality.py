@@ -118,6 +118,42 @@ def ranking_metrics(scores, labels, metrics=("map", "ndcg@10", "p@10", "mrr")):
     return {m: float(np.mean(v)) for m, v in out.items()}
 
 
+def _blend_eval(gen_scores, pred_flat, top, betas, labels,
+                metrics=("map", "ndcg@10")):
+    """Rank-RRF blend of the reranker order with the generator order
+    (``RankingConfig.rerank_blend`` semantics, index/query_engine.py):
+    blended(d) = beta/(60+r_reranker) + (1-beta)/(60+r_generator) over each
+    query's top-``top`` generator candidates, tail kept in generator order.
+    ``pred_flat`` holds the reranker scores of those candidates concatenated
+    in generator order. beta=1 reproduces the pure-rescoring row exactly
+    (same ordering, reference ``evaluate_models.py:341-350`` semantics);
+    beta=0 is the generator. Returns {beta: metrics} on ``labels``.
+    """
+    nq, nd = gen_scores.shape
+    orders = [np.argsort(-gen_scores[qi]) for qi in range(nq)]
+    out = {}
+    for beta in betas:
+        beta = float(beta)
+        blend_scores = np.full((nq, nd), -np.inf, np.float32)
+        off = 0
+        for qi in range(nq):
+            order = orders[qi]
+            cand = order[:top]
+            pred = np.asarray(pred_flat[off: off + cand.size], np.float64)
+            off += cand.size
+            rr_rank = np.empty(cand.size, np.int64)
+            rr_rank[np.argsort(-pred, kind="stable")] = \
+                np.arange(1, cand.size + 1)
+            fus_rank = np.arange(1, cand.size + 1)
+            blend_scores[qi, cand] = (
+                beta / (60 + rr_rank) + (1 - beta) / (60 + fus_rank))
+            tail = order[top:]
+            lo = blend_scores[qi, cand].min()
+            blend_scores[qi, tail] = lo - 1.0 - np.arange(tail.size)
+        out[beta] = ranking_metrics(blend_scores, labels, metrics=metrics)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--output", default="/tmp/semsearch_quality")
@@ -153,6 +189,16 @@ def main():
                          "analog of the reference's GloVe-100 init "
                          "(train_controller.py:564-581); requires "
                          "--reranker-vocab subword")
+    ap.add_argument("--reranker-distill", type=float, default=0.0,
+                    help=">0: margin-MSE distillation weight w — reranker "
+                         "loss becomes (1-w)*rank_loss + w*MSE(student "
+                         "margin, scale*teacher margin), teacher = the "
+                         "TRAINED dual encoder's cosine on each train row "
+                         "(TrainConfig.distill_weight)")
+    ap.add_argument("--reranker-distill-scale", type=float, default=1.0,
+                    help="scale applied to teacher margins before the MSE "
+                         "(cosine margins are ~0.1-0.5; hinge-trained "
+                         "student scores live on a ~1.0 margin scale)")
     ap.add_argument("--reranker-keep-best", action="store_true",
                     help="carve 1 train query/topic into a validation "
                          "split; keep each reranker's best-val-MAP epoch "
@@ -352,6 +398,12 @@ def main():
           f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
     if args.rerank_candidates == "wrrf":
         rrf_scores = wrrf_scores  # rerankers rescore the tuned fusion's head
+        val_gen_scores = weighted_rrf(qe_val @ de_val.T, bm_val_scores,
+                                      alpha=alpha)
+    else:
+        # validation-split candidates under the same (unweighted) generator
+        val_gen_scores = weighted_rrf(qe_val @ de_val.T, bm_val_scores,
+                                      alpha=None)
 
     # ------------------------------------- 5. hybrid + trained rerankers
     if args.rerankers == "all":
@@ -386,6 +438,14 @@ def main():
         for qi in range(nq):
             for di in np.argsort(-rrf_scores[qi])[:top]:
                 cand_rows.append((qi, int(di)))
+        # blend-tuning candidates: the VALIDATION split's fused top-`top`
+        # under the same generator the rerankers rescore — the blend beta
+        # is grid-searched there (never on eval) and applied unchanged,
+        # the train/fusion.py discipline extended to the rerank stage
+        blend_rows = []
+        for qi in range(n_vq):
+            for di in np.argsort(-val_gen_scores[qi])[:top]:
+                blend_rows.append((qi, int(di)))
 
         _bundles = {}
 
@@ -400,10 +460,11 @@ def main():
             )
 
         def bundle(lengths):
-            """(pp, train_ds, val_ds, cand_ds) at the given (left, right)
-            lengths. ArcII's fixed-stride pools + flatten need lengths that
-            survive two 3x3 pools; the other models use the cheaper 8/16
-            (word) / 12/32 (subword pieces run longer than words)."""
+            """(pp, train_ds, val_ds, cand_ds, blend_ds) at the given
+            (left, right) lengths. ArcII's fixed-stride pools + flatten need
+            lengths that survive two 3x3 pools; the other models use the
+            cheaper 8/16 (word) / 12/32 (subword pieces run longer than
+            words)."""
             if lengths in _bundles:
                 return _bundles[lengths]
             ll, lr = lengths
@@ -416,11 +477,15 @@ def main():
                 pp.fit(list(train["queries"]) + list(train["docs"]))
             train_ds = _pair_ds(pp, sub_rows, train["queries"], train["docs"],
                                 train_labels)
+            if teacher_tr is not None:
+                train_ds.teacher = teacher_tr
             val_ds = (_pair_ds(pp, val_rows, train["queries"], train["docs"],
                                train_labels) if val_rows else None)
             cand_ds = _pair_ds(pp, cand_rows, evals["queries"], evals["docs"],
                                labels)
-            _bundles[lengths] = (pp, train_ds, val_ds, cand_ds)
+            blend_ds = _pair_ds(pp, blend_rows, val["queries"], val["docs"],
+                                val_labels)
+            _bundles[lengths] = (pp, train_ds, val_ds, cand_ds, blend_ds)
             return _bundles[lengths]
 
     embed_matrix = None
@@ -433,6 +498,14 @@ def main():
         embed_matrix = encoder_token_embeddings(encoder)
         embed_dim = embed_matrix.shape[1]
 
+    # distillation teacher: the trained dual encoder's cosine per train row
+    teacher_tr = None
+    if model_names and args.reranker_distill > 0:
+        qe_tr = encoder.encode(train["queries"])
+        de_tr = encoder.encode(train["docs"])
+        teacher_tr = np.asarray(
+            [float(qe_tr[qi] @ de_tr[di]) for qi, di in sub_rows], np.float32)
+
     blends = {}
     for model_name in model_names:
         if model_name == "arcii":
@@ -441,7 +514,7 @@ def main():
             lengths = (12, 32)  # pieces run ~2x longer than words
         else:
             lengths = (8, 16)
-        pp, train_ds, val_ds, cand_ds = bundle(lengths)
+        pp, train_ds, val_ds, cand_ds, blend_ds = bundle(lengths)
         # each model keeps ITS reference-derived preset loss / clip / arch
         # kwargs (train/presets.py); the optimizer is compute-budget
         # adjusted to adam@1e-3 for every model — measured: adadelta@1.0
@@ -461,6 +534,8 @@ def main():
             keep_best=args.reranker_keep_best,
             patience=args.reranker_patience,
             eval_metrics=("map",),
+            distill_weight=args.reranker_distill,
+            distill_scale=args.reranker_distill_scale,
         )
         t0 = time.perf_counter()
         reranker = RerankTrainer(model_name, vocab_size=pp.vocab_size,
@@ -489,30 +564,31 @@ def main():
         # index/query_engine.py): beta=1 is the pure-reranker row above,
         # beta=0 the candidate generator. Pure numpy reordering of already
         # computed predictions — consumes no RNG, changes no other row.
-        curve = {}
-        for beta in (0.25, 0.5, 0.75):
-            blend_scores = np.full((nq, nd), -np.inf, np.float32)
-            off = 0
-            for qi in range(nq):
-                order = np.argsort(-rrf_scores[qi])
-                cand = order[:top]
-                pred = cand_pred[off: off + cand.size]
-                off += cand.size
-                rr_rank = np.empty(cand.size, np.int64)
-                rr_rank[np.argsort(-pred, kind="stable")] = \
-                    np.arange(1, cand.size + 1)
-                fus_rank = np.arange(1, cand.size + 1)
-                blend_scores[qi, cand] = (
-                    beta / (60 + rr_rank) + (1 - beta) / (60 + fus_rank))
-                tail = order[top:]
-                lo = blend_scores[qi, cand].min()
-                blend_scores[qi, tail] = lo - 1.0 - np.arange(tail.size)
-            curve[str(beta)] = ranking_metrics(blend_scores, labels,
-                                               metrics=("map", "ndcg@10"))
+        curve = {str(b): m for b, m in _blend_eval(
+            rrf_scores, cand_pred, top, (0.25, 0.5, 0.75), labels).items()}
         blends.setdefault(model_name, {}).update(curve)
         print(f"[5/5] {key} blend curve: "
               + ", ".join(f"b={b}: map {m['map']:.4f}"
                           for b, m in curve.items()), file=sys.stderr)
+        # VALIDATION-TUNED blend: fine beta grid (1/16 steps) scored on the
+        # held-out validation split's candidates, best beta applied
+        # unchanged to eval. Ties break toward beta=1.0 — the reference's
+        # pure-rescoring semantics — matching tune_rerank_blend (serve).
+        blend_pred = reranker.predict(fit_res.params, blend_ds)
+        fine_grid = tuple(np.round(np.linspace(0.0, 1.0, 17), 4))
+        vtab = _blend_eval(val_gen_scores, blend_pred, top, fine_grid,
+                           val_labels, metrics=("map",))
+        beta_star = max(vtab, key=lambda b: (vtab[b]["map"], b))
+        tuned = _blend_eval(rrf_scores, cand_pred, top, (beta_star,), labels,
+                            metrics=("map", "ndcg@10", "p@10", "mrr"))
+        results[f"{key}_blend_tuned"] = tuned[beta_star]
+        blends[model_name]["tuned"] = {
+            "beta": beta_star, "val_map": vtab[beta_star]["map"],
+            **tuned[beta_star],
+        }
+        print(f"[5/5] {key} blend TUNED: beta={beta_star} "
+              f"(val MAP {vtab[beta_star]['map']:.4f}) -> "
+              f"eval {tuned[beta_star]}", file=sys.stderr)
 
     # ------------------------------------------------------------- report
     md = ["| Method | MAP | nDCG@10 | P@10 | MRR |", "|---|---|---|---|---|"]
@@ -531,6 +607,8 @@ def main():
         "reranker_embed_init": args.reranker_embed_init,
         "reranker_keep_best": args.reranker_keep_best,
         "rerank_candidates": args.rerank_candidates,
+        "reranker_distill": args.reranker_distill,
+        "reranker_distill_scale": args.reranker_distill_scale,
         "fusion_alpha": alpha,
         "mlm_epochs": args.mlm_epochs,
         "mine_rounds": args.mine_rounds,
