@@ -431,8 +431,24 @@ def cmd_oie(args) -> int:
 
     n = enrich_chunk_tsv(args.input, args.output, port=args.port,
                          json_sidecar=args.sidecar,
-                         extractor=args.extractor)
+                         extractor=args.extractor,
+                         model_dir=args.model_dir)
     print(json.dumps({"enriched_rows": n, "output": args.output}))
+    return 0
+
+
+def cmd_oie_train(args) -> int:
+    """Bootstrap the neural OIE tagger from the heuristic teacher over the
+    text column of a TSV (oie/neural.py)."""
+    from ..data.tsv import read_tsv
+    from ..oie.neural import NeuralOIEConfig, train_neural_oie
+
+    texts = [row.get(args.text_column, "") for row in read_tsv(args.input)]
+    texts = [t for t in texts if t.strip()]
+    cfg = NeuralOIEConfig(epochs=args.epochs, seed=args.seed)
+    oie = train_neural_oie(texts, cfg=cfg, save_dir=args.output)
+    print(json.dumps({"model_dir": args.output, "texts": len(texts),
+                      "vocab": oie.tokenizer.vocab_size}))
     return 0
 
 
@@ -780,10 +796,26 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=9000)
     p.add_argument("--sidecar")
     p.add_argument("--extractor", default="auto",
-                   choices=["auto", "server", "heuristic"],
+                   choices=["auto", "server", "heuristic", "neural"],
                    help="OpenIE5 sidecar, in-repo rule-based SVO extractor, "
-                        "or auto (server when its port answers)")
+                        "trained device-batched tagger (--model-dir), or "
+                        "auto (server when its port answers)")
+    p.add_argument("--model-dir",
+                   help="NeuralOIE checkpoint (from `semsearch oie-train`); "
+                        "required with --extractor neural")
     p.set_defaults(fn=cmd_oie)
+
+    p = sub.add_parser(
+        "oie-train",
+        help="bootstrap the neural OIE tagger from the heuristic teacher")
+    p.add_argument("-i", "--input", required=True,
+                   help="TSV whose text column provides the silver corpus")
+    p.add_argument("-o", "--output", required=True,
+                   help="checkpoint directory for the trained tagger")
+    p.add_argument("--text-column", default="chunk_text")
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_oie_train)
 
     p = sub.add_parser("validate", help="validate/clean a labeled TSV")
     p.add_argument("-i", "--input", required=True)

@@ -2,9 +2,11 @@
 
 Rebuild of ``Tool/OIE.py`` / ``Tool/OIE_ubuntu.py``: the reference launches an
 OpenIE5 standalone Java server (8-16GB JVM heap) and converts its extractions
-into ``{subject, relation, object}`` triples over HTTP. There is no TPU analog
-for this workload (SURVEY.md §2), so this module keeps the same triple
-contract as a thin sidecar-service client:
+into ``{subject, relation, object}`` triples over HTTP. This module keeps the
+same triple contract as a thin sidecar-service client (plus the in-repo
+fallbacks: the rule-based extractor in ``oie/heuristic.py`` and the
+device-BATCHED neural tagger in ``oie/neural.py`` — SURVEY §2's "batched
+seq2seq extractor on TPU" option):
 
 - ``extract_relations_from_paragraph(text, port)`` with per-call timeout and
   exact-duplicate filtering (reference ``OIE.py:200-260``),
@@ -228,19 +230,32 @@ def enrich_chunk_tsv(
     text_column: str = "chunk_text",
     json_sidecar: Optional[str] = None,
     extractor: str = "auto",
+    model_dir: Optional[str] = None,
+    batch_size: int = 256,
 ) -> int:
     """Add raw_oie_data + raw_oie_data_plus_chunk_text columns to a chunk TSV.
 
     ``extractor``: "server" uses the OpenIE5 sidecar (reference behavior —
     empty triples when it is down); "heuristic" uses the in-repo rule-based
     SVO extractor (``oie/heuristic.py`` — functional with zero external
-    dependencies, lower extraction quality than OpenIE5); "auto" (default)
-    picks the server when its port answers, else the heuristic.
+    dependencies, lower extraction quality than OpenIE5); "neural" uses a
+    trained device-batched BIO tagger (``oie/neural.py``, requires
+    ``model_dir`` — every ``batch_size`` rows become ONE batched forward
+    instead of a per-paragraph call); "auto" (default) picks the server
+    when its port answers, else the heuristic.
     """
     sidecar: List[Dict] = []
     if extractor == "auto":
         extractor = "server" if is_port_open(port) else "heuristic"
         logger.info("OIE extractor resolved to %r", extractor)
+    if extractor == "neural":
+        if not model_dir:
+            raise ValueError(
+                "extractor='neural' needs model_dir (a NeuralOIE checkpoint "
+                "from `semsearch oie-train` / oie.neural.train_neural_oie)")
+        from .neural import NeuralOIE
+
+        neural = NeuralOIE.load(model_dir)
 
     def extract(text: str) -> List[Triple]:
         if extractor == "heuristic":
@@ -249,22 +264,39 @@ def enrich_chunk_tsv(
             return extract_triples_heuristic(text)
         return extract_relations_from_paragraph(text, port=port)
 
+    def emit(row: Dict, triples: List[Triple]) -> Dict:
+        text = row.get(text_column, "")
+        formatted = format_oie_triples_to_string(triples)
+        out = dict(row)
+        out["raw_oie_data"] = formatted
+        out["raw_oie_data_plus_chunk_text"] = (
+            (formatted + " " + text).strip() if formatted else text
+        )
+        if json_sidecar is not None:
+            sidecar.append({
+                "chunk_id": row.get("chunk_id", ""),
+                "triples": triples,
+            })
+        return out
+
     def rows():
+        if extractor == "neural":
+            # device-batched: many rows per forward, not one call per row
+            block: List[Dict] = []
+            for row in read_tsv(input_path):
+                block.append(row)
+                if len(block) >= batch_size:
+                    for r, t in zip(block, neural.extract(
+                            [b.get(text_column, "") for b in block])):
+                        yield emit(r, t)
+                    block = []
+            if block:
+                for r, t in zip(block, neural.extract(
+                        [b.get(text_column, "") for b in block])):
+                    yield emit(r, t)
+            return
         for row in read_tsv(input_path):
-            text = row.get(text_column, "")
-            triples = extract(text)
-            formatted = format_oie_triples_to_string(triples)
-            out = dict(row)
-            out["raw_oie_data"] = formatted
-            out["raw_oie_data_plus_chunk_text"] = (
-                (formatted + " " + text).strip() if formatted else text
-            )
-            if json_sidecar is not None:
-                sidecar.append({
-                    "chunk_id": row.get("chunk_id", ""),
-                    "triples": triples,
-                })
-            yield out
+            yield emit(row, extract(row.get(text_column, "")))
 
     first = next(read_tsv(input_path), None)
     if first is None:

@@ -213,6 +213,14 @@ def main():
                     help="unsupervised MLM pretraining epochs on the TRAIN "
                          "docs before contrastive training "
                          "(train/mlm_pretrain.py)")
+    ap.add_argument("--load-encoder", default=None, metavar="CKPT_DIR",
+                    help="reuse a TRAINED encoder checkpoint (from a prior "
+                         "run's <output>/encoder_ckpt) instead of re-running "
+                         "MLM/contrastive training — the encoder recipe is "
+                         "deterministic in (seed, corpus), so probes that "
+                         "vary only reranker settings can share one; the "
+                         "checkpoint carries the subword tokenizer, which "
+                         "then replaces the corpus-fit one")
     ap.add_argument("--rerank-candidates", choices=["rrf", "wrrf"],
                     default="rrf",
                     help="candidate generator the rerankers rescore: the "
@@ -276,21 +284,36 @@ def main():
           f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
 
     # --------------------------------------------------- tokenizer choice
+    loaded_encoder = None
+    if args.load_encoder:
+        from semanticsearch_tpu.train.encoder_train import load_encoder
+
+        loaded_encoder = load_encoder(args.load_encoder)
+        print(f"[tok] reusing trained encoder from {args.load_encoder}",
+              file=sys.stderr)
     tokenizer = None
     vocab_size = args.vocab_size
     if args.tokenizer == "subword":
-        from semanticsearch_tpu.models.subword import train_bpe
+        if loaded_encoder is not None:
+            tokenizer = loaded_encoder.tokenizer
+            if tokenizer is None:
+                ap.error("--load-encoder checkpoint carries no tokenizer "
+                         "but --tokenizer subword was requested")
+            vocab_size = tokenizer.vocab_size
+        else:
+            from semanticsearch_tpu.models.subword import train_bpe
 
-        t0 = time.perf_counter()
-        # fit on the TRAIN split only (no eval leakage); the eval split's
-        # unseen inflections must decompose through learned pieces
-        tokenizer = train_bpe(
-            list(train["docs"]) + list(train["queries"]),
-            vocab_size=args.vocab_size, max_len=32,
-        )
-        vocab_size = tokenizer.vocab_size
-        print(f"[tok] BPE fit: {len(tokenizer.vocab)} pieces "
-              f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
+            t0 = time.perf_counter()
+            # fit on the TRAIN split only (no eval leakage); the eval
+            # split's unseen inflections must decompose through learned
+            # pieces
+            tokenizer = train_bpe(
+                list(train["docs"]) + list(train["queries"]),
+                vocab_size=args.vocab_size, max_len=32,
+            )
+            vocab_size = tokenizer.vocab_size
+            print(f"[tok] BPE fit: {len(tokenizer.vocab)} pieces "
+                  f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
 
     # ------------------------------------------- 2. dense w/ RANDOM encoder
     enc_cfg = EncoderConfig(vocab_size=vocab_size, hidden_dim=128,
@@ -304,7 +327,7 @@ def main():
           file=sys.stderr)
 
     # ----------------------------------------- 3. dense w/ TRAINED encoder
-    if args.mlm_epochs > 0:
+    if args.mlm_epochs > 0 and loaded_encoder is None:
         from semanticsearch_tpu.train.mlm_pretrain import (
             MLMConfig, MLMPretrainer,
         )
@@ -328,27 +351,32 @@ def main():
             negs.append(train["docs"][rng.choice(irr)])
             pair_rel.append(rel)
     t0 = time.perf_counter()
-    con_cfg = ContrastiveConfig(epochs=args.epochs, batch_size=64,
-                                learning_rate=1e-3, max_len_query=16,
-                                max_len_chunk=32, seed=args.seed)
-    if args.mine_rounds > 1:
-        from semanticsearch_tpu.train.encoder_train import fit_with_mining
-
-        import dataclasses as _dc0
-
-        stage_cfg = _dc0.replace(
-            con_cfg, epochs=max(1, args.epochs // args.mine_rounds))
-        hist = fit_with_mining(
-            encoder, stage_cfg, pairs, list(train["docs"]), pair_rel,
-            initial_negatives=negs, rounds=args.mine_rounds)
+    if loaded_encoder is not None:
+        encoder = loaded_encoder
+        print("[3/5] contrastive train: SKIPPED (--load-encoder)",
+              file=sys.stderr)
     else:
-        hist = ContrastiveEncoderTrainer(encoder, con_cfg).fit(
-            pairs, hard_negatives=negs)
-    print(f"[3/5] contrastive train: loss {hist[0]['loss']:.3f} -> "
-          f"{hist[-1]['loss']:.3f} over {len(hist)} epochs "
-          f"({time.perf_counter()-t0:.1f}s, {len(pairs)} pairs)",
-          file=sys.stderr)
-    save_encoder(encoder, os.path.join(args.output, "encoder_ckpt"))
+        con_cfg = ContrastiveConfig(epochs=args.epochs, batch_size=64,
+                                    learning_rate=1e-3, max_len_query=16,
+                                    max_len_chunk=32, seed=args.seed)
+        if args.mine_rounds > 1:
+            from semanticsearch_tpu.train.encoder_train import fit_with_mining
+
+            import dataclasses as _dc0
+
+            stage_cfg = _dc0.replace(
+                con_cfg, epochs=max(1, args.epochs // args.mine_rounds))
+            hist = fit_with_mining(
+                encoder, stage_cfg, pairs, list(train["docs"]), pair_rel,
+                initial_negatives=negs, rounds=args.mine_rounds)
+        else:
+            hist = ContrastiveEncoderTrainer(encoder, con_cfg).fit(
+                pairs, hard_negatives=negs)
+        print(f"[3/5] contrastive train: loss {hist[0]['loss']:.3f} -> "
+              f"{hist[-1]['loss']:.3f} over {len(hist)} epochs "
+              f"({time.perf_counter()-t0:.1f}s, {len(pairs)} pairs)",
+              file=sys.stderr)
+        save_encoder(encoder, os.path.join(args.output, "encoder_ckpt"))
     qe = encoder.encode(evals["queries"])
     de = encoder.encode(evals["docs"])
     dense_scores = qe @ de.T
