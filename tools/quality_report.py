@@ -225,6 +225,64 @@ def main():
             cells.append(f"{pure[0]:.4f}±{pure[1]:.4f}" if pure else "—")
             lines.append(f"| {model} | " + " | ".join(cells) + " |")
 
+    # VALIDATION-TUNED rerank blend (capstone_bt runs): the blend beta is
+    # grid-searched per seed on the held-out validation split (fine 1/16
+    # grid) and applied unchanged to eval — the honest answer to "can the
+    # rerank stage add anything on top of the tuned generator?"
+    bt = load_ladder(args.dir, (("bt", "capstone_bt"),))
+    if bt:
+        per_seed = bt["bt"]
+        seeds = sorted(per_seed)
+        gen = agg(per_seed, "hybrid_wrrf_tuned", "map")
+        lines.append("")
+        lines.append(
+            f"Validation-tuned rerank blend (capstone recipe, seeds {seeds}; "
+            f"generator MAP {gen[0]:.4f}±{gen[1]:.4f}):")
+        lines.append("| Reranker | tuned beta per seed | blend-tuned MAP "
+                     "| blend-tuned nDCG@10 | pure (b=1) MAP |")
+        lines.append("|---|---|---|---|---|")
+        some_bt = next(iter(per_seed.values()))
+        models = [m.removeprefix("hybrid_plus_").removesuffix("_blend_tuned")
+                  for m in some_bt["results"] if m.endswith("_blend_tuned")]
+        for model in models:
+            key = f"hybrid_plus_{model}_blend_tuned"
+            a = agg(per_seed, key, "map")
+            b = agg(per_seed, key, "ndcg@10")
+            pure = agg(per_seed, f"hybrid_plus_{model}", "map")
+            betas = [
+                str(per_seed[s].get("rerank_blend_curve", {})
+                    .get(model, {}).get("tuned", {}).get("beta", "?"))
+                for s in seeds
+            ]
+            lines.append(
+                f"| {model} | {'/'.join(betas)} "
+                + (f"| {a[0]:.4f}±{a[1]:.4f} " if a else "| — ")
+                + (f"| {b[0]:.4f}±{b[1]:.4f} " if b else "| — ")
+                + (f"| {pure[0]:.4f}±{pure[1]:.4f} |" if pure else "| — |"))
+
+    # margin-MSE distillation probes (seed 0, capstone_bt_s0 as baseline)
+    probes = sorted(glob.glob(os.path.join(args.dir, "distill_probe_*.json")))
+    if probes:
+        base = bt["bt"].get(0) if bt else None
+        lines.append("")
+        lines.append("Margin-MSE distillation probes (seed 0; pure-reranker "
+                     "MAP, no-distill baseline in parens):")
+        for path in probes:
+            if os.path.getsize(path) == 0:
+                continue
+            with open(path) as f:
+                obj = json.loads(f.read().strip())
+            name = os.path.basename(path).removesuffix(".json")
+            for m, r in obj["results"].items():
+                if (m.startswith("hybrid_plus_")
+                        and not m.endswith("_blend_tuned")):
+                    model = m.removeprefix("hybrid_plus_")
+                    b0 = (base["results"].get(m, {}).get("map")
+                          if base else None)
+                    lines.append(
+                        f"- {name} {model}: {r['map']:.4f}"
+                        + (f" (no-distill {b0:.4f})" if b0 else ""))
+
     # encoder pretraining recipe: dense + tuned-fusion MAP per variant
     pre = load_ladder(args.dir, PRETRAIN)
     if len(pre) >= 2:
