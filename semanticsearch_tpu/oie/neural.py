@@ -170,6 +170,7 @@ class NeuralOIE:
 
         self.cfg = cfg
         self.tokenizer = tokenizer
+        self._piece_cache: Dict[str, List[int]] = {}
         vocab = tokenizer.vocab_size if tokenizer is not None else cfg.vocab_size
         self._enc_cfg = EncoderConfig(
             vocab_size=vocab, hidden_dim=cfg.hidden_dim,
@@ -214,15 +215,21 @@ class NeuralOIE:
         their tag) — callers cap sentences at ``max_words`` anyway.
         """
         cfg = self.cfg
+        cache = self._piece_cache
         ids: List[int] = []
         starts: List[int] = []
         for w in words[: cfg.max_words]:
-            if self.tokenizer is not None:
-                pieces = self.tokenizer.encode_word(w.lower()) or [1]
-            else:
-                from ..models.tokenizer import _hash_token
+            lw = w.lower()
+            pieces = cache.get(lw)
+            if pieces is None:
+                if self.tokenizer is not None:
+                    pieces = self.tokenizer.encode_word(lw) or [1]
+                else:
+                    from ..models.tokenizer import _hash_token
 
-                pieces = [_hash_token(w.lower(), cfg.vocab_size)]
+                    pieces = [_hash_token(lw, cfg.vocab_size)]
+                if len(cache) < 262144:  # Zipfian reuse; bounded host RSS
+                    cache[lw] = pieces
             if len(ids) + 1 > cfg.max_len:
                 break
             starts.append(len(ids))
