@@ -1008,8 +1008,12 @@ class HybridQueryEngine:
             for rel in relevant_ids
         ]
         table: Dict[float, float] = {}
-        for beta in (grid if grid is not None
-                     else (0.0, 0.125, 0.25, 0.375, 0.5, 0.75, 1.0)):
+        # fine 1/16 grid: the measured eval optima land at 0.0625-0.25
+        # (BASELINE.md blend table) — a coarser grid misses them; every
+        # beta is a host-side reorder of the SAME predictions, so grid
+        # resolution is free
+        default_grid = tuple(round(i / 16, 4) for i in range(17))
+        for beta in (grid if grid is not None else default_grid):
             beta = float(beta)
             aps, off = [], 0
             for qi in range(len(queries)):
