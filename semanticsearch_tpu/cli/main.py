@@ -445,8 +445,13 @@ def cmd_oie_train(args) -> int:
 
     texts = [row.get(args.text_column, "") for row in read_tsv(args.input)]
     texts = [t for t in texts if t.strip()]
-    cfg = NeuralOIEConfig(epochs=args.epochs, seed=args.seed)
-    oie = train_neural_oie(texts, cfg=cfg, save_dir=args.output)
+    cfg = NeuralOIEConfig(epochs=args.epochs, seed=args.seed,
+                          hidden_dim=args.hidden_dim,
+                          num_layers=args.num_layers,
+                          num_heads=args.num_heads,
+                          mlp_dim=args.hidden_dim * 2)
+    oie = train_neural_oie(texts, cfg=cfg, save_dir=args.output,
+                           bpe_vocab_size=args.bpe_vocab)
     print(json.dumps({"model_dir": args.output, "texts": len(texts),
                       "vocab": oie.tokenizer.vocab_size}))
     return 0
@@ -815,6 +820,10 @@ def main(argv=None) -> int:
     p.add_argument("--text-column", default="chunk_text")
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hidden-dim", type=int, default=128)
+    p.add_argument("--num-layers", type=int, default=2)
+    p.add_argument("--num-heads", type=int, default=4)
+    p.add_argument("--bpe-vocab", type=int, default=2048)
     p.set_defaults(fn=cmd_oie_train)
 
     p = sub.add_parser("validate", help="validate/clean a labeled TSV")

@@ -264,3 +264,33 @@ def test_cli_tune_fusion_rerank_top_requires_reranker(tmp_path, capsys):
     assert rc == 1
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "--reranker" in out["error"]
+
+
+def test_cli_oie_train_then_neural_enrich(tmp_path, capsys):
+    """oie-train bootstraps a tiny tagger; `oie --extractor neural` enriches
+    through the batched path with the saved checkpoint."""
+    p = tmp_path / "chunks.tsv"
+    rows = [
+        {"chunk_id": f"c{i}",
+         "chunk_text": f"The old engineer carried the bridge number {i}."}
+        for i in range(24)
+    ]
+    write_tsv(str(p), rows, ["chunk_id", "chunk_text"])
+    model_dir = str(tmp_path / "oie_model")
+    rc = main(["oie-train", "-i", str(p), "-o", model_dir,
+               "--epochs", "6", "--hidden-dim", "32", "--num-layers", "1",
+               "--num-heads", "2", "--bpe-vocab", "128"])
+    assert rc == 0
+    blob = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert blob["model_dir"] == model_dir and blob["texts"] == 24
+
+    out = tmp_path / "enriched.tsv"
+    rc = main(["oie", "-i", str(p), "-o", str(out),
+               "--extractor", "neural", "--model-dir", model_dir])
+    assert rc == 0
+    blob = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert blob["enriched_rows"] == 24
+    from semanticsearch_tpu.data.tsv import read_tsv
+
+    got = list(read_tsv(str(out)))
+    assert "raw_oie_data" in got[0]
