@@ -246,8 +246,17 @@ def enrich_chunk_tsv(
     """
     sidecar: List[Dict] = []
     if extractor == "auto":
-        extractor = "server" if is_port_open(port) else "heuristic"
+        # a provided model checkpoint is an explicit ask for the tagger —
+        # resolving past it would silently enrich with the wrong engine
+        if model_dir:
+            extractor = "neural"
+        else:
+            extractor = "server" if is_port_open(port) else "heuristic"
         logger.info("OIE extractor resolved to %r", extractor)
+    elif extractor != "neural" and model_dir:
+        raise ValueError(
+            f"model_dir={model_dir!r} was given but extractor={extractor!r} "
+            "would ignore it — pass extractor='neural' (or 'auto')")
     if extractor == "neural":
         if not model_dir:
             raise ValueError(

@@ -148,32 +148,47 @@ def _np_head(tokens: List[str]) -> str:
     return " ".join(toks[-2:])
 
 
-def _clause_triple(tokens: List[str]) -> Optional[Triple]:
+def _clause_spans(
+    tokens: List[str],
+) -> Optional[Tuple[Tuple[int, int], Tuple[int, int], Tuple[int, int]]]:
+    """SVO spans over ``tokens`` as (subject, relation, object) index
+    ranges — the single source of truth for the clause rules (lead-trim,
+    12-token subject cap, particle fold, 20-token object cap, pronoun-only
+    rejection). ``_clause_triple`` joins these to strings; the neural
+    tagger's silver BIO labels (``oie/neural.py``) read them as positions,
+    so teacher and student can never drift apart."""
     if len(tokens) < 3:
         return None
     vg = _find_verb_group(tokens)
     if vg is None:
         return None
     b, e = vg
-    subj_toks = list(tokens[:b])
-    while subj_toks and subj_toks[0].lower() in _LEAD_TRIM and len(subj_toks) > 1:
-        subj_toks.pop(0)
-    if not subj_toks or len(subj_toks) > 12:
+    s0 = 0
+    while s0 < b - 1 and tokens[s0].lower() in _LEAD_TRIM:
+        s0 += 1
+    if b - s0 <= 0 or b - s0 > 12:
         return None
-    rel_toks = list(tokens[b:e])
-    obj_toks = list(tokens[e:])
+    rel_e, obj_b = e, e
     # fold one particle/preposition into the relation when an object follows
-    if obj_toks and obj_toks[0].lower() in _PARTICLES and len(obj_toks) > 1:
-        rel_toks.append(obj_toks.pop(0))
-    if not obj_toks:
+    if obj_b < len(tokens) - 1 and tokens[obj_b].lower() in _PARTICLES:
+        rel_e += 1
+        obj_b += 1
+    if obj_b >= len(tokens):
         return None
-    subject = " ".join(subj_toks)
-    if subject.lower() in _PRONOUN_ONLY:
+    if " ".join(tokens[s0:b]).lower() in _PRONOUN_ONLY:
         return None
+    return (s0, b), (b, rel_e), (obj_b, min(len(tokens), obj_b + 20))
+
+
+def _clause_triple(tokens: List[str]) -> Optional[Triple]:
+    spans = _clause_spans(tokens)
+    if spans is None:
+        return None
+    (sa, sb), (ra, rb), (oa, ob) = spans
     return {
-        "subject": subject,
-        "relation": " ".join(rel_toks),
-        "object": " ".join(obj_toks[:20]),
+        "subject": " ".join(tokens[sa:sb]),
+        "relation": " ".join(tokens[ra:rb]),
+        "object": " ".join(tokens[oa:ob]),
     }
 
 

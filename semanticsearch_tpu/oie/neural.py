@@ -35,13 +35,7 @@ import numpy as np
 
 from ..core.config import EncoderConfig
 from ..core.logging import get_logger
-from .heuristic import (
-    _LEAD_TRIM,
-    _PARTICLES,
-    _PRONOUN_ONLY,
-    _find_verb_group,
-    _tokens,
-)
+from .heuristic import _clause_spans, _tokens
 
 logger = get_logger("oie.neural")
 
@@ -58,35 +52,12 @@ def silver_spans(
 ) -> Optional[Tuple[Tuple[int, int], Tuple[int, int], Tuple[int, int]]]:
     """Heuristic SVO spans over ``words`` as (subj, rel, obj) index ranges.
 
-    Mirrors ``heuristic._clause_triple`` exactly (lead-conjunction trim,
-    12-token subject cap, particle fold, 20-token object cap, pronoun-only
-    subject rejection) but returns SPANS instead of joined strings, so
-    silver BIO tags align with token positions by construction — no
-    string-realignment step that could mislabel repeated words.
+    Delegates to ``heuristic._clause_spans`` — the SAME function
+    ``_clause_triple`` joins to strings — so the silver BIO tags align with
+    token positions by construction and can never drift from the teacher
+    (no string-realignment step that could mislabel repeated words).
     """
-    words = list(words)
-    if len(words) < 3:
-        return None
-    vg = _find_verb_group(words)
-    if vg is None:
-        return None
-    b, e = vg
-    s0 = 0
-    while s0 < b - 1 and words[s0].lower() in _LEAD_TRIM:
-        s0 += 1
-    if b - s0 <= 0 or b - s0 > 12:
-        return None
-    rel_e, obj_b = e, e
-    if obj_b < len(words) - 1 and words[obj_b].lower() in _PARTICLES:
-        rel_e += 1
-        obj_b += 1
-    if obj_b >= len(words):
-        return None
-    subject = " ".join(words[s0:b])
-    if subject.lower() in _PRONOUN_ONLY:
-        return None
-    obj_e = min(len(words), obj_b + 20)
-    return (s0, b), (b, rel_e), (obj_b, obj_e)
+    return _clause_spans(list(words))
 
 
 def silver_bio_tags(words: Sequence[str]) -> Optional[List[int]]:

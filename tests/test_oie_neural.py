@@ -119,7 +119,8 @@ def test_neural_oie_learns_silver_and_contract(tmp_path):
         for t in triples:
             for field in ("subject", "relation", "object"):
                 assert set(t[field].split()) <= words, (text, t)
-        if triples and triples[0] == extract_triples_heuristic(text)[:1][0]:
+        teacher = extract_triples_heuristic(text)
+        if teacher and triples and triples[0] == teacher[0]:
             agree += 1
     assert agree >= 0.7 * len(held_out), f"agreement {agree}/{len(held_out)}"
 

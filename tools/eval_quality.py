@@ -426,12 +426,25 @@ def main():
           f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
     if args.rerank_candidates == "wrrf":
         rrf_scores = wrrf_scores  # rerankers rescore the tuned fusion's head
-        val_gen_scores = weighted_rrf(qe_val @ de_val.T, bm_val_scores,
-                                      alpha=alpha)
-    else:
-        # validation-split candidates under the same (unweighted) generator
-        val_gen_scores = weighted_rrf(qe_val @ de_val.T, bm_val_scores,
-                                      alpha=None)
+
+    # blend-tuning split: FRESH queries+docs (seed+3000), disjoint from the
+    # alpha-tuning split above — tuning beta where alpha was fitted would
+    # flatter the beta=0 arm (the generator rides its in-sample alpha there)
+    # and bias the blend toward dropping the reranker
+    bval = build_split(args.seed + 3000, n_queries_per_topic=args.eval_qpt,
+                       qv=qv, dv=dv, docs_per_class=args.docs_per_class)
+    bval_labels = relevance(bval)
+    n_bq, n_bd = bval_labels.shape
+    qe_bv = encoder.encode(bval["queries"])
+    de_bv = encoder.encode(bval["docs"])
+    bm_bv = BM25Okapi([tokenize(d) for d in bval["docs"]])
+    bv_idx, bv_top = bm_bv.get_topk_batch(
+        [tokenize(q) for q in bval["queries"]], n_bd)
+    bm_bv_scores = np.zeros((n_bq, n_bd), np.float32)
+    np.put_along_axis(bm_bv_scores, bv_idx, bv_top, axis=1)
+    bval_gen_scores = weighted_rrf(
+        qe_bv @ de_bv.T, bm_bv_scores,
+        alpha=alpha if args.rerank_candidates == "wrrf" else None)
 
     # ------------------------------------- 5. hybrid + trained rerankers
     if args.rerankers == "all":
@@ -466,13 +479,14 @@ def main():
         for qi in range(nq):
             for di in np.argsort(-rrf_scores[qi])[:top]:
                 cand_rows.append((qi, int(di)))
-        # blend-tuning candidates: the VALIDATION split's fused top-`top`
+        # blend-tuning candidates: the blend-val split's fused top-`top`
         # under the same generator the rerankers rescore — the blend beta
-        # is grid-searched there (never on eval) and applied unchanged,
-        # the train/fusion.py discipline extended to the rerank stage
+        # is grid-searched there (never on eval, and never on the split
+        # that fitted alpha) and applied unchanged to eval: the
+        # train/fusion.py discipline extended to the rerank stage
         blend_rows = []
-        for qi in range(n_vq):
-            for di in np.argsort(-val_gen_scores[qi])[:top]:
+        for qi in range(n_bq):
+            for di in np.argsort(-bval_gen_scores[qi])[:top]:
                 blend_rows.append((qi, int(di)))
 
         _bundles = {}
@@ -511,8 +525,8 @@ def main():
                                train_labels) if val_rows else None)
             cand_ds = _pair_ds(pp, cand_rows, evals["queries"], evals["docs"],
                                labels)
-            blend_ds = _pair_ds(pp, blend_rows, val["queries"], val["docs"],
-                                val_labels)
+            blend_ds = _pair_ds(pp, blend_rows, bval["queries"],
+                                bval["docs"], bval_labels)
             _bundles[lengths] = (pp, train_ds, val_ds, cand_ds, blend_ds)
             return _bundles[lengths]
 
@@ -599,13 +613,14 @@ def main():
               + ", ".join(f"b={b}: map {m['map']:.4f}"
                           for b, m in curve.items()), file=sys.stderr)
         # VALIDATION-TUNED blend: fine beta grid (1/16 steps) scored on the
-        # held-out validation split's candidates, best beta applied
-        # unchanged to eval. Ties break toward beta=1.0 — the reference's
-        # pure-rescoring semantics — matching tune_rerank_blend (serve).
+        # fresh blend-val split's candidates (disjoint from the alpha
+        # split), best beta applied unchanged to eval. Ties break toward
+        # beta=1.0 — the reference's pure-rescoring semantics — matching
+        # tune_rerank_blend (serve).
         blend_pred = reranker.predict(fit_res.params, blend_ds)
         fine_grid = tuple(np.round(np.linspace(0.0, 1.0, 17), 4))
-        vtab = _blend_eval(val_gen_scores, blend_pred, top, fine_grid,
-                           val_labels, metrics=("map",))
+        vtab = _blend_eval(bval_gen_scores, blend_pred, top, fine_grid,
+                           bval_labels, metrics=("map",))
         beta_star = max(vtab, key=lambda b: (vtab[b]["map"], b))
         tuned = _blend_eval(rrf_scores, cand_pred, top, (beta_star,), labels,
                             metrics=("map", "ndcg@10", "p@10", "mrr"))

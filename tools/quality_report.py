@@ -281,7 +281,8 @@ def main():
                           if base else None)
                     lines.append(
                         f"- {name} {model}: {r['map']:.4f}"
-                        + (f" (no-distill {b0:.4f})" if b0 else ""))
+                        + (f" (no-distill {b0:.4f})"
+                           if b0 is not None else ""))
 
     # encoder pretraining recipe: dense + tuned-fusion MAP per variant
     pre = load_ladder(args.dir, PRETRAIN)
