@@ -132,7 +132,12 @@ class NeuralOIE:
     """Batched neural OIE extractor (train on silver labels, jitted tag)."""
 
     def __init__(self, cfg: NeuralOIEConfig = NeuralOIEConfig(),
-                 tokenizer=None, params=None) -> None:
+                 tokenizer=None, params=None, mesh=None) -> None:
+        """``mesh``: an optional ``jax.sharding.Mesh`` with a ``data`` axis.
+        Tag batches are row-sharded over it and params replicated — the
+        same data-parallel layout as the sentence encoder (extraction is
+        embarrassingly parallel over sentences). Training stays single
+        device; the model is tiny and trains once."""
         import jax
         import jax.numpy as jnp
         from flax import linen as nn
@@ -141,6 +146,7 @@ class NeuralOIE:
 
         self.cfg = cfg
         self.tokenizer = tokenizer
+        self.mesh = mesh
         self._piece_cache: Dict[str, List[int]] = {}
         vocab = tokenizer.vocab_size if tokenizer is not None else cfg.vocab_size
         self._enc_cfg = EncoderConfig(
@@ -172,6 +178,14 @@ class NeuralOIE:
             return jnp.argmax(logits, axis=-1)
 
         self._tag = _tag
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P("data", None))
+            self.params = jax.device_put(
+                self.params, NamedSharding(mesh, P()))
+        else:
+            self._batch_sharding = None
 
     # ------------------------------------------------------------ encoding
 
@@ -324,6 +338,9 @@ class NeuralOIE:
 
         if not sentences:
             return []
+        if self.mesh is not None:
+            n_data = self.mesh.shape.get("data", 1)
+            batch_size = -(-batch_size // n_data) * n_data  # shardable
         ids, mask, starts, nwords = self._batch_arrays(sentences)
         out: List[np.ndarray] = []
         n = len(sentences)
@@ -336,8 +353,13 @@ class NeuralOIE:
                                                   np.int32)])
                 bm = np.concatenate([bm, np.zeros((pad, bm.shape[1]),
                                                   np.int32)])
-            piece_tags = np.asarray(
-                self._tag(self.params, jnp.asarray(bi), jnp.asarray(bm)))
+            bi, bm = jnp.asarray(bi), jnp.asarray(bm)
+            if self._batch_sharding is not None:
+                import jax
+
+                bi = jax.device_put(bi, self._batch_sharding)
+                bm = jax.device_put(bm, self._batch_sharding)
+            piece_tags = np.asarray(self._tag(self.params, bi, bm))
             for i in range(e - s):
                 nw = int(nwords[s + i])
                 out.append(piece_tags[i, starts[s + i, :nw]])

@@ -129,6 +129,26 @@ def test_neural_oie_learns_silver_and_contract(tmp_path):
     assert again.extract(held_out) == got
 
 
+def test_neural_oie_mesh_sharded_matches_single_device():
+    """Extraction under a data-sharded mesh is bit-identical to the
+    single-device path (params replicated, batch rows sharded)."""
+    import jax
+
+    from semanticsearch_tpu.core.mesh import MeshSpec, make_mesh
+
+    corpus = _silver_corpus(64, seed=3)
+    oie = NeuralOIE(_tiny_cfg(epochs=2))  # hash tokenizer fallback
+    oie.fit_silver(corpus)
+    held_out = _silver_corpus(16, seed=42)
+    base = oie.extract(held_out, batch_size=8)
+
+    n = min(8, len(jax.devices()))
+    mesh = make_mesh(MeshSpec(data=n, model=1))
+    sharded = NeuralOIE(oie.cfg, tokenizer=None, params=oie.params,
+                        mesh=mesh)
+    assert sharded.extract(held_out, batch_size=8) == base
+
+
 def test_enrich_tsv_neural_extractor(tmp_path):
     """extractor='neural' fills the OIE columns through the batched path."""
     from semanticsearch_tpu.data.tsv import read_tsv, write_tsv
