@@ -229,7 +229,10 @@ def main():
     # grid-searched per seed on the held-out validation split (fine 1/16
     # grid) and applied unchanged to eval — the honest answer to "can the
     # rerank stage add anything on top of the tuned generator?"
-    bt = load_ladder(args.dir, (("bt", "capstone_bt"),))
+    # prefer the v2 runs (one consistent protocol: beta tuned on the fresh
+    # seed+3000 split, disjoint from the alpha split)
+    bt = (load_ladder(args.dir, (("bt", "capstone_bt2"),))
+          or load_ladder(args.dir, (("bt", "capstone_bt"),)))
     if bt:
         per_seed = bt["bt"]
         seeds = sorted(per_seed)
