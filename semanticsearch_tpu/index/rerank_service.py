@@ -61,6 +61,7 @@ class RerankService:
         params,
         preprocessor: Preprocessor,
         cfg: Optional[TrainConfig] = None,
+        model_kwargs: Optional[dict] = None,
     ) -> None:
         import jax
         import jax.numpy as jnp
@@ -70,9 +71,13 @@ class RerankService:
         self.model_name = model_name
         self.pp = preprocessor
         self.cfg = cfg or TrainConfig(model=model_name)
+        # model_kwargs must match the checkpoint's architecture overrides
+        # (e.g. a preset's kernel_num) or apply() walks a different tree
+        # than the restored params
+        self.model_kwargs = dict(model_kwargs or {})
         self.model = make_model(
             model_name, vocab_size=preprocessor.vocab_size,
-            embed_dim=self.cfg.embedding_dim,
+            embed_dim=self.cfg.embedding_dim, **self.model_kwargs,
         )
         self.params = params
 
@@ -101,8 +106,14 @@ class RerankService:
         pp = Preprocessor.load(os.path.join(checkpoint_dir, "preprocessor.json"))
         from ..models.rerankers import make_model
 
+        # rebuild the SAME architecture the checkpoint was trained with —
+        # the trainer persists its model_kwargs (e.g. Conv-KNRM's
+        # kernel_num/filters preset) exactly so loaders don't fall back to
+        # the model class defaults (the reference infers this from tensor
+        # shapes instead, evaluate_models.py:277-322)
+        model_kwargs = dict(meta.get("model_kwargs") or {})
         model = make_model(cfg.model, vocab_size=pp.vocab_size,
-                           embed_dim=cfg.embedding_dim)
+                           embed_dim=cfg.embedding_dim, **model_kwargs)
         dummy_l = np.zeros((2, pp.fixed_length_left), np.int32)
         dummy_r = np.zeros((2, pp.fixed_length_right), np.int32)
         template = {
@@ -113,7 +124,7 @@ class RerankService:
         params = restore_checkpoint(checkpoint_dir, template)["params"]
         logger.info("loaded %s reranker from %s (vocab %d)",
                     cfg.model, checkpoint_dir, pp.vocab_size)
-        return cls(cfg.model, params, pp, cfg=cfg)
+        return cls(cfg.model, params, pp, cfg=cfg, model_kwargs=model_kwargs)
 
     # ---------------------------------------------------------------- scoring
     def score_pairs(

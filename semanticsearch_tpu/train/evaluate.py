@@ -97,6 +97,7 @@ class CVEvaluator:
             train_ds = dataset_from_fold(fold.train, pp)
             test_ds = dataset_from_fold(fold.test, pp)
             emb_init = None
+            warm_start = None
             if cfg.embedding_init_path and cfg.embedding_init_path.startswith(
                     "encoder:"):
                 # transfer the trained encoder's token table (the
@@ -118,6 +119,17 @@ class CVEvaluator:
                         f"embedding_dim={cfg.embedding_dim}); set "
                         "train.embedding_dim to the encoder hidden size "
                         "and use the encoder's tokenizer")
+                if model_name.lower().replace("-", "_") == "cross_encoder":
+                    # the cross-encoder shares the encoder's block
+                    # structure: warm-start the WHOLE stack, not just the
+                    # token table (the monoBERT recipe, zero-egress —
+                    # models/rerankers/cross_encoder.py)
+                    from ..models.rerankers import transfer_from_encoder
+
+                    enc_params = enc.params
+
+                    def warm_start(p, _enc=enc_params):
+                        return transfer_from_encoder(p, _enc)
             elif cfg.embedding_init_path:
                 if sub_tok is not None:
                     # a GloVe-format file is word-keyed; in subword mode
@@ -137,6 +149,7 @@ class CVEvaluator:
             trainer = RerankTrainer(
                 model_name, vocab_size=pp.vocab_size, cfg=cfg,
                 model_kwargs=model_kwargs, embedding_matrix=emb_init,
+                warm_start_fn=warm_start,
             )
             ckpt = (
                 os.path.join(output_dir, model_name, f"fold_{k}")

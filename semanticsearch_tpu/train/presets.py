@@ -75,6 +75,23 @@ MODEL_TRAIN_PRESETS: Dict[str, Tuple[TrainConfig, dict]] = {
         ),
         {"hidden_size": 128, "top_k": 10},
     ),
+    # Beyond the reference's seven: the cross-encoder it shipped as dead
+    # code (Semantic_Splitter_Optimized.py:14-61, never reached — SURVEY §7
+    # defect 2), built for real (models/rerankers/cross_encoder.py). No
+    # reference hyperparameters exist; these are the fine-tuning-shaped
+    # ones (low adam lr — the model is meant to start from a trained
+    # encoder via transfer_from_encoder, and 1e-3 scrambles warm-started
+    # transformer blocks; rank_xent over (1+num_neg) groups).
+    "cross_encoder": (
+        TrainConfig(
+            model="cross_encoder", optimizer="adam", learning_rate=2e-4,
+            batch_size=32, num_dup=1, num_neg=4, loss="rank_xent",
+            fixed_length_left=16, fixed_length_right=128, filter_low_freq=5,
+            embedding_dim=128,
+        ),
+        {"num_layers": 2, "num_heads": 4, "mlp_dim": 256,
+         "dropout_rate": 0.1},
+    ),
 }
 
 

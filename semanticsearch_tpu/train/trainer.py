@@ -106,13 +106,18 @@ class RerankTrainer:
         cfg: TrainConfig = TrainConfig(),
         model_kwargs: Optional[Dict] = None,
         embedding_matrix=None,
+        warm_start_fn=None,
     ) -> None:
         """``embedding_matrix`` (vocab_size, embed_dim) overrides the random
         embedding-table init — the pretrained-GloVe slot of the reference
         (``train_controller.py:564-581``); build it with
-        ``train.embeddings.load_word_embeddings``."""
+        ``train.embeddings.load_word_embeddings``. ``warm_start_fn``
+        (params -> params) runs LAST in init_params — e.g.
+        ``models.rerankers.transfer_from_encoder`` warm-starting a
+        cross-encoder's whole block stack from a trained sentence encoder."""
         self.cfg = cfg
         self._embedding_matrix = embedding_matrix
+        self._warm_start_fn = warm_start_fn
         # kept for checkpoint metadata: evaluate_saved_model must rebuild
         # the SAME architecture, not the model's defaults
         self._model_kwargs = dict(model_kwargs or {})
@@ -165,6 +170,8 @@ class RerankTrainer:
             from .embeddings import apply_embedding_init
 
             params = apply_embedding_init(params, self._embedding_matrix)
+        if self._warm_start_fn is not None:
+            params = self._warm_start_fn(params)
         return params
 
     def predict(self, params, dataset: PairDataset, batch_size: int = 128

@@ -176,7 +176,7 @@ def _learnable_dataset(pp_len=(4, 8), n_queries=12, seed=0):
 
 
 ALL_MODELS = ["knrm", "conv_knrm", "match_pyramid", "arcii", "esim",
-              "match_lstm", "mvlstm"]
+              "match_lstm", "mvlstm", "cross_encoder"]
 
 
 @pytest.mark.parametrize("model_name", ALL_MODELS)
@@ -185,7 +185,8 @@ def test_reranker_learns_lexical_overlap(model_name):
     cfg = TrainConfig(
         model=model_name, epochs=3, batch_size=4, num_neg=1,
         optimizer="adam", learning_rate=0.01,
-        loss="rank_xent" if model_name in ("esim", "match_lstm", "mvlstm")
+        loss="rank_xent" if model_name in ("esim", "match_lstm", "mvlstm",
+                                           "cross_encoder")
         else "hinge",
         embedding_dim=16, eval_metrics=("map", "ndcg@3"),
     )
@@ -199,6 +200,8 @@ def test_reranker_learns_lexical_overlap(model_name):
         kwargs = {"kernel_2d_count": (8, 8), "pool_2d_size": ((2, 2), (2, 2))}
     if model_name == "mvlstm":
         kwargs = {"hidden_size": 16, "top_k": 5}
+    if model_name == "cross_encoder":
+        kwargs = {"num_layers": 1, "num_heads": 2, "mlp_dim": 32}
     trainer = RerankTrainer(model_name, vocab_size=64, cfg=cfg,
                             model_kwargs=kwargs)
     result = trainer.fit(ds, test_ds=ds)
@@ -440,6 +443,90 @@ def test_encoder_embedding_transfer_init():
     params = trainer.init_params(_learnable_dataset())
     np.testing.assert_allclose(
         np.asarray(params["embedding"]["embedding"]), mat, rtol=1e-6)
+
+
+def test_cross_encoder_warm_start_transfer():
+    """transfer_from_encoder warm-starts the cross-encoder's whole stack
+    from a trained sentence encoder: the token table, both LayerNorms, and
+    every transformer block are bit-copied; the CLS/segment/head params
+    keep their fresh init; encoder position rows land at packed positions
+    1.. (0 is the CLS slot). The warm-started model must train finite, and
+    an architecture mismatch must raise instead of partially transferring."""
+    import jax
+
+    from semanticsearch_tpu.core.config import EncoderConfig
+    from semanticsearch_tpu.models.encoder import SentenceEncoder
+    from semanticsearch_tpu.models.rerankers import transfer_from_encoder
+
+    enc = SentenceEncoder(EncoderConfig(
+        vocab_size=64, hidden_dim=16, num_layers=1, num_heads=2,
+        mlp_dim=32, max_len=16, dtype="float32"))
+    cfg = TrainConfig(model="cross_encoder", embedding_dim=16, epochs=2,
+                      batch_size=4, num_neg=1, loss="rank_xent",
+                      optimizer="adam", learning_rate=1e-3)
+    kwargs = {"num_layers": 1, "num_heads": 2, "mlp_dim": 32}
+    trainer = RerankTrainer(
+        "cross_encoder", vocab_size=64, cfg=cfg, model_kwargs=kwargs,
+        warm_start_fn=lambda p: transfer_from_encoder(p, enc.params))
+    ds = _learnable_dataset()
+    params = trainer.init_params(ds)
+    np.testing.assert_array_equal(
+        np.asarray(params["embedding"]["embedding"]),
+        np.asarray(enc.params["token_embed"]["embedding"]))
+    for leaf_mine, leaf_enc in zip(
+            jax.tree.leaves(params["layer_0"]),
+            jax.tree.leaves(enc.params["layer_0"])):
+        np.testing.assert_array_equal(np.asarray(leaf_mine),
+                                      np.asarray(leaf_enc))
+    np.testing.assert_array_equal(
+        np.asarray(params["pos_embed"]["embedding"])[1:17],
+        np.asarray(enc.params["pos_embed"]["embedding"]))
+    res = trainer.fit(ds)
+    assert all(np.isfinite(r["loss"]) for r in res.history), res.history
+
+    # depth mismatch: cross-encoder deeper than the encoder -> loud error
+    deep = RerankTrainer(
+        "cross_encoder", vocab_size=64, cfg=cfg,
+        model_kwargs={"num_layers": 2, "num_heads": 2, "mlp_dim": 32},
+        warm_start_fn=lambda p: transfer_from_encoder(p, enc.params))
+    with pytest.raises(ValueError, match="layer_1"):
+        deep.init_params(ds)
+
+
+def test_rerank_service_load_respects_model_kwargs(tmp_path):
+    """RerankService.load must rebuild the architecture the checkpoint was
+    TRAINED with (metadata model_kwargs), not the model class defaults —
+    regression: a non-default kernel_num loaded fine through the evaluate
+    path but the serve path silently rebuilt the default architecture."""
+    from semanticsearch_tpu.data.folds import FoldPaths
+    from semanticsearch_tpu.data.tsv import write_tsv
+    from semanticsearch_tpu.index.rerank_service import RerankService
+    from semanticsearch_tpu.train.evaluate import CVEvaluator
+
+    rows = []
+    for q in range(4):
+        for d in range(4):
+            lab = 1 if d < 2 else 0
+            text = f"tok{q} sig relevant text" if lab else f"noise z{q} {d}"
+            rows.append({"query_id": f"q{q}", "query_text": f"tok{q} sig",
+                         "chunk_text": text, "label": str(lab)})
+    for split in ("train", "test"):
+        write_tsv(str(tmp_path / f"fold_1_{split}.tsv"), rows,
+                  ["query_id", "query_text", "chunk_text", "label"])
+    cfg = TrainConfig(model="knrm", epochs=1, batch_size=4, num_neg=1,
+                      optimizer="adam", learning_rate=0.01,
+                      embedding_dim=16, filter_low_freq=1)
+    folds = [FoldPaths(train=str(tmp_path / "fold_1_train.tsv"),
+                       test=str(tmp_path / "fold_1_test.tsv"))]
+    CVEvaluator(folds, metrics=("map",)).run_model(
+        "knrm", cfg=cfg, output_dir=str(tmp_path / "out"),
+        model_kwargs={"kernel_num": 7})
+    svc = RerankService.load(str(tmp_path / "out" / "knrm" / "fold_1"))
+    assert svc.model_kwargs == {"kernel_num": 7}
+    assert svc.model.kernel_num == 7
+    scores = svc.score_pairs(["tok1 sig", "tok2 sig"],
+                             ["tok1 sig relevant text", "noise z9 1"])
+    assert scores.shape == (2,) and np.isfinite(scores).all()
 
 
 @pytest.mark.parametrize("model_name", ["knrm", "conv_knrm", "match_pyramid"])

@@ -182,13 +182,18 @@ def main():
                          "pieces of the --tokenizer subword vocabulary, so "
                          "unseen inflections decompose instead of hitting "
                          "UNK (requires --tokenizer subword)")
-    ap.add_argument("--reranker-embed-init", choices=["random", "encoder"],
+    ap.add_argument("--reranker-embed-init",
+                    choices=["random", "encoder", "encoder_full"],
                     default="random",
                     help="encoder: init reranker embedding tables from the "
                          "TRAINED encoder's token table — the zero-egress "
                          "analog of the reference's GloVe-100 init "
                          "(train_controller.py:564-581); requires "
-                         "--reranker-vocab subword")
+                         "--reranker-vocab subword. encoder_full: same, "
+                         "plus the cross_encoder reranker warm-starts its "
+                         "ENTIRE transformer stack from the trained "
+                         "encoder (transfer_from_encoder) — the monoBERT "
+                         "recipe, zero-egress")
     ap.add_argument("--reranker-distill", type=float, default=0.0,
                     help=">0: margin-MSE distillation weight w — reranker "
                          "loss becomes (1-w)*rank_loss + w*MSE(student "
@@ -229,10 +234,11 @@ def main():
     args = ap.parse_args()
     if args.reranker_vocab == "subword" and args.tokenizer != "subword":
         ap.error("--reranker-vocab subword requires --tokenizer subword")
-    if (args.reranker_embed_init == "encoder"
+    if (args.reranker_embed_init in ("encoder", "encoder_full")
             and args.reranker_vocab != "subword"):
-        ap.error("--reranker-embed-init encoder requires --reranker-vocab "
-                 "subword (the id spaces must match the encoder's)")
+        ap.error("--reranker-embed-init encoder[_full] requires "
+                 "--reranker-vocab subword (the id spaces must match the "
+                 "encoder's)")
     if args.reranker_keep_best and args.train_qpt < 2:
         ap.error("--reranker-keep-best needs --train-qpt >= 2 (one train "
                  "query per topic is carved into the validation split)")
@@ -447,12 +453,19 @@ def main():
         alpha=alpha if args.rerank_candidates == "wrrf" else None)
 
     # ------------------------------------- 5. hybrid + trained rerankers
-    if args.rerankers == "all":
-        model_names = list(ALL_RERANKERS)
-    elif args.rerankers in ("none", ""):
+    if args.rerankers in ("none", ""):
         model_names = []
     else:
-        model_names = [m.strip() for m in args.rerankers.split(",")]
+        # "all" expands to the seven PARITY models (the reference's
+        # families); cross_encoder is requested explicitly or via
+        # "all,cross_encoder"
+        model_names = []
+        for m in args.rerankers.split(","):
+            m = m.strip()
+            if m == "all":
+                model_names.extend(ALL_RERANKERS)
+            elif m:
+                model_names.append(m)
 
     if model_names:
         top = args.rerank_top
@@ -532,7 +545,7 @@ def main():
 
     embed_matrix = None
     embed_dim = 64
-    if model_names and args.reranker_embed_init == "encoder":
+    if model_names and args.reranker_embed_init in ("encoder", "encoder_full"):
         from semanticsearch_tpu.train.embeddings import (
             encoder_token_embeddings,
         )
@@ -568,10 +581,18 @@ def main():
         from semanticsearch_tpu.train.presets import get_preset
 
         preset_cfg, model_kwargs = get_preset(model_name)
+        # the cross_encoder keeps its preset optimizer (adam@2e-4 —
+        # fine-tuning lr: at 1e-3 a warm-started transformer stack gets
+        # scrambled before the rank loss can use it); the seven parity
+        # models keep the budget-adjusted adam@1e-3 above
+        opt_name, opt_lr = (
+            (preset_cfg.optimizer, preset_cfg.learning_rate)
+            if model_name == "cross_encoder" else ("adam", 1e-3)
+        )
         tr_cfg = _dc.replace(
             preset_cfg, epochs=args.reranker_epochs, batch_size=64,
             num_dup=1, num_neg=4, embedding_dim=embed_dim, filter_low_freq=1,
-            optimizer="adam", learning_rate=1e-3,
+            optimizer=opt_name, learning_rate=opt_lr,
             fixed_length_left=lengths[0], fixed_length_right=lengths[1],
             keep_best=args.reranker_keep_best,
             patience=args.reranker_patience,
@@ -579,10 +600,29 @@ def main():
             distill_weight=args.reranker_distill,
             distill_scale=args.reranker_distill_scale,
         )
+        warm_start = None
+        if (model_name == "cross_encoder"
+                and args.reranker_embed_init == "encoder_full"):
+            from semanticsearch_tpu.models.rerankers import (
+                transfer_from_encoder,
+            )
+
+            # arch kwargs must mirror the trained encoder so the block
+            # copy is a plain tree transfer
+            model_kwargs.update(
+                num_layers=enc_cfg.num_layers, num_heads=enc_cfg.num_heads,
+                mlp_dim=enc_cfg.mlp_dim,
+            )
+            enc_params = encoder.params
+
+            def warm_start(p, _enc=enc_params):
+                return transfer_from_encoder(p, _enc)
+
         t0 = time.perf_counter()
         reranker = RerankTrainer(model_name, vocab_size=pp.vocab_size,
                                  cfg=tr_cfg, model_kwargs=model_kwargs,
-                                 embedding_matrix=embed_matrix)
+                                 embedding_matrix=embed_matrix,
+                                 warm_start_fn=warm_start)
         fit_res = reranker.fit(train_ds, test_ds=val_ds)
         cand_pred = reranker.predict(fit_res.params, cand_ds)
         final_scores = np.full((nq, nd), -np.inf, np.float32)
