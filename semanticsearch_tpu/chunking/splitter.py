@@ -428,12 +428,34 @@ def split_by_embeddings(
     # --- hybrid combine (reference :480-523) ---
     c99_set, valley_set = set(c99), set(valley)
     if hybrid_mode == "union_weighted":
-        all_bs = sorted(c99_set | valley_set)
-        score_map = {
-            b: (0.5 if b in valley_set else 0.0) + (0.5 if b in c99_set else 0.0)
-            for b in all_bs
-        }
-        boundaries = [b for b in all_bs if score_map[b] >= vote_thr]
+        # DIVERGENCE (documented fix of a latent reference defect): the
+        # reference's union_weighted vote (:480-491) counts a valley vote
+        # for a C99 boundary only on EXACT index equality, but the two legs
+        # systematically disagree by 1-2 (valley indexes the minimum of the
+        # median-smoothed signal, C99 the rank-block edge), so with
+        # vote_thr > 0.5 the vote is almost always empty and chunking
+        # degenerates to arbitrary soft-cap cuts. Here agreement uses the
+        # same snap tolerance the reference's own intersection mode uses
+        # (:499), and an empty vote falls back to the C99 cuts (mirroring
+        # the intersection fallback at :522-523). Measured on the realistic
+        # chunking A/B: this is the difference between ~2 arbitrary chunks
+        # per document and recovering the gold topic boundaries.
+        tol = max(1, int(min_spacing) - 1)
+        vs = sorted(valley_set)
+        score_map = {}
+        for c in sorted(c99_set):
+            near_valley = any(abs(v - c) <= tol for v in vs)
+            score_map[c] = 0.5 + (0.5 if near_valley else 0.0)
+        matched = {v for v in vs
+                   if any(abs(v - c) <= tol for c in c99_set)}
+        for v in vs:
+            if v not in matched:
+                score_map[v] = 0.5
+        boundaries = [b for b in sorted(score_map)
+                      if score_map[b] >= vote_thr]
+        if not boundaries:
+            boundaries = sorted(c99_set)
+            score_map = {b: 0.5 for b in boundaries}
     elif hybrid_mode == "union":
         boundaries = sorted(c99_set | valley_set)
         score_map = {

@@ -139,6 +139,42 @@ def test_split_by_embeddings_partition_invariant(rng):
         assert g == list(range(g[0], g[-1] + 1))
 
 
+def test_split_by_embeddings_recovers_planted_boundaries(rng):
+    """The full auto-params pipeline must RECOVER known topic boundaries,
+    not merely emit a valid partition. Guards the union_weighted vote fix:
+    the reference's exact-equality vote (Semantic_Splitter_Optimized.py:
+    480-491) voids on the systematic 1-2 index disagreement between the
+    C99 and valley legs, collapsing to arbitrary soft-cap cuts; the
+    rebuild's tolerance vote keeps the real cuts."""
+    sizes = [9, 7, 8, 10]
+    emb = _topic_embeddings(rng, sizes, noise=0.12)
+    groups = split_by_embeddings(emb, ChunkingConfig(auto_params=True))
+    starts = [g[0] for g in groups]
+    gold = list(np.cumsum(sizes))[:-1]  # [9, 16, 24]
+    for g in gold:
+        assert min(abs(g - s) for s in starts) <= 2, (starts, gold)
+    assert len(groups) == len(sizes), (starts, gold)
+
+
+def test_union_weighted_falls_back_to_c99_when_vote_empty(rng):
+    """Two clean blocks whose valley leg yields nothing close: the vote
+    falls back to the C99 cuts instead of returning zero boundaries."""
+    from semanticsearch_tpu.chunking import splitter as sp
+
+    emb = _topic_embeddings(rng, [12, 12], noise=0.05)
+    # suppress the valley leg entirely: patched detector returns nothing
+    orig = sp.valley_boundaries
+    try:
+        sp.valley_boundaries = lambda *a, **k: []
+        groups = split_by_embeddings(
+            emb, ChunkingConfig(auto_params=False, hybrid_mode="union_weighted",
+                                soft_cap=None))
+    finally:
+        sp.valley_boundaries = orig
+    starts = [g[0] for g in groups]
+    assert any(abs(s - 12) <= 1 for s in starts), starts
+
+
 def test_chunk_passage_splitter_contract(rng):
     sentences = [f"Sentence number {i} talks about things." for i in range(30)]
     emb = _topic_embeddings(rng, [15, 15])
