@@ -1,10 +1,12 @@
-"""Real multi-process process-group test: two OS processes join via
+"""Real multi-process process-group tests: two OS processes join via
 core.distributed.initialize (gRPC coordinator + Gloo CPU collectives) and
-run the corpus-sharded top-k collective across the process boundary.
+run every cross-process collective leg (tests/_dist_worker.py) across the
+process boundary.
 
 This is the honest stand-in for a multi-host TPU pod: same initialize()
 path, same global-mesh construction, same shard_map collectives — only the
-transport differs (Gloo instead of ICI/DCN)."""
+transport differs (Gloo instead of ICI/DCN). One process-pair spawn backs
+all the leg assertions (spawning is the expensive part)."""
 import os
 import socket
 import subprocess
@@ -19,7 +21,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_group_sharded_topk():
+@pytest.fixture(scope="module")
+def dist_outputs():
+    """Launch the two-process group once; return both workers' outputs."""
     worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
     port = _free_port()
     env = dict(os.environ)
@@ -39,12 +43,50 @@ def test_two_process_group_sharded_topk():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=220)
+            out, _ = p.communicate(timeout=300)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             pytest.fail("distributed worker timed out")
         outs.append(out)
+    return procs, outs
+
+
+def _assert_leg(dist_outputs, leg: str):
+    procs, outs = dist_outputs
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"LEG_OK {leg} proc={pid}" in out, (
+            f"leg {leg!r} missing in proc {pid}:\n{out}")
+
+
+def test_two_process_group_joins(dist_outputs):
+    procs, outs = dist_outputs
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"DIST_OK proc={pid}" in out, out
+
+
+def test_two_process_sharded_topk(dist_outputs):
+    _assert_leg(dist_outputs, "topk")
+
+
+def test_two_process_skewed_shard_merge(dist_outputs):
+    """All top-k rows on one shard: the merge must carry one process's full
+    candidate list over the other's."""
+    _assert_leg(dist_outputs, "skewed")
+
+
+def test_two_process_2level_dcn_merge(dist_outputs):
+    """sharded_topk_2level on a ("dcn","data") hybrid mesh across the
+    process boundary (VERDICT-r3 item 8)."""
+    _assert_leg(dist_outputs, "twolevel")
+
+
+def test_two_process_ring_similarity(dist_outputs):
+    """ppermute ring exchange rides the inter-process transport."""
+    _assert_leg(dist_outputs, "ring")
+
+
+def test_two_process_raw_collectives(dist_outputs):
+    _assert_leg(dist_outputs, "collectives")
