@@ -346,10 +346,19 @@ def _segtopk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *,
             jnp.int32, (block_q, _LANE), 1
         )
 
+    # int8 pass-A variant (pass_a_int8=True): int8 x int8 -> int32 on the
+    # MXU at 2x the bf16 rate AND half the corpus HBM/VMEM traffic. The
+    # segment max runs in int32 (positive per-row/global scales make the
+    # int32 ordering identical to the approximate-score ordering); only the
+    # narrow (block_q, 128*seg_split) segmax STRIP converts to f32 —
+    # values are < 127*127*d < 2^24, so the conversion is exact and
+    # order-preserving. Selection then approximates by the quantization
+    # noise only; pass B rescores candidates exactly either way.
+    int8_mode = q_ref.dtype == jnp.int8
     scores = jax.lax.dot_general(
         q_ref[:], c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32 if int8_mode else jnp.float32,
     )
     L = block_n // _LANE
     L2 = L // seg_split
@@ -360,6 +369,8 @@ def _segtopk_kernel(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *,
     segmax = jnp.max(
         scores.reshape(block_q, seg_split, L2, _LANE), axis=2
     ).reshape(block_q, seg_split * _LANE)
+    if int8_mode:
+        segmax = segmax.astype(jnp.float32)
     seg_ids = (
         seg_split * jax.lax.broadcasted_iota(
             jnp.int32, (block_q, seg_split, _LANE), 2)
@@ -452,11 +463,21 @@ def _segtopk_kernel_overlap(q_ref, c_ref, ov_ref, oi_ref, acc_v, acc_i, *,
         oi_ref[:] = new_i
 
 
+def quantize_int8_global(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-tensor int8: returns (q8, scale). For the pass-A int8
+    mode: one positive global scale keeps the int32 segment-max ordering
+    identical to the approximate-score ordering with NO dequantization
+    inside the kernel."""
+    s = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_q", "block_n", "q_chunk", "interpret",
                      "gather_from_swizzled", "valid_n", "seg_split",
-                     "mxu_overlap"),
+                     "mxu_overlap", "pass_a_int8", "k_sel_extra"),
 )
 def topk_scores_twopass(
     queries: jax.Array,
@@ -471,6 +492,9 @@ def topk_scores_twopass(
     valid_n: int = -1,
     seg_split: int = 1,
     mxu_overlap: bool = False,
+    pass_a_int8: bool = False,
+    corpus_swizzled_q8: Optional[jax.Array] = None,
+    k_sel_extra: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k inner-product search, two-pass: (values, indices), (Q, k).
 
@@ -496,6 +520,21 @@ def topk_scores_twopass(
     seg_split× for a slightly wider in-kernel merge. Exact for any value
     (the top-k-in-top-k-segments argument holds for every segmentation,
     and exactly one fine segment straddles n).
+
+    ``pass_a_int8=True`` (opt-in, STATISTICALLY exact): pass A runs on an
+    int8-quantized corpus (provide ``corpus_swizzled_q8`` from
+    ``quantize_int8_global(swizzled)``; queries are quantized per-row on
+    the fly) — 2x MXU rate and half the corpus stream. Segment SELECTION
+    then carries the quantization noise (p99 ~0.002 cosine at d=384,
+    tools/probe_int8_passa.py), compensated by over-selecting
+    ``k_sel_extra`` extra segments (default 5 in this mode — the host
+    simulation covers 100% of queries at +3 with double margin at +5);
+    pass B rescores candidates EXACTLY either way, so errors can only be
+    missed candidates, never wrong scores. The deterministically CERTIFIED
+    variant (int8+residual second matmul, the bm25_tpu.py pattern) was
+    measured and rejected: the residual pass doubles pass-A matmul time,
+    projecting 0.65-0.82x of the bf16 headline (probe_int8_passa.py;
+    ROADMAP.md r4 note).
     """
     assert k < _LANE, f"segment top-k supports k < {_LANE}, got {k}"
     q, d = queries.shape
@@ -517,6 +556,8 @@ def topk_scores_twopass(
             # swizzle ONCE here — otherwise every chunk would rebuild the
             # full-corpus pass-A layout
             corpus_swizzled = swizzle_corpus(corpus, block_n)
+        if pass_a_int8 and corpus_swizzled_q8 is None:
+            corpus_swizzled_q8, _ = quantize_int8_global(corpus_swizzled)
         if not gather_from_swizzled:
             # pad the natural layout once too: the per-chunk calls would
             # otherwise each recompute the full-corpus jnp.pad copy
@@ -532,7 +573,9 @@ def topk_scores_twopass(
                 corpus_swizzled=corpus_swizzled,
                 gather_from_swizzled=gather_from_swizzled,
                 valid_n=valid_n, seg_split=seg_split,
-                mxu_overlap=mxu_overlap,
+                mxu_overlap=mxu_overlap, pass_a_int8=pass_a_int8,
+                corpus_swizzled_q8=corpus_swizzled_q8,
+                k_sel_extra=k_sel_extra,
             )
             for s in range(0, q, max_q)
         ]
@@ -570,8 +613,28 @@ def topk_scores_twopass(
     L2 = L // seg_split  # rows per (fine) segment
     c_blocks = n_pad // block_n
     n_valid_segs = -(-n // L2)  # segments containing at least one real row
-    k_sel = min(k + 1, _LANE)
+    if pass_a_int8 and k_sel_extra == 0:
+        k_sel_extra = 5  # noise margin: host sim covers 100% at +3
+    k_sel = min(k + 1 + k_sel_extra, _LANE)
 
+    pass_a_q = queries
+    pass_a_c = corpus_swizzled
+    if pass_a_int8:
+        if corpus_swizzled_q8 is None:
+            corpus_swizzled_q8, _ = quantize_int8_global(corpus_swizzled)
+        assert corpus_swizzled_q8.dtype == jnp.int8
+        assert corpus_swizzled_q8.shape == corpus_swizzled.shape or \
+            gather_from_swizzled is False
+        sq = jnp.maximum(
+            jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0, 1e-12)
+        pass_a_q = jnp.clip(
+            jnp.round(queries.astype(jnp.float32) / sq), -127, 127
+        ).astype(jnp.int8)
+        pass_a_c = corpus_swizzled_q8
+
+    assert not (pass_a_int8 and mxu_overlap), (
+        "pass_a_int8 and mxu_overlap are mutually exclusive (the overlap "
+        "kernel was a measured dead end; it has no int8 variant)")
     grid = (c_blocks, q_pad // block_q)
     kernel_fn = _segtopk_kernel_overlap if mxu_overlap else _segtopk_kernel
     _, seg_ids_full = pl.pallas_call(
@@ -610,7 +673,7 @@ def topk_scores_twopass(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, corpus_swizzled)
+    )(pass_a_q, pass_a_c)
     seg_ids = seg_ids_full[:, :k_sel]  # (q_pad, k_sel) top segment ids
 
     # ---- pass B: candidate gather + exact rescore (XLA) ----

@@ -268,3 +268,53 @@ def test_topk_chunked_single_chunk_and_budget(rng):
         score_budget_bytes=4 * 4 * 256)  # chunk -> 256 cols
     np.testing.assert_array_equal(np.asarray(small_i), np.asarray(ri))
     np.testing.assert_array_equal(np.asarray(small_v), np.asarray(rv))
+
+
+# ------------------------------------------------------- int8 pass-A mode
+
+@pytest.mark.parametrize("q,n,d,k,block_n", [
+    (8, 512, 128, 10, 256),
+    (5, 300, 64, 5, 128),
+])
+def test_topk_twopass_int8_passa_recall(rng, q, n, d, k, block_n):
+    """pass_a_int8: values it returns are EXACT (pass B rescores in f32)
+    and at these scales the quantization noise is far below score gaps, so
+    the result matches brute force outright. (At corpus scale the mode is
+    statistically exact — probe_int8_passa.py measures the margin.)"""
+    Q = rng.standard_normal((q, d)).astype(np.float32)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    C = rng.standard_normal((n, d)).astype(np.float32)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    vals, idx = topk_scores_twopass(
+        jnp.asarray(Q), jnp.asarray(C), k=k, block_q=8, block_n=block_n,
+        q_chunk=8, interpret=True, pass_a_int8=True,
+    )
+    bv, bi = _brute_force(Q, C, k)
+    np.testing.assert_array_equal(np.asarray(idx), bi)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
+
+
+def test_topk_twopass_int8_passa_prequantized_corpus(rng):
+    """Serving path: corpus_swizzled_q8 precomputed once via
+    quantize_int8_global(swizzle_corpus(C)) gives identical results to
+    on-the-fly quantization."""
+    from semanticsearch_tpu.ops.topk import (
+        quantize_int8_global, swizzle_corpus,
+    )
+
+    Q = rng.standard_normal((6, 64)).astype(np.float32)
+    C = rng.standard_normal((400, 64)).astype(np.float32)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    swz = swizzle_corpus(jnp.asarray(C), 128)
+    c8, _ = quantize_int8_global(swz)
+    v1, i1 = topk_scores_twopass(
+        jnp.asarray(Q), jnp.asarray(C), k=7, block_q=8, block_n=128,
+        q_chunk=8, interpret=True, pass_a_int8=True,
+        corpus_swizzled=swz, corpus_swizzled_q8=c8,
+    )
+    v2, i2 = topk_scores_twopass(
+        jnp.asarray(Q), jnp.asarray(C), k=7, block_q=8, block_n=128,
+        q_chunk=8, interpret=True, pass_a_int8=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
