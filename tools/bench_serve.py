@@ -90,6 +90,12 @@ def main():
                          "once (disk-cached); through the remote tunnel "
                          "each leg adds one round-trip, so these numbers "
                          "upper-bound attached-hardware latency")
+    ap.add_argument("--fusion-alpha", type=float, default=None,
+                    help="tuned weighted-RRF alpha (RankingConfig."
+                         "fusion_alpha); default reference-exact RRF")
+    ap.add_argument("--rerank-blend", type=float, default=1.0,
+                    help="serve-time rerank blend beta (RankingConfig."
+                         "rerank_blend); 1.0 = pure reranker reorder")
     args = ap.parse_args()
 
     import numpy as np
@@ -134,6 +140,8 @@ def main():
         lexical_dense_terms=args.dense_terms,
         lexical_weights=args.lexical_weights,
         lexical_cache=args.bm25_cache,
+        fusion_alpha=args.fusion_alpha,
+        rerank_blend=args.rerank_blend,
     )
     engine = HybridQueryEngine.build(
         chunks_tsv, enc, os.path.join(out_dir, "idx"), rank_cfg=rank_cfg,

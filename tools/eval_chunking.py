@@ -306,6 +306,11 @@ def main():
     ap.add_argument("--val-qpt", type=int, default=2)
     ap.add_argument("--eval-qpt", type=int, default=3)
     ap.add_argument("--configs", default=DEFAULT_CONFIGS)
+    ap.add_argument("--char-size", type=int, default=0,
+                    help=">0: register an extra char config at this chunk "
+                         "size (granularity control: char at the SEMANTIC "
+                         "methods' chunk count isolates boundary quality "
+                         "from chunk-size effects)")
     ap.add_argument("--rerankers", default="knrm",
                     help="comma list or 'none'; trained per config on the "
                          "percentile-labeled chunks")
@@ -434,7 +439,17 @@ def main():
     model_names = ([] if args.rerankers in ("none", "")
                    else [m.strip() for m in args.rerankers.split(",") if m])
 
-    for cfg_name in [c.strip() for c in args.configs.split(",") if c.strip()]:
+    cfg_names = [c.strip() for c in args.configs.split(",") if c.strip()]
+    if args.char_size > 0:
+        from semanticsearch_tpu.core.config import register_config
+
+        name = f"char_{args.char_size}"
+        register_config(name, get_named_config("text_splitter_char").override(
+            chunking={"char_chunk_size": args.char_size,
+                      "char_overlap": args.char_size // 10}))
+        cfg_names.append(name)
+
+    for cfg_name in cfg_names:
         t_cfg = time.perf_counter()
         cfg = get_named_config(cfg_name).override(
             chunking={"max_sentences": args.max_sentences})
