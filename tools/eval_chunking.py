@@ -318,6 +318,13 @@ def main():
     ap.add_argument("--rerank-top", type=int, default=20)
     ap.add_argument("--encoder-epochs", type=int, default=12)
     ap.add_argument("--vocab-size", type=int, default=4096)
+    ap.add_argument("--tokenizer", choices=["subword", "hash"],
+                    default="subword",
+                    help="hash: FNV hashing tokenizer at the SAME vocab "
+                         "budget — re-derives the subword-vs-hash headline "
+                         "A/B on the distribution-realistic corpus "
+                         "(VERDICT-r3 weak 5). Requires --rerankers none "
+                         "(the reranker leg's piece vocab is subword-only)")
     ap.add_argument("--max-sentences", type=int, default=512,
                     help="chunker sentence cap per doc (CPU eigh cost)")
     args = ap.parse_args()
@@ -364,9 +371,16 @@ def main():
 
     # ---------------- shared encoder (one per seed, all configs) ----------
     t0 = time.perf_counter()
-    tokenizer = train_bpe(docs + tr_q, vocab_size=args.vocab_size,
-                          max_len=32)
-    enc_cfg = EncoderConfig(vocab_size=tokenizer.vocab_size, hidden_dim=128,
+    if args.tokenizer == "hash":
+        if args.rerankers not in ("none", ""):
+            ap.error("--tokenizer hash requires --rerankers none")
+        tokenizer = None
+        vocab_size = args.vocab_size
+    else:
+        tokenizer = train_bpe(docs + tr_q, vocab_size=args.vocab_size,
+                              max_len=32)
+        vocab_size = tokenizer.vocab_size
+    enc_cfg = EncoderConfig(vocab_size=vocab_size, hidden_dim=128,
                             num_layers=2, num_heads=4, mlp_dim=256,
                             max_len=128, dtype="float32")
     encoder = SentenceEncoder(enc_cfg, seed=args.seed, tokenizer=tokenizer)
