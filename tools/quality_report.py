@@ -306,6 +306,126 @@ def main():
             lines.append(f"| {label} | {cells[0]} | {cells[1]} "
                          f"| {sorted(pre[label])} |")
 
+    # ---- round 4: chunking-method downstream A/B (tools/eval_chunking.py,
+    # doc-level max-chunk scoring on the distribution-realistic corpus) ----
+    def load_family(stem):
+        per_seed = {}
+        for path in sorted(glob.glob(os.path.join(args.dir,
+                                                  f"{stem}_s*.json"))):
+            m = re.search(rf"{stem}_s(\d+)\.json$", path)
+            if not m or os.path.getsize(path) == 0:
+                continue
+            with open(path) as f:
+                per_seed[int(m.group(1))] = json.loads(f.read().strip())
+        return per_seed
+
+    chunk_ab = load_family("chunk_ab")
+    if chunk_ab:
+        extras = {"char@1500": load_family("chunk_ab_charctl")}
+        seeds = sorted(chunk_ab)
+        lines.append("")
+        lines.append(
+            f"Chunking-method downstream A/B (doc-level MAP via max-chunk, "
+            f"realistic corpus, seeds {seeds}; whole_doc = NO chunking):")
+        lines.append("| Config | wrrf MAP | nDCG@10 | chunks | purity |")
+        lines.append("|---|---|---|---|---|")
+
+        def chunk_row(name, per_seed, cfg_key):
+            maps = [r["results"][cfg_key]["hybrid_wrrf_tuned"]["map"]
+                    for r in per_seed.values() if cfg_key in r["results"]]
+            nd_ = [r["results"][cfg_key]["hybrid_wrrf_tuned"]["ndcg@10"]
+                   for r in per_seed.values() if cfg_key in r["results"]]
+            if not maps:
+                return
+            nch = np.mean([r["results"][cfg_key]["n_chunks"]
+                           for r in per_seed.values()
+                           if cfg_key in r["results"]])
+            pur = [r["results"][cfg_key].get("purity")
+                   for r in per_seed.values() if cfg_key in r["results"]]
+            pur = [p for p in pur if p is not None]
+            lines.append(
+                f"| {name} | {np.mean(maps):.4f}±{np.std(maps):.4f} "
+                f"| {np.mean(nd_):.4f}±{np.std(nd_):.4f} | {nch:.0f} "
+                f"| {np.mean(pur):.3f} |" if pur else
+                f"| {name} | {np.mean(maps):.4f}±{np.std(maps):.4f} "
+                f"| {np.mean(nd_):.4f}±{np.std(nd_):.4f} | {nch:.0f} | — |")
+
+        some = next(iter(chunk_ab.values()))
+        for cfg_key in some["results"]:
+            chunk_row(cfg_key, chunk_ab, cfg_key)
+        for label, fam in extras.items():
+            if fam:
+                some_e = next(iter(fam.values()))
+                for cfg_key in some_e["results"]:
+                    if cfg_key.startswith("char_"):
+                        chunk_row(label, fam, cfg_key)
+
+        hash_ab = load_family("chunk_ab_hash")
+        if hash_ab:
+            lines.append("")
+            lines.append("Subword-vs-hash on the realistic corpus "
+                         "(dense MAP per config):")
+            for cfg_key in some["results"]:
+                sub = [r["results"][cfg_key]["dense_trained"]["map"]
+                       for r in chunk_ab.values()
+                       if cfg_key in r["results"]]
+                ha = [r["results"][cfg_key]["dense_trained"]["map"]
+                      for r in hash_ab.values() if cfg_key in r["results"]]
+                if sub and ha:
+                    lines.append(
+                        f"- {cfg_key}: subword {np.mean(sub):.4f} vs hash "
+                        f"{np.mean(ha):.4f} "
+                        f"({(np.mean(sub) - np.mean(ha)) / max(np.mean(ha), 1e-9) * 100:+.1f}%)")
+
+    # ---- round 4: OIE quality (gold P/R/F1 + enrichment A/B) ----
+    gold_path = os.path.join(args.dir, "oie_gold.json")
+    if os.path.exists(gold_path) and os.path.getsize(gold_path):
+        with open(gold_path) as f:
+            gold = json.loads(f.read().strip())
+        lines.append("")
+        lines.append(f"OIE triple-level P/R/F1 vs the {gold['n_sentences']}"
+                     "-sentence hand-labeled gold set "
+                     "(tools/eval_oie_gold.py, token-overlap >= "
+                     f"{gold['thr']}):")
+        for eng, r in gold["results"].items():
+            lines.append(f"- {eng}: P {r['precision']:.3f} / R "
+                         f"{r['recall']:.3f} / F1 {r['f1']:.3f} "
+                         f"(exact {r['exact_rate']:.3f})")
+
+    enrich = load_family("oie_enrich")
+    if enrich:
+        seeds = sorted(enrich)
+        lines.append("")
+        lines.append(f"OIE enrichment A/B (raw_oie_data_plus_chunk_text vs "
+                     f"plain chunk_text, seeds {seeds}):")
+        lines.append("| Representation | BM25 MAP | dense MAP | hybrid MAP |")
+        lines.append("|---|---|---|---|")
+        some_e = next(iter(enrich.values()))
+        for rep in some_e["results"]:
+            cells = []
+            for leg in ("bm25_only", "dense_trained", "hybrid_rrf"):
+                vals = [r["results"][rep][leg]["map"]
+                        for r in enrich.values() if rep in r["results"]]
+                cells.append(f"{np.mean(vals):.4f}±{np.std(vals):.4f}")
+            lines.append(f"| {rep} | " + " | ".join(cells) + " |")
+
+    # ---- round 4: cross-encoder scale rows (ce_scale_s*.json) ----
+    ce = load_family("ce_scale")
+    if ce:
+        seeds = sorted(ce)
+        gen = agg(ce, "hybrid_wrrf_tuned", "map")
+        pure = agg(ce, "hybrid_plus_cross_encoder", "map")
+        bl_ = agg(ce, "hybrid_plus_cross_encoder_blend_tuned", "map")
+        lines.append("")
+        lines.append(
+            f"Cross-encoder at SCALE (200 topics, encoder_full warm start, "
+            f"12 epochs, seeds {seeds}): generator "
+            + (f"{gen[0]:.4f}±{gen[1]:.4f}" if gen else "—")
+            + ", pure rescore "
+            + (f"{pure[0]:.4f}±{pure[1]:.4f}" if pure else "—")
+            + ", blend-tuned "
+            + (f"{bl_[0]:.4f}±{bl_[1]:.4f}" if bl_ else "—") + ".")
+
     text = "\n".join(lines)
     if args.out == "-":
         print(text)
