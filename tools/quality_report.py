@@ -321,7 +321,8 @@ def main():
 
     chunk_ab = load_family("chunk_ab")
     if chunk_ab:
-        extras = {"char@1500": load_family("chunk_ab_charctl")}
+        extras = {"char@1500": load_family("chunk_ab_charctl"),
+                  "char@3000": load_family("chunk_ab_char3k")}
         seeds = sorted(chunk_ab)
         lines.append("")
         lines.append(
