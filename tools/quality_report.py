@@ -322,7 +322,8 @@ def main():
     chunk_ab = load_family("chunk_ab")
     if chunk_ab:
         extras = {"char@1500": load_family("chunk_ab_charctl"),
-                  "char@3000": load_family("chunk_ab_char3k")}
+                  "char@3000": load_family("chunk_ab_char3k"),
+                  "splitter_dp": load_family("chunk_ab_dp")}
         seeds = sorted(chunk_ab)
         lines.append("")
         lines.append(
@@ -358,7 +359,8 @@ def main():
             if fam:
                 some_e = next(iter(fam.values()))
                 for cfg_key in some_e["results"]:
-                    if cfg_key.startswith("char_"):
+                    if (cfg_key.startswith("char_")
+                            or cfg_key == "semantic_splitter_dp"):
                         chunk_row(label, fam, cfg_key)
 
         hash_ab = load_family("chunk_ab_hash")
