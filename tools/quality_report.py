@@ -323,7 +323,8 @@ def main():
     if chunk_ab:
         extras = {"char@1500": load_family("chunk_ab_charctl"),
                   "char@3000": load_family("chunk_ab_char3k"),
-                  "splitter_dp": load_family("chunk_ab_dp")}
+                  "splitter_dp": load_family("chunk_ab_dp"),
+                  "grouping_modularity": load_family("chunk_ab_mod")}
         seeds = sorted(chunk_ab)
         lines.append("")
         lines.append(
@@ -359,8 +360,9 @@ def main():
             if fam:
                 some_e = next(iter(fam.values()))
                 for cfg_key in some_e["results"]:
-                    if (cfg_key.startswith("char_")
-                            or cfg_key == "semantic_splitter_dp"):
+                    if (cfg_key.startswith("char_") or cfg_key in
+                            ("semantic_splitter_dp",
+                             "semantic_grouping_modularity")):
                         chunk_row(label, fam, cfg_key)
 
         hash_ab = load_family("chunk_ab_hash")
