@@ -440,6 +440,13 @@ def split_by_embeddings(
         # the intersection fallback at :522-523). Measured on the realistic
         # chunking A/B: this is the difference between ~2 arbitrary chunks
         # per document and recovering the gold topic boundaries.
+        # The tolerance match also changes behavior at vote_thr <= 0.5
+        # (ADVICE r4): the reference would keep a C99 boundary AND its
+        # nearby valley as two separate 0.5-score candidates pre-NMS,
+        # whereas this rebuild snaps a matched valley ONTO the C99 index
+        # (the valley is dropped, the C99 position scores 1.0) — intended,
+        # since NMS would have collapsed the pair anyway and the C99 edge
+        # is the better-calibrated position of the two.
         tol = max(1, int(min_spacing) - 1)
         vs = sorted(valley_set)
         score_map = {}

@@ -17,6 +17,7 @@ cosine semantics (dot == cosine), matching the reference's normalize-then-dot
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -26,6 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 _LANE = 128
+# Query-chunking threshold for topk_scores_twopass: above this the call
+# splits into per-chunk kernel launches (the (q_pad, 128) running-top-k
+# VMEM scratch OOMs at 65536 queries; 32768 is also the measured QPS sweet
+# spot). Module-level so tests can exercise the chunked path at CPU scale.
+_MAX_TWOPASS_Q = 32768
 
 
 def _round_up(x: int, m: int) -> int:
@@ -550,14 +556,21 @@ def topk_scores_twopass(
             "gather_from_swizzled=True requires valid_n (the true corpus "
             "row count) — the padded layout's zero rows are not documents"
         )
-    max_q = 32768
+    max_q = _MAX_TWOPASS_Q
     if q > max_q:
         if corpus_swizzled is None and not gather_from_swizzled:
             # swizzle ONCE here — otherwise every chunk would rebuild the
             # full-corpus pass-A layout
             corpus_swizzled = swizzle_corpus(corpus, block_n)
         if pass_a_int8 and corpus_swizzled_q8 is None:
-            corpus_swizzled_q8, _ = quantize_int8_global(corpus_swizzled)
+            # in single-copy (gather_from_swizzled) mode the swizzled layout
+            # arrives via `corpus` and corpus_swizzled stays None here —
+            # quantize whichever holds the layout; if neither does yet, the
+            # per-chunk calls quantize from their resolved layout
+            _q8_src = corpus_swizzled if corpus_swizzled is not None else (
+                corpus if gather_from_swizzled else None)
+            if _q8_src is not None:
+                corpus_swizzled_q8, _ = quantize_int8_global(_q8_src)
         if not gather_from_swizzled:
             # pad the natural layout once too: the per-chunk calls would
             # otherwise each recompute the full-corpus jnp.pad copy
@@ -616,6 +629,21 @@ def topk_scores_twopass(
     if pass_a_int8 and k_sel_extra == 0:
         k_sel_extra = 5  # noise margin: host sim covers 100% at +3
     k_sel = min(k + 1 + k_sel_extra, _LANE)
+    if pass_a_int8:
+        # the statistical-exactness contract (host sim: k_sel = k+4 covers
+        # 100% of queries) must degrade LOUDLY, not silently (ADVICE r4):
+        if k + 1 + k_sel_extra > _LANE:
+            warnings.warn(
+                f"pass_a_int8: k_sel clamped to the {_LANE}-lane scratch "
+                f"(k={k}, k_sel_extra={k_sel_extra}) — the int8 noise margin "
+                f"shrinks to {_LANE - 1 - k} segments; recall may drop "
+                "below the host-simulated coverage", stacklevel=2)
+        if d >= 1040:
+            warnings.warn(
+                f"pass_a_int8: d={d} >= 1040 — the int32 segment max can "
+                "exceed 2^24 (127*127*d) and its f32 conversion is no "
+                "longer exact; segment ordering may perturb selection",
+                stacklevel=2)
 
     pass_a_q = queries
     pass_a_c = corpus_swizzled

@@ -318,3 +318,28 @@ def test_topk_twopass_int8_passa_prequantized_corpus(rng):
     )
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_topk_twopass_int8_chunked_gather(rng, monkeypatch):
+    """ADVICE r4: the chunked (q > _MAX_TWOPASS_Q) path combined with
+    gather_from_swizzled + pass_a_int8 crashed — corpus_swizzled stays None
+    in single-copy mode (the swizzled layout arrives via ``corpus``), so the
+    int8 precompute quantized None. Exercise that exact combination at CPU
+    scale by shrinking the chunking threshold."""
+    import semanticsearch_tpu.ops.topk as topk_mod
+    from semanticsearch_tpu.ops.topk import swizzle_corpus
+
+    monkeypatch.setattr(topk_mod, "_MAX_TWOPASS_Q", 8)
+    Q = rng.standard_normal((12, 64)).astype(np.float32)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    C = rng.standard_normal((300, 64)).astype(np.float32)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    swz = swizzle_corpus(jnp.asarray(C), 128)
+    vals, idx = topk_scores_twopass(
+        jnp.asarray(Q), swz, k=5, block_q=8, block_n=128,
+        q_chunk=8, interpret=True, pass_a_int8=True,
+        gather_from_swizzled=True, valid_n=C.shape[0],
+    )
+    bv, bi = _brute_force(Q, C, 5)
+    np.testing.assert_array_equal(np.asarray(idx), bi)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
