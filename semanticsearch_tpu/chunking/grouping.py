@@ -51,14 +51,51 @@ def sharpen_similarity(S: np.ndarray, tau: float = 0.15) -> np.ndarray:
 # grouping pipeline) — host LAPACK is faster until the O(n^3) work is real.
 _EIGH_DEVICE_MIN_N = 512
 
+# Static-shape buckets for the device eigh (r5, VERDICT-r4 weak 4): XLA
+# compiles one program per matrix SIZE, and through a remote compile
+# service each new signature costs minutes — a long-tail corpus (sentence
+# counts up to 3,939, document_length_summary.json) would compile per
+# DOCUMENT. Pad to the next bucket instead; covers the corpus max at 4096
+# and falls back to 1024-multiples above.
+_EIGH_BUCKETS = (512, 768, 1024, 1536, 2048, 3072, 4096)
+
+
+def _eigh_bucket(n: int) -> int:
+    for b in _EIGH_BUCKETS:
+        if b >= n:
+            return b
+    return ((n + 1023) // 1024) * 1024
+
 
 def _eigh(S_sym: np.ndarray):
-    if S_sym.shape[0] < _EIGH_DEVICE_MIN_N:
+    """Full symmetric eigendecomposition, host LAPACK below
+    _EIGH_DEVICE_MIN_N, device above — with the device matrix padded to a
+    static bucket size.
+
+    Padding is EXACT up to degenerate-subspace rotation: the padded matrix
+    is block-diagonal ``[[S, 0], [0, c*I]]`` with the pad eigenvalue ``c``
+    set strictly below S's spectrum (Gershgorin row-sum bound + 1), so
+    eigh's ascending order puts the ``pad`` synthetic pairs FIRST and the
+    slice ``evals[pad:], evecs[:n, pad:]`` is exactly eigh(S). Keeping
+    ``|c|`` within one order of ``||S||`` (not a 1e6 sentinel) preserves
+    f32 absolute accuracy, which scales with the matrix norm."""
+    n = S_sym.shape[0]
+    if n < _EIGH_DEVICE_MIN_N:
         return np.linalg.eigh(S_sym)
     import jax.numpy as jnp
 
-    evals, evecs = jnp.linalg.eigh(jnp.asarray(S_sym))
-    return np.asarray(evals), np.asarray(evecs)
+    b = _eigh_bucket(n)
+    if b == n:
+        evals, evecs = jnp.linalg.eigh(jnp.asarray(S_sym))
+        return np.asarray(evals), np.asarray(evecs)
+    pad_val = -(float(np.abs(S_sym).sum(axis=1).max()) + 1.0)
+    M = np.zeros((b, b), S_sym.dtype)
+    M[:n, :n] = S_sym
+    idx = np.arange(n, b)
+    M[idx, idx] = pad_val
+    evals, evecs = jnp.linalg.eigh(jnp.asarray(M))
+    pad = b - n
+    return np.asarray(evals)[pad:], np.asarray(evecs)[:n, pad:]
 
 
 def rmt_filter(S: np.ndarray, keep_eigs: int = 3) -> np.ndarray:

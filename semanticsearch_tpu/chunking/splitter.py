@@ -493,7 +493,7 @@ def split_by_embeddings(
         if cand:
             penalty = (
                 cfg.dp_penalty if cfg.dp_penalty is not None
-                else auto_penalty(adj_base)
+                else auto_penalty(adj_base) * float(cfg.dp_penalty_scale)
             )
             # the DP's answer is authoritative, INCLUDING the empty list —
             # zero cuts means the whole document is the optimal segmentation

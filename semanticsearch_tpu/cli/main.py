@@ -432,7 +432,9 @@ def cmd_oie(args) -> int:
     n = enrich_chunk_tsv(args.input, args.output, port=args.port,
                          json_sidecar=args.sidecar,
                          extractor=args.extractor,
-                         model_dir=args.model_dir)
+                         model_dir=args.model_dir,
+                         self_check=args.self_check,
+                         on_low_agreement=args.on_low_agreement)
     print(json.dumps({"enriched_rows": n, "output": args.output}))
     return 0
 
@@ -808,6 +810,15 @@ def main(argv=None) -> int:
     p.add_argument("--model-dir",
                    help="NeuralOIE checkpoint (from `semsearch oie-train`); "
                         "required with --extractor neural")
+    p.add_argument("--self-check", type=float, default=0.5,
+                   help="neural extractor: teacher-agreement floor on a "
+                        "sample of the input (0 disables) — guards the "
+                        "tagger's in-domain contract (cross-domain F1 "
+                        "collapses, BASELINE.md)")
+    p.add_argument("--on-low-agreement", default="warn",
+                   choices=["warn", "fallback", "error"],
+                   help="below the floor: warn and proceed, fall back to "
+                        "the heuristic engine, or abort")
     p.set_defaults(fn=cmd_oie)
 
     p = sub.add_parser(

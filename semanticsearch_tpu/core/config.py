@@ -79,6 +79,10 @@ class ChunkingConfig:
     # reference's inert cross-encoder/DP config — SURVEY.md §7 defect 2)
     use_dp_refine: bool = False
     dp_penalty: Optional[float] = None  # None = derive from the signal
+    # granularity lever for the DP refinement (r5 frontier sweep): scales
+    # the AUTO-derived penalty — <1.0 admits more cuts (finer chunks) at
+    # the same signal-adaptive calibration; ignored when dp_penalty is set
+    dp_penalty_scale: float = 1.0
     # grouping params
     engine: str = "spectral"  # spectral | modularity (host-side)
     knn_k: Optional[int] = None

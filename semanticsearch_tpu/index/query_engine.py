@@ -126,6 +126,19 @@ def recover_staged_commit(index_dir: str) -> Optional[str]:
     return None
 
 
+class _SyncLexHandle:
+    """Future-shaped wrapper for the synchronous lexical finish (the
+    async-finish=off arm of the serve A/B): .result() runs the blocking
+    fetch + cert-post inline on the calling thread."""
+
+    def __init__(self, device_bm25, handle):
+        self._device_bm25 = device_bm25
+        self._handle = handle
+
+    def result(self):
+        return self._device_bm25.finish_topk_batch(self._handle)
+
+
 @dataclass
 class Hit:
     chunk_id: str
@@ -169,6 +182,17 @@ class HybridQueryEngine:
         self._device_bm25 = None
         self._device_bm25_depth = 0
         self._warned_no_bm25 = False
+        # single-worker executor for the lexical finish (fetch + native
+        # cert-post): the device fetch is a network wait and the C++ post
+        # kernel releases the GIL, so running them on a background thread
+        # overlaps the lexical host post with THIS thread's other blocking
+        # fetches (dense leg, encode upload) — the only concurrency a
+        # 1-core serve host has is CPU-work-under-network-wait. One worker:
+        # finishes are ordered, stats/fallback counters never race.
+        self._lex_executor = None
+        # toggle for same-process A/B benching (tunnel throughput varies
+        # run to run, so the async-finish win is only measurable in-process)
+        self.lexical_async_finish = True
         # lazy chunk_id -> [rows] map for remove_documents
         self._row_index: Optional[Dict[str, List[int]]] = None
 
@@ -693,9 +717,22 @@ class HybridQueryEngine:
                         mesh=self.index._mesh,
                     )
                 # exact MXU-path top-k (certified vs the host kernel);
-                # dispatch now, fetch after the dense leg's fetch
-                lex_handle = self._device_bm25.start_topk_batch(
+                # dispatch now, then hand the finish (blocking device fetch
+                # + GIL-releasing native cert-post + any host fallbacks) to
+                # the background worker so it overlaps this thread's other
+                # leg fetches; _leg_lists joins the future
+                handle = self._device_bm25.start_topk_batch(
                     q_tokens, bm_depth)
+                if self.lexical_async_finish:
+                    if self._lex_executor is None:
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        self._lex_executor = ThreadPoolExecutor(
+                            max_workers=1, thread_name_prefix="lex-finish")
+                    lex_handle = self._lex_executor.submit(
+                        self._device_bm25.finish_topk_batch, handle)
+                else:
+                    lex_handle = _SyncLexHandle(self._device_bm25, handle)
             else:
                 # batched native top-k (threaded posting traversal, GIL
                 # released); one call for the whole query batch — runs
@@ -743,8 +780,10 @@ class HybridQueryEngine:
 
         dense = _unpack_scores_indices(np.asarray(state["dense_packed"]))
         if lex_handle is not None:
-            bm_idx, bm_scores = self._device_bm25.finish_topk_batch(
-                lex_handle)
+            # the lexical finish has been running on the background worker
+            # since dispatch — by now it overlapped the dense fetch above
+            # (and, pipelined, the previous batch's fusion); join it
+            bm_idx, bm_scores = lex_handle.result()
         elif state["bm_host"] is not None:
             bm_idx, bm_scores = state["bm_host"]
 

@@ -83,11 +83,19 @@ class RerankService:
 
         @jax.jit
         def predict(params, left, right):
-            return self.model.apply({"params": params}, left, right,
-                                    deterministic=True)
+            # ids may arrive int16 (halved upload over a remote link —
+            # serve-path transfers are the pipeline bound there); the
+            # embedding gather wants int32
+            return self.model.apply(
+                {"params": params}, left.astype(jnp.int32),
+                right.astype(jnp.int32), deterministic=True)
 
         self._predict = predict
         self._jnp = jnp
+        # token-id wire format: int16 halves the per-batch rerank upload
+        # (~2 MB/1024-query batch at 3x8192 pairs) when the vocab fits
+        self._wire_dtype = np.int16 if preprocessor.vocab_size < 2**15 \
+            else np.int32
 
     # ---------------------------------------------------------------- loading
     @classmethod
@@ -151,8 +159,8 @@ class RerankService:
         while s < n:
             bs = _block_size(n - s)
             e = min(s + bs, n)
-            lb = np.zeros((bs, left.shape[1]), np.int32)
-            rb = np.zeros((bs, right.shape[1]), np.int32)
+            lb = np.zeros((bs, left.shape[1]), self._wire_dtype)
+            rb = np.zeros((bs, right.shape[1]), self._wire_dtype)
             lb[: e - s] = left[s:e]
             rb[: e - s] = right[s:e]
             blocks.append((s, e, self._predict(

@@ -232,6 +232,8 @@ def enrich_chunk_tsv(
     extractor: str = "auto",
     model_dir: Optional[str] = None,
     batch_size: int = 256,
+    self_check: float = 0.5,
+    on_low_agreement: str = "warn",
 ) -> int:
     """Add raw_oie_data + raw_oie_data_plus_chunk_text columns to a chunk TSV.
 
@@ -243,8 +245,22 @@ def enrich_chunk_tsv(
     ``model_dir`` — every ``batch_size`` rows become ONE batched forward
     instead of a per-paragraph call); "auto" (default) picks the server
     when its port answers, else the heuristic.
+
+    ``self_check`` (neural only): teacher-agreement floor. The tagger does
+    NOT transfer across domains (cross-domain gold F1 0.171 vs in-domain
+    0.933 — BASELINE.md), so before enriching, a sample of the input is
+    scored against the heuristic teacher (``NeuralOIE.teacher_agreement``);
+    below the floor the in-domain contract is considered violated.
+    ``on_low_agreement``: "warn" (default — enrich anyway, loudly),
+    "fallback" (switch the run to the heuristic engine: degrades to the
+    F1-0.953 teacher instead of producing near-empty triples), or "error"
+    (raise). 0 disables the check.
     """
     sidecar: List[Dict] = []
+    if on_low_agreement not in ("warn", "fallback", "error"):
+        raise ValueError(
+            f"on_low_agreement must be warn|fallback|error, "
+            f"got {on_low_agreement!r}")
     if extractor == "auto":
         # a provided model checkpoint is an explicit ask for the tagger —
         # resolving past it would silently enrich with the wrong engine
@@ -265,6 +281,33 @@ def enrich_chunk_tsv(
         from .neural import NeuralOIE
 
         neural = NeuralOIE.load(model_dir)
+        if self_check > 0:
+            probe = []
+            for row in read_tsv(input_path):
+                probe.append(row.get(text_column, ""))
+                if len(probe) >= 256:
+                    break
+            rep = neural.teacher_agreement(probe)
+            logger.info("neural OIE self-check: %s", rep)
+            if (rep["n_teacher_sentences"] > 0
+                    and rep["agreement"] < self_check):
+                msg = (
+                    f"neural OIE teacher-agreement {rep['agreement']:.2f} "
+                    f"on {rep['n_teacher_sentences']} sampled sentences is "
+                    f"below the {self_check:.2f} floor — the tagger looks "
+                    "OFF-DOMAIN for this corpus (cross-domain F1 collapses "
+                    "to ~0.17, BASELINE.md). Retrain with `semsearch "
+                    "oie-train` on THIS corpus, or pass "
+                    "on_low_agreement='fallback' to use the heuristic."
+                )
+                if on_low_agreement == "error":
+                    raise RuntimeError(msg)
+                if on_low_agreement == "fallback":
+                    logger.warning("%s Falling back to the heuristic "
+                                   "engine for this run.", msg)
+                    extractor = "heuristic"
+                else:
+                    logger.warning(msg)
 
     def extract(text: str) -> List[Triple]:
         if extractor == "heuristic":

@@ -393,6 +393,68 @@ class NeuralOIE:
                 out[ti].append(t)
         return out
 
+    # ------------------------------------------------------- self-check
+    def teacher_agreement(self, texts: Sequence[str], sample: int = 64,
+                          seed: int = 0) -> Dict[str, float]:
+        """Extract-time domain check (VERDICT-r4 weak 3): does the student
+        still reproduce its heuristic TEACHER on this corpus?
+
+        The tagger only learns the teacher's decisions over the training
+        domain's vocabulary — measured cross-domain gold F1 collapses to
+        0.171 (BASELINE.md) while in-domain sits at 0.933. Since the
+        teacher is always available and domain-independent, agreement with
+        it on a sample of the CURRENT corpus is a deployment-time proxy
+        for that gap: agreement is high exactly when the tagger is used
+        in-domain (the ``oie-train``-on-the-serving-corpus contract).
+
+        Returns {"agreement", "n_teacher_sentences", "n_sampled"}:
+        agreement = fraction of teacher-positive sampled sentences where
+        the student emits a triple whose subject/relation/object each
+        share a token with the teacher's. Sentences the teacher finds no
+        triple in carry no signal and are skipped.
+        """
+        from ..chunking.segmenter import extract_sentences
+        from .heuristic import _clause_triple
+
+        rng = np.random.default_rng(seed)
+        sents: List[List[str]] = []
+        for text in texts:
+            if not text or not text.strip():
+                continue
+            for sentence in extract_sentences(text):
+                words = _tokens(sentence)[: self.cfg.max_words]
+                if len(words) >= 3:
+                    sents.append(words)
+        if not sents:
+            return {"agreement": 1.0, "n_teacher_sentences": 0,
+                    "n_sampled": 0}
+        if len(sents) > sample:
+            sel = rng.choice(len(sents), size=sample, replace=False)
+            sents = [sents[i] for i in sel]
+        # teacher triples per sampled sentence (positional spans -> strings)
+        teacher: List[Optional[Triple]] = [_clause_triple(w) for w in sents]
+        pos_idx = [i for i, t in enumerate(teacher) if t is not None]
+        if not pos_idx:
+            return {"agreement": 1.0, "n_teacher_sentences": 0,
+                    "n_sampled": len(sents)}
+        tag_rows = self.tag_sentences([sents[i] for i in pos_idx])
+
+        def toks(s: str) -> set:
+            return set(s.lower().split())
+
+        agree = 0
+        for row_i, i in enumerate(pos_idx):
+            t = teacher[i]
+            student = decode_bio(sents[i], tag_rows[row_i])
+            if any(toks(s["subject"]) & toks(t["subject"])
+                   and toks(s["relation"]) & toks(t["relation"])
+                   and toks(s["object"]) & toks(t["object"])
+                   for s in student):
+                agree += 1
+        return {"agreement": agree / len(pos_idx),
+                "n_teacher_sentences": len(pos_idx),
+                "n_sampled": len(sents)}
+
     # --------------------------------------------------------- persistence
 
     def save(self, path: str) -> str:

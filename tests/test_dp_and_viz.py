@@ -46,6 +46,22 @@ def test_splitter_dp_config_is_wired(rng):
     assert flat == list(range(24))
 
 
+def test_dp_penalty_scale_granularity_knob(rng):
+    """r5 frontier sweep lever: dp_penalty_scale < 1 scales down the
+    auto-derived penalty, admitting MORE cuts (finer chunks); >> 1 admits
+    fewer. Monotone in the number of groups on a multi-topic doc."""
+    emb = _topic_embeddings(rng, [8, 8, 8, 8], noise=0.25)
+    base = get_named_config("semantic_splitter_dp").chunking
+    counts = {}
+    for scale in (0.1, 1.0, 50.0):
+        import dataclasses
+
+        cfg = dataclasses.replace(base, dp_penalty_scale=scale)
+        counts[scale] = len(split_by_embeddings(emb, cfg))
+    assert counts[0.1] >= counts[1.0] >= counts[50.0]
+    assert counts[0.1] > counts[50.0]
+
+
 def test_visual_exports(tmp_path, rng):
     emb = _topic_embeddings(rng, [8, 8])
     groups = [list(range(8)), list(range(8, 16))]

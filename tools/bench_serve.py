@@ -80,6 +80,11 @@ def main():
                          "blocking dispatcher for a same-process A/B")
     ap.add_argument("--http-skip-serial", action="store_true",
                     help="skip the slow serial-server HTTP round")
+    ap.add_argument("--ab-async-finish", action="store_true",
+                    help="same-process A/B of the background lexical "
+                         "finish (fetch + cert-post on a worker thread, "
+                         "overlapping the other legs' network waits): "
+                         "serial pass with it OFF, then ON")
     ap.add_argument("--pipelined", action="store_true",
                     help="overlap query batches: dispatch batch i+1's "
                          "device programs before fetching batch i")
@@ -197,6 +202,16 @@ def main():
         return time.perf_counter() - t0
 
     serial_qps_same_run = None
+    async_finish_ab = None
+    if args.ab_async_finish:
+        engine.lexical_async_finish = False
+        off_qps = round(args.qbatch * args.batches / run_serial(), 1)
+        engine.lexical_async_finish = True
+        on_qps = round(args.qbatch * args.batches / run_serial(), 1)
+        async_finish_ab = {"off_qps": off_qps, "on_qps": on_qps,
+                           "speedup": round(on_qps / off_qps, 3)}
+        log(f"[async-finish A/B] off {off_qps} -> on {on_qps} QPS "
+            f"({async_finish_ab['speedup']}x)")
     if args.pipelined:
         # A/B in ONE process: tunnel throughput varies run to run, so a
         # fair pipelined-vs-serial comparison must share warm state and
@@ -238,11 +253,30 @@ def main():
     from semanticsearch_tpu.index.bm25 import tokenize
 
     q_toks = [tokenize(q) for q in batch]
+    bm25_leg_phases = None
     if args.device_bm25 and engine._device_bm25 is not None:
+        # snapshot the phase counters around THIS call so the isolated leg
+        # wall time is attributed to its own phases (VERDICT-r4 weak 1: the
+        # steady-window phases are a different measurement window than the
+        # isolated wall, so comparing them left ~107 ms "unaccounted")
+        before = dict(engine._device_bm25.stats)
+        t0 = time.perf_counter()
         engine._device_bm25.get_topk_batch(q_toks, args.depth)
+        bm25_dt = time.perf_counter() - t0
+        cur = engine._device_bm25.stats
+        bm25_leg_phases = {
+            k2: round((cur[k2] - before[k2]) * 1e3, 1)
+            for k2 in cur if k2.startswith("t_")
+        }
+        bm25_leg_phases["wall_ms"] = round(bm25_dt * 1e3, 1)
+        bm25_leg_phases["unaccounted_ms"] = round(
+            bm25_dt * 1e3
+            - sum(v for k2, v in bm25_leg_phases.items()
+                  if k2.startswith("t_")), 1)
+        log(f"[bm25 leg phases] {bm25_leg_phases}")
     else:
         engine.bm25.get_topk_batch(q_toks, args.depth, n_threads=4)
-    bm25_dt = time.perf_counter() - t0
+        bm25_dt = time.perf_counter() - t0
 
     latency = None
     if args.latency > 0:
@@ -398,6 +432,8 @@ def main():
             "dense_topk": round(dense_dt * 1e3, 1),
             "bm25": round(bm25_dt * 1e3, 1),
         },
+        "bm25_leg_phases_ms": bm25_leg_phases,
+        "async_finish_ab": async_finish_ab,
         "platform": __import__("jax").default_backend(),
     }
     print(json.dumps(result))

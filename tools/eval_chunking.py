@@ -313,10 +313,41 @@ def main():
                          "from chunk-size effects)")
     ap.add_argument("--rerankers", default="knrm",
                     help="comma list or 'none'; trained per config on the "
-                         "percentile-labeled chunks")
+                         "percentile-labeled chunks. 'cross_encoder' gets "
+                         "the capstone levers (warm start, --ce-* flags); "
+                         "'cross_encoder_distill' adds margin-MSE "
+                         "distillation from the generator encoder")
     ap.add_argument("--reranker-epochs", type=int, default=4)
     ap.add_argument("--rerank-top", type=int, default=20)
     ap.add_argument("--encoder-epochs", type=int, default=12)
+    ap.add_argument("--recipe", choices=["basic", "capstone"],
+                    default="basic",
+                    help="capstone = the full best-known encoder recipe "
+                         "(MLM pretrain + contrastive with hard-negative "
+                         "self-mining, BASELINE.md 'Capstone') — VERDICT-r4 "
+                         "item 1: unify the quality story on the realistic "
+                         "corpus at the best chunking configs")
+    ap.add_argument("--mlm-epochs", type=int, default=3,
+                    help="capstone: MLM denoising epochs on the raw docs")
+    ap.add_argument("--mine-rounds", type=int, default=2,
+                    help="capstone: contrastive stages with ANCE-style "
+                         "negative re-mining between them (total epoch "
+                         "budget stays --encoder-epochs)")
+    ap.add_argument("--ce-epochs", type=int, default=12,
+                    help="cross-encoder training epochs (it underfits at "
+                         "the parity models' 4 — BASELINE.md r3)")
+    ap.add_argument("--ce-top", type=int, default=50,
+                    help="cross-encoder candidate pool per query "
+                         "(VERDICT-r4 item 4: 24 was too little signal)")
+    ap.add_argument("--ce-distill", type=float, default=0.5,
+                    help="margin-MSE distillation weight for the "
+                         "cross_encoder_distill alias")
+    ap.add_argument("--variant", action="append", default=[],
+                    metavar="NAME=BASE:k=v[,k=v...]",
+                    help="register a chunking-config variant (granularity "
+                         "sweep): e.g. dp_fine=semantic_splitter_dp:"
+                         "dp_penalty_scale=0.25 — keys are ChunkingConfig "
+                         "fields; the variant joins --configs")
     ap.add_argument("--vocab-size", type=int, default=4096)
     ap.add_argument("--tokenizer", choices=["subword", "hash"],
                     default="subword",
@@ -388,18 +419,48 @@ def main():
     by_topic = {}
     for t, kind, text in corpus["passages"]:
         by_topic.setdefault(t, []).append(text)
-    pairs, negs = [], []
+    pairs, negs, pair_topics = [], [], []
     for q, t in zip(tr_q, tr_t):
         for pos in by_topic[int(t)]:
             pairs.append((q, pos))
+            pair_topics.append(int(t))
             other = (int(t) + 1 + rng.integers(spec.n_topics - 1)) \
                 % spec.n_topics
             negs.append(by_topic[other][rng.integers(len(by_topic[other]))])
     con_cfg = ContrastiveConfig(epochs=args.encoder_epochs, batch_size=64,
                                 learning_rate=1e-3, max_len_query=16,
                                 max_len_chunk=128, seed=args.seed)
-    hist = ContrastiveEncoderTrainer(encoder, con_cfg).fit(
-        pairs, hard_negatives=negs)
+    if args.recipe == "capstone":
+        # the full best-known encoder recipe (BASELINE.md 'Capstone'):
+        # MLM denoising on the raw docs, then the contrastive budget split
+        # into stages with ANCE-style hard-negative re-mining between them
+        import dataclasses as _dc
+
+        from semanticsearch_tpu.train.encoder_train import fit_with_mining
+        from semanticsearch_tpu.train.mlm_pretrain import (
+            MLMConfig, MLMPretrainer,
+        )
+
+        if args.mlm_epochs > 0:
+            mh = MLMPretrainer(encoder, MLMConfig(
+                epochs=args.mlm_epochs, seed=args.seed)).fit(docs)
+            print(f"[encoder] MLM loss {mh[0]['loss']:.3f} -> "
+                  f"{mh[-1]['loss']:.3f} over {args.mlm_epochs} epochs "
+                  f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr)
+        rounds = max(1, args.mine_rounds)
+        stage_cfg = _dc.replace(
+            con_cfg, epochs=max(1, args.encoder_epochs // rounds))
+        pass_texts = [text for _, _, text in corpus["passages"]]
+        topic_idx: dict = {}
+        for j, (t, _, _) in enumerate(corpus["passages"]):
+            topic_idx.setdefault(int(t), []).append(j)
+        rel_idx = [topic_idx[t] for t in pair_topics]
+        hist = fit_with_mining(encoder, stage_cfg, pairs, pass_texts,
+                               rel_idx, initial_negatives=negs,
+                               rounds=rounds)
+    else:
+        hist = ContrastiveEncoderTrainer(encoder, con_cfg).fit(
+            pairs, hard_negatives=negs)
     print(f"[encoder] contrastive loss {hist[0]['loss']:.3f} -> "
           f"{hist[-1]['loss']:.3f}, {len(pairs)} pairs "
           f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr)
@@ -461,6 +522,28 @@ def main():
         register_config(name, get_named_config("text_splitter_char").override(
             chunking={"char_chunk_size": args.char_size,
                       "char_overlap": args.char_size // 10}))
+        cfg_names.append(name)
+    for spec_str in args.variant:
+        # NAME=BASE:k=v[,k=v...] — ChunkingConfig field overrides
+        from semanticsearch_tpu.core.config import register_config
+
+        name, rest = spec_str.split("=", 1)
+        base_name, _, kv_str = rest.partition(":")
+        overrides = {}
+        for kv in kv_str.split(","):
+            if not kv:
+                continue
+            k2, v2 = kv.split("=")
+            try:
+                v2 = int(v2)
+            except ValueError:
+                try:
+                    v2 = float(v2)
+                except ValueError:
+                    pass  # string field (e.g. engine=modularity)
+            overrides[k2] = v2
+        register_config(name, get_named_config(base_name).override(
+            chunking=overrides))
         cfg_names.append(name)
 
     for cfg_name in cfg_names:
@@ -535,6 +618,18 @@ def main():
             )
             from train_leg import train_rerankers_doclevel  # tools/ sibling
 
+            # cross-encoder levers (VERDICT-r4 item 4): warm start, deeper
+            # pool, longer schedule; the _distill alias adds margin-MSE
+            # distillation from the generator's dual encoder
+            model_opts = {}
+            for m in model_names:
+                if m.startswith("cross_encoder"):
+                    model_opts[m] = {
+                        "base": "cross_encoder", "warm_start": True,
+                        "epochs": args.ce_epochs, "top": args.ce_top,
+                    }
+                    if m == "cross_encoder_distill":
+                        model_opts[m]["distill"] = args.ce_distill
             rr = train_rerankers_doclevel(
                 model_names=model_names,
                 tokenizer=tokenizer,
@@ -551,6 +646,7 @@ def main():
                 seed=args.seed, doc_agg=doc_agg,
                 ranking_metrics=ranking_metrics,
                 embed_matrix=encoder_token_embeddings(encoder),
+                encoder=encoder, model_opts=model_opts,
             )
             res.update(rr)
         results[cfg_name] = res
@@ -561,6 +657,7 @@ def main():
     out = {
         "metric": "chunking_ab_doclevel",
         "seed": args.seed,
+        "recipe": args.recipe,
         "topics": args.topics,
         "n_docs": n_docs,
         "doc_words": {"median": int(np.median(wc)), "mean": float(wc.mean()),

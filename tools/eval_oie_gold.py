@@ -203,6 +203,12 @@ def main():
               file=sys.stderr)
         results["neural_cross_domain"], _ = score_engine(
             lambda t: oie.extract([t])[0], gold_rows, thr=args.thr)
+        # the extract-time self-check (r5, VERDICT-r4 item 5): does the
+        # deployment gate PREDICT this F1 collapse? Teacher agreement on
+        # the target corpus should sit far below the 0.5 floor here.
+        results["neural_cross_domain"]["teacher_agreement"] = round(
+            oie.teacher_agreement([r["text"] for r in gold_rows],
+                                  sample=104)["agreement"], 4)
         print(f"[neural cross-domain] {results['neural_cross_domain']}",
               file=sys.stderr)
 
@@ -219,6 +225,10 @@ def main():
               file=sys.stderr)
         results["neural_in_domain_fit"], _ = score_engine(
             lambda t: oie_in.extract([t])[0], gold_rows, thr=args.thr)
+        # and the in-domain fit should clear the floor comfortably
+        results["neural_in_domain_fit"]["teacher_agreement"] = round(
+            oie_in.teacher_agreement([r["text"] for r in gold_rows],
+                                     sample=104)["agreement"], 4)
         print(f"[neural in-domain] {results['neural_in_domain_fit']}",
               file=sys.stderr)
 

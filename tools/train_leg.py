@@ -7,6 +7,12 @@ Mirrors the eval_quality.py reranker protocol (reference
 fixed-length truncation) but aggregates chunk scores to documents before
 computing metrics, because the chunking A/B compares configs on the same
 document set.
+
+Round 5 (VERDICT-r4 items 1+4): per-model options (``model_opts``) so the
+capstone recipe can give the cross-encoder its levers — warm start from the
+trained encoder stack (``transfer_from_encoder``), a deeper candidate pool,
+a longer schedule, and margin-MSE distillation from the generator's dual
+encoder — inside the SAME doc-level protocol the parity models use.
 """
 from __future__ import annotations
 
@@ -44,13 +50,20 @@ def _blend_chunk_scores(gen_scores, pred_flat, top, beta):
 def train_rerankers_doclevel(model_names, tokenizer, labels_by_q,
                              train_queries, chunk_texts, chunk_doc, n_docs,
                              gen_scores, labels, queries, top, epochs, seed,
-                             doc_agg, ranking_metrics, embed_matrix=None):
+                             doc_agg, ranking_metrics, embed_matrix=None,
+                             encoder=None, model_opts=None):
+    """``model_opts``: {model_name: {"epochs": int, "top": int,
+    "distill": float, "warm_start": bool}} per-model overrides. A model with
+    ``warm_start`` needs ``encoder`` (the trained SentenceEncoder whose
+    stack transfers into the cross-encoder); ``distill`` > 0 attaches the
+    encoder's cosine scores as margin-MSE teacher over the train rows."""
     from semanticsearch_tpu.train.pairs import PairDataset
     from semanticsearch_tpu.train.presets import get_preset
     from semanticsearch_tpu.train.trainer import RerankTrainer
     from semanticsearch_tpu.train.vocab import Preprocessor
 
     rng = np.random.default_rng(seed + 9)
+    model_opts = model_opts or {}
     res = {}
 
     # train rows from the percentile labels (cap per query: 8 pos / 24 neg)
@@ -69,20 +82,40 @@ def train_rerankers_doclevel(model_names, tokenizer, labels_by_q,
     if not rows:
         return {"reranker_skipped": "no labeled pairs"}
 
-    # candidate rows per split: each query's top-`top` generator chunks
-    cand = {}
+    # candidate rows per split per DISTINCT candidate-pool depth: each
+    # query's top-`top_m` generator chunks (the cross-encoder may use a
+    # deeper pool than the parity models)
+    tops_needed = sorted({int(model_opts.get(m, {}).get("top", top))
+                          for m in model_names})
+    cand = {}  # (key, top_m) -> [(qi, ci)]
     for key in ("ev", "vb"):
-        cr = []
-        for qi in range(gen_scores[key].shape[0]):
-            for ci in np.argsort(-gen_scores[key][qi])[:top]:
-                cr.append((qi, int(ci)))
-        cand[key] = cr
+        order_all = np.argsort(-gen_scores[key], axis=1)
+        for top_m in tops_needed:
+            cr = []
+            for qi in range(gen_scores[key].shape[0]):
+                cr.extend((qi, int(ci)) for ci in order_all[qi, :top_m])
+            cand[(key, top_m)] = cr
+
+    # distillation teacher: the trained dual encoder's cosine per train row
+    # (the generator's dense leg — the strongest signal the capstone has)
+    teacher_rows = None
+    if encoder is not None and any(
+            float(model_opts.get(m, {}).get("distill", 0.0)) > 0.0
+            for m in model_names):
+        uq = sorted({qi for qi, _, _ in rows})
+        q_emb = encoder.encode([train_queries[qi] for qi in uq])
+        q_pos = {qi: j for j, qi in enumerate(uq)}
+        t_emb = encoder.encode([t for _, t, _ in rows], batch_size=512)
+        teacher_rows = np.asarray(
+            [float(q_emb[q_pos[qi]] @ t_emb[j])
+             for j, (qi, _, _) in enumerate(rows)], np.float32)
 
     _bundles = {}
 
-    def bundle(lengths):
-        if lengths in _bundles:
-            return _bundles[lengths]
+    def bundle(lengths, top_m):
+        bkey = (lengths, top_m)
+        if bkey in _bundles:
+            return _bundles[bkey]
         ll, lr = lengths
         pp = Preprocessor(fixed_length_left=ll, fixed_length_right=lr,
                           filter_low_freq=1, subword=tokenizer)
@@ -97,30 +130,69 @@ def train_rerankers_doclevel(model_names, tokenizer, labels_by_q,
                            [t for _, t, _ in rows],
                            [l for _, _, l in rows],
                            [qi for qi, _, _ in rows])
-        cand_ds = {key: pair_ds([queries[key][qi] for qi, _ in cand[key]],
-                                [chunk_texts[ci] for _, ci in cand[key]],
-                                [0.0] * len(cand[key]),
-                                [qi for qi, _ in cand[key]])
-                   for key in ("ev", "vb")}
-        _bundles[lengths] = (pp, train_ds, cand_ds)
-        return _bundles[lengths]
+        if teacher_rows is not None:
+            train_ds.teacher = teacher_rows
+        cand_ds = {key: pair_ds(
+            [queries[key][qi] for qi, _ in cand[(key, top_m)]],
+            [chunk_texts[ci] for _, ci in cand[(key, top_m)]],
+            [0.0] * len(cand[(key, top_m)]),
+            [qi for qi, _ in cand[(key, top_m)]])
+            for key in ("ev", "vb")}
+        _bundles[bkey] = (pp, train_ds, cand_ds)
+        return _bundles[bkey]
 
     for model_name in model_names:
-        lengths = (12, 18) if model_name == "arcii" else (12, 32)
-        pp, train_ds, cand_ds = bundle(lengths)
-        preset_cfg, model_kwargs = get_preset(model_name)
+        opts = model_opts.get(model_name, {})
+        # "base": real model architecture when model_name is an ablation
+        # alias (e.g. cross_encoder_distill -> cross_encoder); result keys
+        # keep the alias so two variants of one model coexist in the table
+        base = opts.get("base", model_name)
+        epochs_m = int(opts.get("epochs", epochs))
+        top_m = int(opts.get("top", top))
+        distill_w = float(opts.get("distill", 0.0))
+        lengths = (12, 18) if base == "arcii" else (12, 32)
+        pp, train_ds, cand_ds = bundle(lengths, top_m)
+        preset_cfg, model_kwargs = get_preset(base)
+        # the cross_encoder keeps its preset optimizer (adam@2e-4 —
+        # fine-tuning lr for a warm-started transformer stack); the parity
+        # models use the compute-budget-adjusted adam@1e-3 (eval_quality.py
+        # discipline)
+        opt_name, opt_lr = (
+            (preset_cfg.optimizer, preset_cfg.learning_rate)
+            if base == "cross_encoder" else ("adam", 1e-3)
+        )
         tr_cfg = dataclasses.replace(
-            preset_cfg, epochs=epochs, batch_size=64, num_dup=1, num_neg=4,
+            preset_cfg, epochs=epochs_m, batch_size=64, num_dup=1, num_neg=4,
             embedding_dim=embed_matrix.shape[1] if embed_matrix is not None
             else preset_cfg.embedding_dim,
-            filter_low_freq=1, optimizer="adam", learning_rate=1e-3,
+            filter_low_freq=1, optimizer=opt_name, learning_rate=opt_lr,
             fixed_length_left=lengths[0], fixed_length_right=lengths[1],
             eval_metrics=("map",),
+            distill_weight=distill_w,
         )
+        warm_start = None
+        if opts.get("warm_start") and base == "cross_encoder":
+            if encoder is None:
+                raise ValueError("warm_start requires the trained encoder")
+            from semanticsearch_tpu.models.rerankers import (
+                transfer_from_encoder,
+            )
+
+            ecfg = encoder.cfg
+            model_kwargs.update(
+                num_layers=ecfg.num_layers, num_heads=ecfg.num_heads,
+                mlp_dim=ecfg.mlp_dim,
+            )
+            enc_params = encoder.params
+
+            def warm_start(p, _enc=enc_params):
+                return transfer_from_encoder(p, _enc)
+
         t0 = time.perf_counter()
-        trainer = RerankTrainer(model_name, vocab_size=pp.vocab_size,
+        trainer = RerankTrainer(base, vocab_size=pp.vocab_size,
                                 cfg=tr_cfg, model_kwargs=model_kwargs,
-                                embedding_matrix=embed_matrix)
+                                embedding_matrix=embed_matrix,
+                                warm_start_fn=warm_start)
         fit_res = trainer.fit(train_ds)
         preds = {key: trainer.predict(fit_res.params, cand_ds[key])
                  for key in ("ev", "vb")}
@@ -131,10 +203,10 @@ def train_rerankers_doclevel(model_names, tokenizer, labels_by_q,
         off = 0
         for qi in range(nq):
             order = np.argsort(-gen_scores["ev"][qi])
-            c = order[:top]
+            c = order[:top_m]
             pure[qi, c] = preds["ev"][off: off + c.size]
             off += c.size
-            tail = order[top:]
+            tail = order[top_m:]
             lo = pure[qi, c].min()
             pure[qi, tail] = lo - 1.0 - np.arange(tail.size)
         res[f"hybrid_plus_{model_name}"] = ranking_metrics(
@@ -143,17 +215,22 @@ def train_rerankers_doclevel(model_names, tokenizer, labels_by_q,
         # blend beta tuned on the DISJOINT vb split at doc level
         best = (0.0, -1.0)
         for beta in np.linspace(0.0, 1.0, 17):
-            s = _blend_chunk_scores(gen_scores["vb"], preds["vb"], top,
+            s = _blend_chunk_scores(gen_scores["vb"], preds["vb"], top_m,
                                     float(beta))
             m = ranking_metrics(doc_agg(s, chunk_doc, n_docs), labels["vb"],
                                 metrics=("map",))["map"]
             if m > best[1]:
                 best = (float(beta), m)
-        blended = _blend_chunk_scores(gen_scores["ev"], preds["ev"], top,
+        blended = _blend_chunk_scores(gen_scores["ev"], preds["ev"], top_m,
                                       best[0])
         res[f"hybrid_plus_{model_name}_blend_tuned"] = ranking_metrics(
             doc_agg(blended, chunk_doc, n_docs), labels["ev"])
         res[f"rerank_beta_{model_name}"] = best[0]
+        if opts:
+            res[f"rerank_opts_{model_name}"] = {
+                "epochs": epochs_m, "top": top_m, "distill": distill_w,
+                "warm_start": bool(opts.get("warm_start")),
+            }
         print(f"  [rerank {model_name}] pure "
               f"{res[f'hybrid_plus_{model_name}']['map']:.4f} "
               f"blend(beta={best[0]:.3f}) "
