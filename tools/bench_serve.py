@@ -204,14 +204,26 @@ def main():
     serial_qps_same_run = None
     async_finish_ab = None
     if args.ab_async_finish:
-        engine.lexical_async_finish = False
-        off_qps = round(args.qbatch * args.batches / run_serial(), 1)
+        # ALTERNATE the arms: tunnel throughput drifts WITHIN a process
+        # (three consecutive serial passes measured 1025 -> 948 -> 702 QPS
+        # with no code change), so consecutive-arm A/Bs are confounded —
+        # interleave off/on and compare per-arm means instead
+        passes = {"off": [], "on": []}
+        for arm in ("off", "on", "off", "on", "off", "on"):
+            engine.lexical_async_finish = arm == "on"
+            passes[arm].append(args.qbatch * args.batches / run_serial())
         engine.lexical_async_finish = True
-        on_qps = round(args.qbatch * args.batches / run_serial(), 1)
-        async_finish_ab = {"off_qps": off_qps, "on_qps": on_qps,
-                           "speedup": round(on_qps / off_qps, 3)}
-        log(f"[async-finish A/B] off {off_qps} -> on {on_qps} QPS "
-            f"({async_finish_ab['speedup']}x)")
+        off_qps = round(float(np.mean(passes["off"])), 1)
+        on_qps = round(float(np.mean(passes["on"])), 1)
+        async_finish_ab = {
+            "off_qps": off_qps, "on_qps": on_qps,
+            "speedup": round(on_qps / off_qps, 3),
+            "passes_off": [round(p, 1) for p in passes["off"]],
+            "passes_on": [round(p, 1) for p in passes["on"]],
+        }
+        log(f"[async-finish A/B] off {async_finish_ab['passes_off']} "
+            f"on {async_finish_ab['passes_on']} -> "
+            f"{async_finish_ab['speedup']}x")
     if args.pipelined:
         # A/B in ONE process: tunnel throughput varies run to run, so a
         # fair pipelined-vs-serial comparison must share warm state and

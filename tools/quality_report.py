@@ -382,6 +382,67 @@ def main():
                         f"{np.mean(ha):.4f} "
                         f"({(np.mean(sub) - np.mean(ha)) / max(np.mean(ha), 1e-9) * 100:+.1f}%)")
 
+    # ---- round 5: unified capstone x chunking x realistic-corpus headline
+    # (VERDICT-r4 item 1: the flagship quality table, eval_chunking.py
+    # --recipe capstone at the best semantic configs + char@1000 control)
+    cap = load_family("capstone_chunk")
+    if cap:
+        seeds = sorted(cap)
+        lines.append("")
+        lines.append(
+            f"UNIFIED HEADLINE — capstone recipe (MLM+mining+subword+tuned "
+            f"fusion/blend) x chunking config x realistic corpus "
+            f"(doc-level MAP, seeds {seeds}):")
+        lines.append("| Chunking config | method | MAP | nDCG@10 |")
+        lines.append("|---|---|---|---|")
+        some_c = next(iter(cap.values()))
+        for cfg_key in some_c["results"]:
+            res0 = some_c["results"][cfg_key]
+            methods = [k for k in (
+                "bm25_only", "dense_trained", "hybrid_wrrf_tuned")
+                if k in res0]
+            methods += sorted(k for k in res0 if k.startswith("hybrid_plus_"))
+            for method in methods:
+                maps, nds, betas = [], [], []
+                for r in cap.values():
+                    rr = r["results"].get(cfg_key, {})
+                    if method in rr:
+                        maps.append(rr[method]["map"])
+                        nds.append(rr[method]["ndcg@10"])
+                        bkey = "rerank_beta_" + method.replace(
+                            "hybrid_plus_", "").replace("_blend_tuned", "")
+                        if method.endswith("_blend_tuned") and bkey in rr:
+                            betas.append(rr[bkey])
+                if not maps:
+                    continue
+                label = method + (
+                    f" (beta {'/'.join(f'{b:.3g}' for b in betas)})"
+                    if betas else "")
+                lines.append(
+                    f"| {cfg_key} | {label} "
+                    f"| {np.mean(maps):.4f}±{np.std(maps):.4f} "
+                    f"| {np.mean(nds):.4f}±{np.std(nds):.4f} |")
+
+    # ---- round 5: high-granularity semantic frontier (VERDICT-r4 item 2)
+    gran = load_family("gran_frontier")
+    if gran and chunk_ab:  # chunk_row is defined under the chunk_ab family
+        seeds = sorted(gran)
+        lines.append("")
+        lines.append(
+            f"High-granularity chunking frontier (semantic configs swept "
+            f"to the char operating points; doc-level wrrf MAP, "
+            f"seeds {seeds}):")
+        lines.append("| Config | wrrf MAP | nDCG@10 | chunks | purity |")
+        lines.append("|---|---|---|---|---|")
+        some_g = next(iter(gran.values()))
+        order = sorted(
+            some_g["results"],
+            key=lambda k2: np.mean([r["results"][k2]["n_chunks"]
+                                    for r in gran.values()
+                                    if k2 in r["results"]]))
+        for cfg_key in order:
+            chunk_row(cfg_key, gran, cfg_key)
+
     # ---- round 4: OIE quality (gold P/R/F1 + enrichment A/B) ----
     gold_path = os.path.join(args.dir, "oie_gold.json")
     if os.path.exists(gold_path) and os.path.getsize(gold_path):
