@@ -342,6 +342,14 @@ def main():
     ap.add_argument("--ce-distill", type=float, default=0.5,
                     help="margin-MSE distillation weight for the "
                          "cross_encoder_distill alias")
+    ap.add_argument("--ce-configs", default="",
+                    help="comma list of chunking configs that run the "
+                         "RESTRICTED rerankers (empty = all configs) — "
+                         "expensive legs only need the headline config")
+    ap.add_argument("--restricted-rerankers", default="cross_encoder",
+                    help="comma list (prefix match) of rerankers limited "
+                         "to --ce-configs; default restricts the "
+                         "cross_encoder* aliases")
     ap.add_argument("--variant", action="append", default=[],
                     metavar="NAME=BASE:k=v[,k=v...]",
                     help="register a chunking-config variant (granularity "
@@ -621,8 +629,18 @@ def main():
             # cross-encoder levers (VERDICT-r4 item 4): warm start, deeper
             # pool, longer schedule; the _distill alias adds margin-MSE
             # distillation from the generator's dual encoder
+            ce_cfgs = {c.strip() for c in args.ce_configs.split(",")
+                       if c.strip()}
+            restricted = tuple(
+                r.strip() for r in args.restricted_rerankers.split(",")
+                if r.strip())
+            cfg_model_names = [
+                m for m in model_names
+                if not (m.startswith(restricted) and ce_cfgs
+                        and cfg_name not in ce_cfgs)
+            ]
             model_opts = {}
-            for m in model_names:
+            for m in cfg_model_names:
                 if m.startswith("cross_encoder"):
                     model_opts[m] = {
                         "base": "cross_encoder", "warm_start": True,
@@ -631,7 +649,7 @@ def main():
                     if m == "cross_encoder_distill":
                         model_opts[m]["distill"] = args.ce_distill
             rr = train_rerankers_doclevel(
-                model_names=model_names,
+                model_names=cfg_model_names,
                 tokenizer=tokenizer,
                 labels_by_q=labels_by_q,
                 train_queries=tr_q,
