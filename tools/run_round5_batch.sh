@@ -18,7 +18,11 @@ echo "=== OIE gold with self-check ==="
 timeout 3600 python tools/eval_oie_gold.py \
   > "$OUT/oie_gold_r5.json" 2> "$OUT/oie_gold_r5.log"
 
-GRAN_VARIANTS=${GRAN_VARIANTS:?set GRAN_VARIANTS to the calibrated --variant flags}
+# Calibrated at seed 0 (see docs/ROADMAP.md r5 item 2): the representative
+# high-granularity set — splitter soft_cap=3 (~843 chunks), grouping
+# cap_soft=3 (~487; its over-cap split is single-level so counts saturate),
+# DP splitter + soft_cap=4 (~832).
+GRAN_VARIANTS=${GRAN_VARIANTS:-"--variant split3=semantic_splitter:soft_cap=3 --variant grp3=semantic_grouping:cap_soft=3 --variant dpcap4=semantic_splitter_dp:soft_cap=4"}
 
 for seed in 0 1 2; do
   echo "=== capstone chunking seed $seed ==="
